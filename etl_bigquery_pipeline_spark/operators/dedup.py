@@ -1,0 +1,324 @@
+"""Deduplication operators: exact, key-group, MinHash-LSH, SimHash,
+n-gram-Jaccard, embedding-cosine (SURVEY.md §2.3 + north-star tier).
+
+Reference surface: full-row drop_duplicates
+(/root/reference/dags/etl_pipeline.py:176-182) and GROUP BY ... HAVING
+COUNT(*)>1 duplicate probes (:364-383). The near-dup family is the
+training-data-pipeline extension.
+
+Determinism note: every hash here is md5-derived (seeded by an integer
+prefix), and MinHash minima are taken over fixed-width lowercase-hex
+*strings*, so signatures are reproducible across engines — which is what
+lets the DuckDB oracle replay the exact same LSH pipeline in SQL.
+
+Scale notes:
+- Exact dedup by content hash shuffles a 32-char key, never the document
+  body.
+- MinHash-LSH is the canonical 100 TB near-dup design (one shuffle per
+  band-bucket join, candidates only — never all-pairs).
+- The exact n-gram-Jaccard operator is intentionally *blocked*: all-pairs
+  Jaccard is O(n²) and exists as the small-data oracle / LSH-verification
+  path, with a mandatory blocking predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_bigquery_pipeline_spark.functions.text import content_hash, shingles, tokens
+
+# ---------------------------------------------------------------- exact ---
+
+
+def duplicate_key_groups(df: DataFrame, keys: list[str]) -> DataFrame:
+    """D2/D3: key groups with >1 row, mirroring the reference's
+    GROUP BY ... HAVING COUNT(*) > 1 probes
+    (/root/reference/dags/etl_pipeline.py:364-383)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("duplicate_count"))
+        .filter(F.col("duplicate_count") > 1)
+    )
+
+
+def dedup_exact_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact near-whitespace dedup: keep the lowest-id row per content hash.
+
+    The shuffle key is the 32-char md5, not the document body — at 100 TB
+    the shuffle moves ~50 bytes/row regardless of document size.
+    """
+    h = content_hash(text_col).alias("__h")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .join(df, id_col, "inner")
+        .drop("__h")
+    )
+
+
+# -------------------------------------------------------------- minhash ---
+
+
+def _minhash_expr(shingle_array: Column, seed: int, width: int = 16) -> Column:
+    """One MinHash value: min over shingles of the first ``width`` hex chars
+    of md5(seed:shingle). Min over fixed-width lowercase hex == min over the
+    corresponding unsigned ints, with no engine-specific hex->int cast."""
+    hashed = F.transform(
+        shingle_array,
+        lambda s: F.substring(F.md5(F.concat(F.lit(f"{seed}:"), s)), 1, width),
+    )
+    return F.array_min(hashed)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, signature array<string>) — one narrow projection, no shuffle."""
+    sh = shingles(text_col, shingle_n)
+    sig = F.array(*[_minhash_expr(sh, i) for i in range(num_hashes)])
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_band_keys(
+    sig_df: DataFrame, id_col: str = "doc_id", *, bands: int = 4
+) -> DataFrame:
+    """Explode signatures into (id, band, band_key). band_key is the md5 of
+    the band's slice of the signature — a fixed 32-byte shuffle key."""
+    sig = F.col("signature")
+    rows_per_band = F.floor(F.size(sig) / bands).cast("int")
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    bands_col = F.transform(
+        band_idx,
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(
+                F.concat(
+                    b.cast("string"),
+                    F.lit("|"),
+                    F.array_join(F.slice(sig, b * rows_per_band + 1, rows_per_band), ","),
+                )
+            ).alias("band_key"),
+        ),
+    )
+    return sig_df.select(
+        F.col(id_col), F.explode(bands_col).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return F.try_divide(inter, F.size(F.array_union(a, b)).cast("double"))
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
+
+    Pipeline: shingle -> minhash signature -> band keys -> bucket self-join
+    (candidates = pairs sharing >=1 band) -> verify with exact Jaccard on
+    the shingle sets -> filter >= threshold. Returns
+    (id_a, id_b, jaccard_sim) with id_a < id_b.
+
+    This is the scale path: the only shuffles are the band-key join and the
+    candidate-pair distinct; no all-pairs product ever materializes.
+    """
+    sh_df = df.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("__sh")
+    ).cache()
+    sig = sh_df.select(
+        F.col(id_col),
+        F.array(*[_minhash_expr(F.col("__sh"), i) for i in range(num_hashes)]).alias(
+            "signature"
+        ),
+    )
+    bk = minhash_band_keys(sig, id_col, bands=bands)
+    left = bk.alias("l")
+    right = bk.alias("r")
+    cands = (
+        left.join(
+            right,
+            (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    a = sh_df.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh_df.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# -------------------------------------------------------- ngram jaccard ---
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block: Column | None = None,
+    block_width: int = 100,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over *blocked* pairs.
+
+    ``block`` is the join predicate that bounds the pair count; default is
+    an id-distance band (|a-b| <= block_width), which is the honest
+    small-data/oracle configuration. At scale you pass a real blocking
+    predicate (same lang + length bucket, or feed candidates from LSH) —
+    unblocked all-pairs is deliberately not offered.
+    """
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("__sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    pred = F.col("id_a") < F.col("id_b")
+    if block is None:
+        block = (F.col("id_b") - F.col("id_a")) <= block_width
+    return (
+        a.join(b, pred & block)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# -------------------------------------------------------------- simhash ---
+
+_HEX = "0123456789abcdef"
+
+
+def simhash_hex(text_col: Column | str, *, nibbles: int = 15) -> Column:
+    """SimHash fingerprint as a ``nibbles``-long lowercase hex string.
+
+    Per token: md5 -> first ``nibbles`` hex chars = 4*nibbles bits. Each bit
+    contributes +1/-1 to its position's counter; the fingerprint bit is 1
+    iff the counter is positive. String/bit-table formulation (no hex->int
+    casts) keeps it exactly reproducible in any engine with md5+substring.
+    JVM-only higher-order functions: no shuffle, no UDF.
+    """
+    toks = tokens(text_col)
+    tok_hashes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, nibbles))
+    n_toks = F.size(toks)
+
+    def nibble_char(pos: int) -> Column:
+        # counters for the 4 bits of this nibble position
+        ch = lambda h: F.substring(h, pos + 1, 1)  # noqa: E731
+        # hex char -> 0..15 (conv accepts lambda-variable Columns; instr
+        # does not)
+        val = lambda h: F.conv(ch(h), 16, 10).cast("int")  # noqa: E731
+        def bit_counter(j: int) -> Column:
+            # binary lambda only: pyspark derives lambda-variable count
+            # from the Python signature, so `j` must close over, not
+            # default-arg
+            return F.aggregate(
+                tok_hashes,
+                F.lit(0),
+                lambda acc, h: acc + F.shiftright(val(h), j) % 2,
+            )
+
+        bits = []
+        for j in (3, 2, 1, 0):  # msb->lsb within the nibble
+            ones = bit_counter(j)
+            # bit set iff ones > zeros  <=>  2*ones > n_tokens
+            bits.append(F.when(ones * 2 > n_toks, F.lit(1)).otherwise(F.lit(0)))
+        nib = bits[0] * 8 + bits[1] * 4 + bits[2] * 2 + bits[3]
+        return F.substring(F.lit(_HEX), nib + 1, 1)
+
+    return F.concat(*[nibble_char(p) for p in range(nibbles)])
+
+
+def simhash_hamming(a: Column, b: Column, *, nibbles: int = 15) -> Column:
+    """Hamming distance between two simhash hex strings (bit-level)."""
+    dist = F.lit(0)
+    for p in range(nibbles):
+        va = F.conv(F.substring(a, p + 1, 1), 16, 10).cast("int")
+        vb = F.conv(F.substring(b, p + 1, 1), 16, 10).cast("int")
+        x = va.bitwiseXOR(vb)
+        for j in range(4):
+            dist = dist + F.shiftright(x, j) % 2
+    return dist
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 8,
+    nibbles: int = 15,
+    band_nibbles: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: block on hex-prefix bands (any shared
+    ``band_nibbles``-wide slice), verify by full Hamming distance.
+
+    Banding a 60-bit fingerprint into 4-nibble slices guarantees recall for
+    pairs within ~(bands-1) nibble corruptions; candidates join on a short
+    string key, so the plan scales like MinHash-LSH.
+    """
+    sh = df.select(F.col(id_col), simhash_hex(text_col, nibbles=nibbles).alias("__sh"))
+    n_bands = nibbles // band_nibbles
+    band_arr = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}|"), F.substring("__sh", b * band_nibbles + 1, band_nibbles)
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sh.select(id_col, "__sh", F.explode(band_arr).alias("band_key"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.__sh").alias("__sh_a"),
+            F.col("r.__sh").alias("__sh_b"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        simhash_hamming(F.col("__sh_a"), F.col("__sh_b"), nibbles=nibbles).alias(
+            "hamming"
+        ),
+    ).filter(F.col("hamming") <= max_hamming)

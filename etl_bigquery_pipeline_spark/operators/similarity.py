@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (north-star tier).
+
+Two strategies over array<float> embeddings:
+
+- ``cosine_topk``: exact brute force — broadcast the (small) query set
+  against the corpus, JVM-side dot products, per-query top-k via window
+  rank. The correctness baseline; at 100 TB it is one corpus scan per
+  query batch with no corpus shuffle (queries are broadcast), which is the
+  right exact plan.
+- ``lsh_cosine_topk``: random-hyperplane LSH — bucket corpus and queries by
+  sign-pattern hash, search only same-bucket (and optionally neighboring
+  probes) candidates. Trades recall for a candidate set ~1/2^bits of the
+  corpus; the scale path when the query batch is large.
+
+Hyperplanes are generated driver-side from a fixed seed (numpy
+RandomState), shipped as literal arrays — deterministic across runs and
+engines. An IVF (k-means-partitioned) variant slots into the same contract
+with trained centroids replacing random planes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_bigquery_pipeline_spark.functions.vectors import cosine, dot
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, sim, rank), self-matches excluded.
+
+    ``queries`` is expected to be small (it is broadcast); ``corpus`` is
+    scanned once. Ranking uses the rounded similarity with neighbor-id
+    tie-break, so results are total-ordered and engine-reproducible.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    sim = F.round(cosine(F.col("__qvec"), F.col("__cvec")), sim_decimals).alias("sim")
+    scored = (
+        c.join(F.broadcast(q), F.col(query_id_col) != F.col("neighbor_id"))
+        .select(query_id_col, "neighbor_id", sim)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    rs = np.random.RandomState(seed)
+    return rs.standard_normal((bits, dim)).round(6).tolist()
+
+
+def hyperplane_bucket(
+    vec_col, *, dim: int, bits: int = 8, seed: int = 42
+):
+    """Sign-pattern LSH bucket id (string of 0/1) for an embedding column."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    planes = _hyperplanes(dim, bits, seed)
+    bit_cols = []
+    for plane in planes:
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        d = dot(col, lit_plane)
+        bit_cols.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_cols)
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    bits: int = 4,
+    seed: int = 42,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Recall < 1 by design; bits controls the candidate-set shrink (2^bits
+    buckets). The bucket join shuffles on a <=bits-char key — at scale the
+    corpus can be written bucketed-by(bucket) so queries probe without any
+    corpus shuffle at all.
+    """
+    bucket = lambda d: hyperplane_bucket(vec_col, dim=dim, bits=bits, seed=seed)  # noqa: E731
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        bucket(corpus).alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        bucket(queries).alias("__bucket"),
+    )
+    sim = F.round(cosine(F.col("__qvec"), F.col("__cvec")), sim_decimals).alias("sim")
+    scored = (
+        c.join(F.broadcast(q), "__bucket")
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .select(query_id_col, "neighbor_id", sim)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    bits: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join: pairs in the
+    same hyperplane bucket with cosine >= threshold (id_a < id_b)."""
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        hyperplane_bucket(vec_col, dim=dim, bits=bits, seed=seed).alias("__bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.__bucket") == F.col("r.__bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("l.__v"), F.col("r.__v")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

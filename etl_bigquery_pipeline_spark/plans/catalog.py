@@ -1,0 +1,1063 @@
+"""Oracle-checked query catalog — the driver contract behind
+__spark_entry__.py.
+
+Every operator from SURVEY.md §2 (and the north-star tier) appears here as
+a named query: a PySpark implementation (spark, sf_dir) -> DataFrame plus a
+dialect-equivalent DuckDB SQL oracle over the same parquet tables. Naming
+rule: every computed column is aliased identically on both sides (the
+driver sorts columns by name before hashing).
+
+Cross-engine determinism rules used throughout:
+- SUM over doubles goes through DECIMAL(18,4) (exact, order-independent),
+  then one cast to double — see functions.coercion.exact_sum.
+- AVG and similarity scores are rounded (4 / 6 decimals): the residual
+  engine difference is ~1e-12 relative, orders of magnitude below the
+  rounding granularity.
+- Ranks use row_number over a total order (rounded score desc, id asc).
+- All hashes are md5-derived; MinHash minima compare fixed-width lowercase
+  hex strings, never engine-specific integers.
+- Timestamps stay at native microsecond precision; session gap logic uses
+  interval comparisons (no second-truncation).
+
+The dedup/near-dup queries plant mutated copies of real rows in-query
+(UNION ALL with shifted ids) because the synthetic corpus has no natural
+duplicates — detection is then visible in the result, and the oracle plants
+the identical rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_bigquery_pipeline_spark.functions import text as TX
+from etl_bigquery_pipeline_spark.functions.coercion import (
+    exact_sum,
+    to_double_or_null,
+)
+from etl_bigquery_pipeline_spark.operators import (
+    cleaning,
+    dedup,
+    schema_ops,
+    sessionize,
+    similarity,
+    windows,
+)
+from etl_bigquery_pipeline_spark.plans import dq
+from etl_bigquery_pipeline_spark.sources.readers import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ===================================================================
+# Tier 1 — reference parity (SURVEY.md §2)
+# ===================================================================
+
+# ---- flagship: scan + group-agg + exact sums (A1/A3/A4 shapes) ----
+
+_FLAGSHIP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       MIN(l_shipdate) AS min_shipdate,
+       MAX(l_shipdate) AS max_shipdate
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("flagship_sales_rollup", _FLAGSHIP_ORACLE)
+def flagship_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped rollup: the reference's multi-aggregate single-scan
+    pattern (/root/reference/dags/etl_pipeline.py:327-334, :414-421) over
+    the fact table. One scan, map-side partial aggs, 6-group shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_sum("l_quantity").alias("sum_qty"),
+        exact_sum("l_extendedprice").alias("sum_base_price"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+
+
+# ---- A1/B4: row counts ----
+
+_ROW_COUNTS_SQL = """
+SELECT (SELECT COUNT(*) FROM region)    AS region_rows,
+       (SELECT COUNT(*) FROM nation)    AS nation_rows,
+       (SELECT COUNT(*) FROM customer)  AS customer_rows,
+       (SELECT COUNT(*) FROM supplier)  AS supplier_rows,
+       (SELECT COUNT(*) FROM part)      AS part_rows,
+       (SELECT COUNT(*) FROM orders)    AS orders_rows,
+       (SELECT COUNT(*) FROM lineitem)  AS lineitem_rows,
+       (SELECT COUNT(*) FROM events)    AS events_rows,
+       (SELECT COUNT(*) FROM documents) AS documents_rows,
+       (SELECT COUNT(*) FROM embeddings) AS embeddings_rows
+"""
+
+
+@query("table_row_counts", _ROW_COUNTS_SQL)
+def table_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/B4: emptiness probes for every table; parquet row-group metadata
+    answers these without reading data pages."""
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_ROW_COUNTS_SQL)
+
+
+# ---- A2: COUNTIF null scans ----
+
+_NULL_COUNTS_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE o_custkey IS NULL)       AS nulls_o_custkey,
+       COUNT(*) FILTER (WHERE o_totalprice IS NULL)    AS nulls_o_totalprice,
+       COUNT(*) FILTER (WHERE o_orderdate IS NULL)     AS nulls_o_orderdate,
+       COUNT(*) FILTER (WHERE o_orderpriority IS NULL) AS nulls_o_orderpriority
+FROM orders
+"""
+
+
+@query("null_counts_orders", _NULL_COUNTS_ORACLE)
+def null_counts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: the reference's per-column COUNTIF(IS NULL) validation
+    (/root/reference/dags/etl_pipeline.py:327-350) — all columns in ONE
+    scan via a single .agg()."""
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count_if(F.col(c).isNull()).alias(f"nulls_{c}") for c in cols],
+    )
+
+
+# ---- D2/D3 + A3: duplicate-key groups ----
+
+_DUP_PK_ORACLE = """
+SELECT COUNT(*) AS dup_groups,
+       CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_group_size
+FROM (SELECT COUNT(*) AS c FROM lineitem
+      GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+"""
+
+
+@query("dup_groups_lineitem_pk", _DUP_PK_ORACLE)
+def dup_groups_lineitem_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: uniqueness of the fact's natural key — GROUP BY/HAVING>1 probe
+    (/root/reference/dags/etl_pipeline.py:364-369). Expect zero groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    groups = dedup.duplicate_key_groups(li, ["l_orderkey", "l_linenumber"])
+    return groups.agg(
+        F.count(F.lit(1)).alias("dup_groups"),
+        F.coalesce(F.max("duplicate_count"), F.lit(0).cast("bigint")).alias(
+            "max_group_size"
+        ),
+    )
+
+
+_MULTI_LINE_ORACLE = """
+SELECT COUNT(*) AS dup_groups,
+       CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_group_size
+FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1)
+"""
+
+
+@query("dup_groups_orderkey", _MULTI_LINE_ORACLE)
+def dup_groups_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-group detector on a key that IS duplicated
+    (multi-line orders) — proves the probe counts groups, not rows
+    (SURVEY.md §7.5 semantics note)."""
+    li = _t(spark, sf_dir, "lineitem")
+    groups = dedup.duplicate_key_groups(li, ["l_orderkey"])
+    return groups.agg(
+        F.count(F.lit(1)).alias("dup_groups"),
+        F.coalesce(F.max("duplicate_count"), F.lit(0).cast("bigint")).alias(
+            "max_group_size"
+        ),
+    )
+
+
+# ---- J1: referential integrity via anti join ----
+
+_ORPHAN_LI_ORACLE = """
+SELECT COUNT(*) AS n_orphans
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_partkey IS NULL
+"""
+
+
+@query("orphan_lineitem_part", _ORPHAN_LI_ORACLE)
+def orphan_lineitem_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: the reference's LEFT JOIN ... IS NULL orphan probe
+    (/root/reference/dags/etl_pipeline.py:396-402) as a broadcast LEFT ANTI
+    join — the dimension never shuffles the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    orphans = li.join(F.broadcast(part), "l_partkey", "left_anti")
+    return orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+
+
+_NO_ORDER_ORACLE = """
+SELECT COUNT(*) AS n_customers_no_orders
+FROM customer c LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+  ON c.c_custkey = o.o_custkey
+WHERE o.o_custkey IS NULL
+"""
+
+
+@query("customers_without_orders", _NO_ORDER_ORACLE)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join with a non-empty result — customers absent from orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.join(o, "c_custkey", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_customers_no_orders")
+    )
+
+
+# ---- A4/A5 + B1-B3: range checks ----
+
+_RANGE_LI_ORACLE = """
+SELECT MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+       MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+       MIN(l_discount) AS min_disc, MAX(l_discount) AS max_disc,
+       COUNT(*) FILTER (WHERE l_quantity < 0) AS negative_qty_rows
+FROM lineitem
+"""
+
+
+@query("range_lineitem", _RANGE_LI_ORACLE)
+def range_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 + B1/B2: all MIN/MAX bounds and the violation count in one scan
+    (/root/reference/dags/etl_pipeline.py:414-435)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_discount").alias("max_disc"),
+        F.count_if(F.col("l_quantity") < 0).alias("negative_qty_rows"),
+    )
+
+
+_RANGE_PART_ORACLE = """
+SELECT MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price,
+       COUNT(*) FILTER (WHERE p_retailprice <= 0) AS non_positive_rows
+FROM part
+"""
+
+
+@query("range_part_price", _RANGE_PART_ORACLE)
+def range_part_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 + B3: dimension price range; strictly-positive rule uses <=
+    (/root/reference/dags/etl_pipeline.py:445-449)."""
+    p = _t(spark, sf_dir, "part")
+    return p.agg(
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+        F.count_if(F.col("p_retailprice") <= 0).alias("non_positive_rows"),
+    )
+
+
+# ---- D1: full-row distinct ----
+
+_DISTINCT_PART_ORACLE = """
+SELECT (SELECT COUNT(*) FROM part) AS n_rows,
+       (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM part)) AS n_distinct
+"""
+
+
+@query("distinct_part_rows", _DISTINCT_PART_ORACLE)
+def distinct_part_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: drop_duplicates row parity
+    (/root/reference/dags/etl_pipeline.py:176-182)."""
+    p = _t(spark, sf_dir, "part")
+    total = p.agg(F.count(F.lit(1)).alias("n_rows"))
+    distinct = cleaning.drop_exact_duplicates(p).agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    return total.crossJoin(distinct)
+
+
+# ---- P5-P7: coerce-to-null casts (roundtrip evidence) ----
+
+_COERCE_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE try_strptime(strftime(l_shipdate, '%Y-%m-%d'), '%Y-%m-%d') IS NULL) AS n_date_null,
+       CAST(SUM(CAST(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS qty_roundtrip_sum,
+       COUNT(*) FILTER (WHERE TRY_CAST(l_returnflag AS DOUBLE) IS NULL) AS n_flag_unparseable
+FROM lineitem
+"""
+
+
+@query("coercion_roundtrip", _COERCE_ORACLE)
+def coercion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5-P7: pandas errors='coerce' semantics
+    (/root/reference/dags/etl_pipeline.py:137-139) — valid strings parse
+    back losslessly, garbage coerces to null instead of raising (ANSI mode
+    stays on; try_* expressions carry the semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    date_str = F.date_format("l_shipdate", "yyyy-MM-dd")
+    reparsed = F.try_to_timestamp(date_str, F.lit("yyyy-MM-dd"))
+    qty_str = F.col("l_quantity").cast("string")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(reparsed.isNull()).alias("n_date_null"),
+        F.sum(to_double_or_null(qty_str).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("qty_roundtrip_sum"),
+        F.count_if(to_double_or_null(F.col("l_returnflag")).isNull()).alias(
+            "n_flag_unparseable"
+        ),
+    )
+
+
+# ---- P1-P4: packed-column split / positional schema ----
+
+_SPLIT_ORACLE = """
+WITH packed AS (
+  SELECT p_partkey, p_brand || '|' || p_type || '|' || CAST(p_size AS VARCHAR) AS packed
+  FROM part)
+SELECT p_partkey,
+       split_part(packed, '|', 1) AS brand,
+       split_part(packed, '|', 2) AS type,
+       CAST(split_part(packed, '|', 3) AS BIGINT) AS size
+FROM packed
+"""
+
+
+@query("split_packed_column", _SPLIT_ORACLE)
+def split_packed_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: the comma-packed-column repair
+    (/root/reference/dags/etl_pipeline.py:126-129) — pack part attributes
+    into one delimited string, then split positionally back into typed
+    columns. Pure projection; collapses into the scan."""
+    p = _t(spark, sf_dir, "part")
+    packed = p.select(
+        "p_partkey",
+        F.concat_ws(
+            "|", "p_brand", "p_type", F.col("p_size").cast("string")
+        ).alias("packed"),
+    )
+    return packed.select(
+        "p_partkey",
+        F.split_part(F.col("packed"), F.lit("|"), F.lit(1)).alias("brand"),
+        F.split_part(F.col("packed"), F.lit("|"), F.lit(2)).alias("type"),
+        F.split_part(F.col("packed"), F.lit("|"), F.lit(3))
+        .cast("bigint")
+        .alias("size"),
+    )
+
+
+# ---- P8: dropna ----
+
+_DROPNA_ORACLE = """
+SELECT COUNT(*) AS n_kept
+FROM part
+WHERE (CASE WHEN p_size % 3 = 0 THEN NULL ELSE p_name END) IS NOT NULL
+"""
+
+
+@query("clean_dropna", _DROPNA_ORACLE)
+def clean_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: df.dropna() row-drop semantics
+    (/root/reference/dags/etl_pipeline.py:142-144) over a synthetically
+    dirtied column (testdata has no natural nulls)."""
+    p = _t(spark, sf_dir, "part").withColumn(
+        "dirty",
+        F.when(F.col("p_size") % 3 == 0, F.lit(None)).otherwise(
+            F.col("p_name")
+        ),
+    )
+    kept = cleaning.drop_null_rows(p)
+    return kept.agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# ===================================================================
+# Tier 1.5 — relational breadth beyond the reference (sorts, windows,
+# set ops, multi-joins, rollup) — SURVEY.md §2.8 gap list
+# ===================================================================
+
+_TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+@query("topk_orders", _TOPK_ORACLE)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with a total order (tie-break on key): Spark plans this as
+    TakeOrderedAndProject — no global sort materializes."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+_WINDOW_RANK_ORACLE = """
+SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+              ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT) AS rnk
+  FROM part)
+WHERE rnk <= 3
+"""
+
+
+@query("window_rank_parts", _WINDOW_RANK_ORACLE)
+def window_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: per-brand top-3 by price, total-ordered."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+_EXCEPT_ORACLE = """
+SELECT COUNT(*) AS n FROM (
+  SELECT c_custkey FROM customer
+  EXCEPT
+  SELECT o_custkey FROM orders)
+"""
+
+
+@query("set_except_customers", _EXCEPT_ORACLE)
+def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (EXCEPT distinct): customer keys never seen in
+    orders."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.subtract(o).agg(F.count(F.lit(1)).alias("n"))
+
+
+_SEGMENT_ORACLE = """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       COUNT(*) AS n_rows
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("revenue_by_segment", _SEGMENT_ORACLE)
+def revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped multi-join: customer ⋈ orders ⋈ lineitem. customer
+    broadcasts (small dim); orders⋈lineitem co-shuffle on orderkey."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT r_name, n_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS acctbal_sum
+FROM region
+JOIN nation   ON r_regionkey = n_regionkey
+JOIN customer ON n_nationkey = c_nationkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@query("rollup_region_nation", _ROLLUP_ORACLE)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate (ROLLUP): region -> nation -> grand total."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    joined = r.join(n, r.r_regionkey == n.n_regionkey).join(
+        c, n.n_nationkey == c.c_nationkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        exact_sum("c_acctbal").alias("acctbal_sum"),
+    )
+
+
+# ===================================================================
+# Tier 2 — LLM training-data pipeline operators (north star)
+# ===================================================================
+
+# ---- exact dedup over documents (planted duplicates) ----
+
+_DEDUP_EXACT_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25)
+SELECT MIN(doc_id) AS doc_id
+FROM docs
+GROUP BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+"""
+
+
+@query("dedup_exact_documents", _DEDUP_EXACT_ORACLE)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (whitespace-insensitive) dedup: plant 25 duplicate docs with
+    shifted ids, dedup by content hash keeping the lowest id. Output is the
+    surviving ids — exactly the original corpus. Shuffle key = 32-char md5."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = d.unionAll(planted)
+    return dedup.dedup_exact_text(corpus, "doc_id", "text").select("doc_id")
+
+
+# ---- MinHash + LSH near-dup (planted near-duplicates) ----
+
+_MINHASH_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzz extra' FROM documents WHERE doc_id < 25),
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM docs),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(t) - 2, 1))]) AS s
+  FROM toks),
+sig AS (
+  SELECT doc_id, s,
+         [list_min([substring(md5(CAST(k AS VARCHAR) || ':' || x), 1, 16) for x in s])
+          for k in generate_series(0, 15)] AS sg
+  FROM sh),
+bands AS (
+  SELECT doc_id, gs.b AS band,
+         md5(CAST(gs.b AS VARCHAR) || '|' || array_to_string(sg[gs.b*4+1 : gs.b*4+4], ',')) AS band_key
+  FROM sig CROSS JOIN generate_series(0, 3) AS gs(b)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band_key = r.band_key AND l.band = r.band AND l.doc_id < r.doc_id),
+scored AS (
+  SELECT id_a, id_b,
+         round(len(list_intersect(a.s, b.s)) /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard_sim
+  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id)
+SELECT id_a, id_b, jaccard_sim FROM scored WHERE jaccard_sim >= 0.6
+"""
+
+
+@query("minhash_near_dup_pairs", _MINHASH_ORACLE)
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) near-dup pairs, exact-Jaccard verified at
+    >=0.6, over the corpus plus 25 planted near-duplicates (same text with
+    a 2-token suffix). The oracle replays the identical md5-based pipeline
+    in SQL — signatures match hash-for-hash."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
+    )
+    corpus = d.unionAll(planted)
+    return dedup.minhash_near_dup_pairs(
+        corpus, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_n=3, threshold=0.6,
+    )
+
+
+# ---- blocked exact n-gram Jaccard ----
+
+_NGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(t) - 2, 1))]) AS s
+  FROM toks),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.s, b.s)) /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard_sim
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 100)
+SELECT id_a, id_b, jaccard_sim FROM pairs WHERE jaccard_sim >= 0.2
+"""
+
+
+@query("ngram_jaccard_pairs", _NGRAM_ORACLE)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard over id-distance-blocked pairs — the
+    verification/oracle path for LSH (all-pairs is deliberately not
+    offered; see operators.dedup)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.2, block_width=100
+    )
+
+
+# ---- SimHash fingerprints ----
+
+
+def _simhash_oracle(nibbles: int = 15) -> str:
+    hexs = "0123456789abcdef"
+    nib_exprs = []
+    for p in range(nibbles):
+        bits = []
+        for j in (3, 2, 1, 0):
+            ones = (
+                f"len(list_filter(th, h -> "
+                f"(((strpos('{hexs}', substring(h, {p + 1}, 1)) - 1) >> {j}) & 1) = 1))"
+            )
+            bits.append(f"(CASE WHEN 2 * {ones} > nt THEN 1 ELSE 0 END)")
+        nib = f"({bits[0]}*8 + {bits[1]}*4 + {bits[2]}*2 + {bits[3]})"
+        nib_exprs.append(f"substring('{hexs}', {nib} + 1, 1)")
+    concat = " || ".join(nib_exprs)
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+h AS (
+  SELECT doc_id, [substring(md5(x), 1, {nibbles}) for x in toks] AS th,
+         len(toks) AS nt
+  FROM t)
+SELECT doc_id, {concat} AS simhash FROM h
+"""
+
+
+@query("simhash_fingerprints", _simhash_oracle())
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document as a 15-nibble hex string; md5 bit-table
+    formulation is engine-reproducible (oracle generated from the same
+    loop). JVM higher-order functions only — no shuffle, no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", dedup.simhash_hex("text", nibbles=15).alias("simhash")
+    )
+
+
+# ---- similarity search: brute-force cosine top-k ----
+
+_DIM = 64
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = (
+        f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"for i in generate_series(1, {_DIM})])"
+    )
+    na = (
+        f"sqrt(list_sum([CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE) "
+        f"for i in generate_series(1, {_DIM})]))"
+    )
+    nb = (
+        f"sqrt(list_sum([CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"for i in generate_series(1, {_DIM})]))"
+    )
+    return f"round({dot} / ({na} * {nb}), 6)"
+
+
+_TOPK_SIM_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, {_cosine_sql("qv", "cv")} AS sim
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
+  FROM s)
+SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5
+"""
+
+
+@query("similarity_topk", _TOPK_SIM_ORACLE)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for every 50th vector as query: broadcast
+    queries x one corpus scan, JVM-side double accumulation, window rank
+    over (rounded sim desc, id asc)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = similarity.cosine_topk(
+        emb, queries, k=5, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id",
+    )
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("bigint").alias("rnk")
+    )
+
+
+# ---- embedding near-dup via hyperplane LSH (planted dups) ----
+
+
+def _lsh_bucket_sql(vec: str) -> str:
+    from etl_bigquery_pipeline_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_DIM, bits=4, seed=42)
+    bits = []
+    for plane in planes:
+        arr = "[" + ", ".join(f"{x!r}" for x in plane) + "]"
+        dot = (
+            f"list_sum([CAST({vec}[i] AS DOUBLE) * ({arr})[i] "
+            f"for i in generate_series(1, {_DIM})])"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+_EMB_NEAR_DUP_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_concat([CAST(embedding[1] + 0.01 AS FLOAT)], embedding[2:{_DIM}])
+  FROM embeddings WHERE vec_id < 10),
+b AS (SELECT vec_id, embedding, {_lsh_bucket_sql("embedding")} AS bucket FROM vecs)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+       {_cosine_sql("l.embedding", "r.embedding")} AS cosine_sim
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE {_cosine_sql("l.embedding", "r.embedding")} >= 0.99
+"""
+
+
+@query("embedding_near_dup_pairs", _EMB_NEAR_DUP_ORACLE)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH self-join, over
+    the corpus plus 10 planted near-identical vectors (first component
+    +0.01). Seeded hyperplanes are shipped to the oracle as literals, so
+    bucketing matches bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mutated = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array((F.col("embedding").getItem(0) + F.lit(0.01)).cast("float")),
+            F.slice("embedding", 2, _DIM - 1),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionAll(mutated)
+    return similarity.embedding_near_dup_pairs(
+        corpus, id_col="vec_id", vec_col="embedding",
+        threshold=0.99, dim=_DIM, bits=4, seed=42,
+    )
+
+
+# ---- text analysis ----
+
+_TOKEN_STATS_ORACLE = r"""
+WITH t AS (
+  SELECT lang,
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+         length(text) AS n_chars
+  FROM documents)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       ROUND(AVG(n_tok), 4) AS avg_tokens,
+       ROUND(AVG(n_bpe), 4) AS avg_bpe_tokens,
+       ROUND(AVG(n_chars), 4) AS avg_chars
+FROM t GROUP BY lang
+"""
+
+
+@query("token_stats_by_lang", _TOKEN_STATS_ORACLE)
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) rolled up per language."""
+    d = _t(spark, sf_dir, "documents")
+    stats = d.select(
+        "lang",
+        TX.token_count("text").alias("n_tok"),
+        TX.word_token_count("text").alias("n_bpe"),
+        F.length("text").alias("n_chars"),
+    )
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+_QUALITY_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.4 ELSE 0.0 END AS len_ok,
+         least(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], lower(x))))
+               / greatest(len(toks), 1) * 4.0, 1.0) * 0.4 AS sw,
+         least((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+               / greatest(length(text), 1) * 2.0, 0.2) AS pp
+  FROM t)
+SELECT doc_id, round(len_ok + sw + 0.2 - pp, 4) AS quality FROM s
+"""
+
+
+@query("quality_scores", _QUALITY_ORACLE)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score per document (length band + stopword ratio
+    - punctuation noise), fully SQL-expressible so the oracle replays the
+    identical arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score("text", "en").alias("quality"))
+
+
+_FINGERPRINT_ORACLE = r"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))), ' ')) AS fp
+FROM documents
+"""
+
+
+@query("doc_fingerprints", _FINGERPRINT_ORACLE)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant bag-of-words fingerprint (md5 of sorted distinct
+    lowercase tokens)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+# ---- events: JSON column ops ----
+
+_JSON_ORACLE = """
+WITH e AS (
+  SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       ROUND(AVG(k), 4) AS k_avg,
+       COUNT(*) FILTER (WHERE k IS NULL) AS k_nulls
+FROM e GROUP BY event_type
+"""
+
+
+@query("json_extract_events", _JSON_ORACLE)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column extraction (props is a JSON string column) with
+    coerce-to-null numeric cast, aggregated per event type."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.round(F.avg("k"), 4).alias("k_avg"),
+            F.count_if(F.col("k").isNull()).alias("k_nulls"),
+        )
+    )
+
+
+# ---- events: tumbling / sliding windows ----
+
+_TUMBLING_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum,
+       MIN(value) AS value_min, MAX(value) AS value_max
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("events_tumbling_hourly", _TUMBLING_ORACLE)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window x event_type (batch form; streaming twin in
+    streaming/events.py)."""
+    e = _t(spark, sf_dir, "events")
+    return windows.tumbling_agg(e, ts_col="ts", unit="hour")
+
+
+_SLIDING_ORACLE = """
+WITH w AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value FROM events)
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM w GROUP BY 1, 2
+"""
+
+
+@query("events_sliding_1h_30m", _SLIDING_ORACLE)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h window / 30m slide): every event lands in 2
+    windows; oracle models the same via a 2-way offset union."""
+    e = _t(spark, sf_dir, "events")
+    return windows.sliding_agg(
+        e, ts_col="ts", window="1 hour", slide="30 minutes"
+    )
+
+
+# ---- events: sessionization ----
+
+_SESSION_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
+                 THEN 1 ELSE 0 END AS brk
+  FROM e),
+g AS (
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM f)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM g GROUP BY user_id, session_seq
+"""
+
+
+@query("sessionization", _SESSION_ORACLE)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap) + per-session
+    rollup — the oracle-checked batch twin of the streaming session_window."""
+    e = _t(spark, sf_dir, "events")
+    return sessionize.session_stats(
+        e, user_col="user_id", ts_col="ts", gap_minutes=30,
+        value_col="value", order_cols=("event_id",),
+    )
+
+
+# ---- DQ report as a query ----
+
+_DQ_REPORT_ORACLE = """
+SELECT 'row_count' AS check_name, 'lineitem' AS tbl,
+       CASE WHEN (SELECT COUNT(*) FROM lineitem) >= 1 THEN 'PASS' ELSE 'FAIL' END AS status,
+       'critical' AS severity
+UNION ALL
+SELECT 'null_check', 'lineitem',
+       CASE WHEN (SELECT COUNT(*) FILTER (WHERE l_orderkey IS NULL OR l_quantity IS NULL
+                  OR l_extendedprice IS NULL) FROM lineitem) = 0 THEN 'PASS' ELSE 'FAIL' END,
+       'critical'
+UNION ALL
+SELECT 'range_l_quantity', 'lineitem',
+       CASE WHEN (SELECT MIN(l_quantity) >= 0 FROM lineitem) THEN 'PASS' ELSE 'FAIL' END,
+       'critical'
+UNION ALL
+SELECT 'range_l_discount', 'lineitem',
+       CASE WHEN (SELECT MIN(l_discount) >= 0 AND MAX(l_discount) <= 1 FROM lineitem)
+            THEN 'PASS' ELSE 'FAIL' END,
+       'critical'
+UNION ALL
+SELECT 'dup_l_orderkey_l_linenumber', 'lineitem',
+       CASE WHEN (SELECT COUNT(*) FROM (SELECT 1 AS x FROM lineitem
+                  GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)) = 0
+            THEN 'PASS' ELSE 'FAIL' END,
+       'warning'
+UNION ALL
+SELECT 'ref_integrity_l_partkey', 'lineitem',
+       CASE WHEN (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+                  ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL) = 0
+            THEN 'PASS' ELSE 'FAIL' END,
+       'warning'
+"""
+
+
+@query("dq_report_lineitem", _DQ_REPORT_ORACLE)
+def dq_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DQ framework (B1-B6) run against lineitem: scalar checks
+    fused into one scan, dup-key probe, broadcast-anti-join FK check —
+    emitted as the reference's validation report
+    (/root/reference/dags/etl_pipeline.py:453-469)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    results = dq.TableChecks(
+        table="lineitem",
+        df=li,
+        scalar=[
+            dq.row_count_check(),
+            dq.null_check(["l_orderkey", "l_quantity", "l_extendedprice"]),
+            dq.range_check("l_quantity", min_allowed=0),
+            dq.range_check("l_discount", min_allowed=0, max_allowed=1),
+        ],
+        duplicate_keys=[["l_orderkey", "l_linenumber"]],
+    ).run()
+    results.append(
+        dq.referential_integrity_check(
+            li,
+            part.select(F.col("p_partkey").alias("l_partkey")),
+            "l_partkey",
+            fact_name="lineitem",
+        )
+    )
+    return dq.report_df(spark, results).select(
+        F.col("check").alias("check_name"),
+        F.col("table").alias("tbl"),
+        "status",
+        "severity",
+    )

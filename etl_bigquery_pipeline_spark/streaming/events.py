@@ -1,0 +1,88 @@
+"""Structured Streaming variants of the event analytics.
+
+The reference is batch-only (SURVEY.md §2.8); these are the streaming
+counterparts of operators/windows.py and operators/sessionize.py, same
+aggregate contract, incremental execution. The batch versions are the
+oracle-checked golden semantics; these run the identical aggregates over an
+unbounded source with watermark-bounded state.
+
+Tested via the rate/file sources in tests/test_streaming.py with
+``trigger(availableNow=True)`` so a bounded batch flows through the real
+streaming engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts_stream(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate. State per (window, keys) is
+    dropped once the watermark passes window end — bounded state at any
+    scale; late events beyond the watermark are discarded (the documented
+    late-data policy)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), *keys, "n_events", "value_sum")
+    )
+
+
+def session_stats_stream(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    """Session-window aggregate (native session_window operator): sessions
+    close when no event arrives within ``gap``; watermark bounds state.
+    Batch golden equivalent: operators/sessionize.py session_stats."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            user_col,
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, *, checkpoint: str) -> list:
+    """Drain a bounded stream through the streaming engine into memory and
+    return the rows — the test harness for streaming semantics."""
+    import uuid
+
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}").collect()

@@ -1,0 +1,31 @@
+"""Pre-flight for the driver's t2 gate: every catalog query must match its
+DuckDB oracle at sf0.001 (fast; the driver re-checks at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_bigquery_pipeline_spark.plans import catalog
+from tests.oracle_harness import compare, duckdb_connection
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_connection(SF)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(catalog.ORACLE))
+def test_query_matches_oracle(spark, con, name):
+    df = catalog.QUERIES[name](spark, SF)
+    ok, msg = compare(df, con, catalog.ORACLE[name])
+    assert ok, f"{name}: {msg}"
+
+
+def test_all_queries_have_oracle_or_reason():
+    missing = set(catalog.QUERIES) - set(catalog.ORACLE)
+    # non-SQL-expressible ops may be rows-only; keep the list deliberate
+    assert missing == set(), f"queries without oracle: {missing}"
