@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <dir>}
+
+Each query is executed as the driver would run it (fresh plan, count()
+action to force full execution without driver-side collect of big results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from etl_bigquery_pipeline_spark.plans import catalog
+from etl_bigquery_pipeline_spark.session import get_session
+
+# Headline set: every operator family, weighted toward the scale-sensitive
+# ones (joins, LSH dedup, similarity, windows, sessions).
+BENCH_QUERIES = [
+    "flagship_sales_rollup",
+    "revenue_by_segment",
+    "rollup_region_nation",
+    "window_rank_parts",
+    "orphan_lineitem_part",
+    "dedup_exact_documents",
+    "minhash_near_dup_pairs",
+    "simhash_fingerprints",
+    "ngram_jaccard_pairs",
+    "similarity_topk",
+    "embedding_near_dup_pairs",
+    "token_stats_by_lang",
+    "quality_scores",
+    "events_tumbling_hourly",
+    "events_sliding_1h_30m",
+    "sessionization",
+    "json_extract_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # one warm-up action so JVM/codegen startup doesn't pollute q1
+    catalog.QUERIES["table_row_counts"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = catalog.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -194,24 +194,42 @@ def ngram_jaccard_pairs(
     """Exact word-n-gram Jaccard over *blocked* pairs.
 
     ``block`` is the join predicate that bounds the pair count; default is
-    an id-distance band (|a-b| <= block_width), which is the honest
-    small-data/oracle configuration. At scale you pass a real blocking
-    predicate (same lang + length bucket, or feed candidates from LSH) —
-    unblocked all-pairs is deliberately not offered.
+    an id-distance band (b - a <= block_width). At scale you pass a real
+    blocking predicate (same lang + length bucket, or feed candidates from
+    LSH) — unblocked all-pairs is deliberately not offered.
+
+    Plan note: a bare non-equi predicate would plan as a nested-loop join
+    (O(n²) evaluations — minutes at 5k docs, impossible at scale). The
+    default id-distance block therefore joins on an *equi* bucket key
+    (width = block_width; the right side lands in its own bucket and the
+    previous one) and applies the exact predicate as a post-filter — a
+    hash join touching only ~2×n×width/width candidate rows.
     """
     sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("__sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
-    pred = F.col("id_a") < F.col("id_b")
-    if block is None:
-        block = (F.col("id_b") - F.col("id_a")) <= block_width
-    return (
-        a.join(b, pred & block)
-        .select(
-            "id_a",
-            "id_b",
-            F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6).alias("jaccard_sim"),
+    sim = F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6).alias(
+        "jaccard_sim"
+    )
+    if block is not None:
+        joined = a.join(b, (F.col("id_a") < F.col("id_b")) & block)
+    else:
+        a_k = a.withColumn("__bk", F.floor(F.col("id_a") / block_width))
+        b_k = b.withColumn(
+            "__bk",
+            F.explode(
+                F.array(
+                    F.floor(F.col("id_b") / block_width),
+                    F.floor(F.col("id_b") / block_width) - 1,
+                )
+            ),
         )
+        joined = a_k.join(b_k, "__bk").filter(
+            (F.col("id_a") < F.col("id_b"))
+            & ((F.col("id_b") - F.col("id_a")) <= block_width)
+        )
+    return (
+        joined.select("id_a", "id_b", sim)
         .filter(F.col("jaccard_sim") >= threshold)
     )
 
@@ -226,36 +244,44 @@ def simhash_hex(text_col: Column | str, *, nibbles: int = 15) -> Column:
 
     Per token: md5 -> first ``nibbles`` hex chars = 4*nibbles bits. Each bit
     contributes +1/-1 to its position's counter; the fingerprint bit is 1
-    iff the counter is positive. String/bit-table formulation (no hex->int
-    casts) keeps it exactly reproducible in any engine with md5+substring.
-    JVM-only higher-order functions: no shuffle, no UDF.
+    iff the counter is positive. String/bit-table formulation (no
+    engine-specific hex->int casts) keeps it exactly reproducible in any
+    engine with md5+substring. JVM-only higher-order functions: no shuffle,
+    no UDF.
+
+    Single-pass: each token's md5 expands to its bit array once, and ONE
+    aggregate zip-sums them into 4*nibbles counters. (A per-bit aggregate
+    formulation rescans the token array 4*nibbles times — quadratic blowup
+    in both plan size and runtime.)
     """
+    nbits = nibbles * 4
     toks = tokens(text_col)
-    tok_hashes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, nibbles))
+
+    def bits_of(h: Column) -> Column:
+        out = []
+        for p in range(nibbles):
+            val = F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int")
+            for j in (3, 2, 1, 0):  # msb->lsb within the nibble
+                out.append(F.shiftright(val, j) % 2)
+        return F.array(*out)
+
+    tok_bits = F.transform(
+        toks, lambda t: bits_of(F.substring(F.md5(t), 1, nibbles))
+    )
+    counters = F.aggregate(
+        tok_bits,
+        F.array_repeat(F.lit(0), nbits),
+        lambda acc, tb: F.zip_with(acc, tb, lambda x, y: x + y),
+    )
     n_toks = F.size(toks)
 
-    def nibble_char(pos: int) -> Column:
-        # counters for the 4 bits of this nibble position
-        ch = lambda h: F.substring(h, pos + 1, 1)  # noqa: E731
-        # hex char -> 0..15 (conv accepts lambda-variable Columns; instr
-        # does not)
-        val = lambda h: F.conv(ch(h), 16, 10).cast("int")  # noqa: E731
-        def bit_counter(j: int) -> Column:
-            # binary lambda only: pyspark derives lambda-variable count
-            # from the Python signature, so `j` must close over, not
-            # default-arg
-            return F.aggregate(
-                tok_hashes,
-                F.lit(0),
-                lambda acc, h: acc + F.shiftright(val(h), j) % 2,
-            )
+    def nibble_char(p: int) -> Column:
+        # bit set iff ones > zeros  <=>  2*ones > n_tokens
+        def bit(k: int) -> Column:
+            ones = F.element_at(counters, p * 4 + k + 1)
+            return F.when(ones * 2 > n_toks, F.lit(1)).otherwise(F.lit(0))
 
-        bits = []
-        for j in (3, 2, 1, 0):  # msb->lsb within the nibble
-            ones = bit_counter(j)
-            # bit set iff ones > zeros  <=>  2*ones > n_tokens
-            bits.append(F.when(ones * 2 > n_toks, F.lit(1)).otherwise(F.lit(0)))
-        nib = bits[0] * 8 + bits[1] * 4 + bits[2] * 2 + bits[3]
+        nib = bit(0) * 8 + bit(1) * 4 + bit(2) * 2 + bit(3)
         return F.substring(F.lit(_HEX), nib + 1, 1)
 
     return F.concat(*[nibble_char(p) for p in range(nibbles)])
