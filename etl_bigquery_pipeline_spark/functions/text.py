@@ -105,10 +105,16 @@ def lang_guess(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     toks = F.transform(tokens(c), F.lower)
+
+    def marker_hits(lang: str):
+        # closure, not default-arg: pyspark maps every Python lambda
+        # parameter to a lambda variable
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
     best = None
     for lang in sorted(STOPWORDS):
-        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        score = F.size(F.filter(toks, lambda t, sw=sw: F.array_contains(sw, t)))
+        score = marker_hits(lang)
         entry = F.struct(score.alias("score"), F.lit(lang).alias("lang"))
         if best is None:
             best = entry

@@ -239,21 +239,9 @@ def ngram_jaccard_pairs(
 _HEX = "0123456789abcdef"
 
 
-def simhash_hex(text_col: Column | str, *, nibbles: int = 15) -> Column:
-    """SimHash fingerprint as a ``nibbles``-long lowercase hex string.
-
-    Per token: md5 -> first ``nibbles`` hex chars = 4*nibbles bits. Each bit
-    contributes +1/-1 to its position's counter; the fingerprint bit is 1
-    iff the counter is positive. String/bit-table formulation (no
-    engine-specific hex->int casts) keeps it exactly reproducible in any
-    engine with md5+substring. JVM-only higher-order functions: no shuffle,
-    no UDF.
-
-    Single-pass: each token's md5 expands to its bit array once, and ONE
-    aggregate zip-sums them into 4*nibbles counters. (A per-bit aggregate
-    formulation rescans the token array 4*nibbles times — quadratic blowup
-    in both plan size and runtime.)
-    """
+def _simhash_counters(text_col: Column | str, nibbles: int) -> Column:
+    """4*nibbles bit counters: ONE aggregate pass zip-summing per-token bit
+    arrays (md5 evaluated once per token)."""
     nbits = nibbles * 4
     toks = tokens(text_col)
 
@@ -268,12 +256,18 @@ def simhash_hex(text_col: Column | str, *, nibbles: int = 15) -> Column:
     tok_bits = F.transform(
         toks, lambda t: bits_of(F.substring(F.md5(t), 1, nibbles))
     )
-    counters = F.aggregate(
+    return F.aggregate(
         tok_bits,
         F.array_repeat(F.lit(0), nbits),
         lambda acc, tb: F.zip_with(acc, tb, lambda x, y: x + y),
     )
-    n_toks = F.size(toks)
+
+
+def _counters_to_hex(counters: Column, n_toks: Column, nibbles: int) -> Column:
+    """Fingerprint hex string from the counters array. ``counters`` should
+    be a plain column attribute, not an inline expression: this references
+    it 4*nibbles times, which would otherwise clone the whole aggregate
+    subtree and blow up analysis/codegen time."""
 
     def nibble_char(p: int) -> Column:
         # bit set iff ones > zeros  <=>  2*ones > n_tokens
@@ -285,6 +279,54 @@ def simhash_hex(text_col: Column | str, *, nibbles: int = 15) -> Column:
         return F.substring(F.lit(_HEX), nib + 1, 1)
 
     return F.concat(*[nibble_char(p) for p in range(nibbles)])
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str = "simhash",
+    nibbles: int = 15,
+) -> DataFrame:
+    """Append a SimHash fingerprint column (``nibbles``-long lowercase hex).
+
+    Per token: md5 -> first ``nibbles`` hex chars = 4*nibbles bits; each bit
+    votes +1/-1 on its counter; fingerprint bit = sign. md5/substring
+    formulation is engine-reproducible; JVM higher-order functions only —
+    no shuffle, no UDF.
+
+    The counters land in an intermediate projection on purpose: the hex
+    construction references them 4*nibbles times, and keeping them as a
+    column attribute stops Catalyst from inlining 60 copies of the
+    aggregate (which took analysis+codegen from seconds to minutes).
+    """
+    tmp_c, tmp_n = f"__{out_col}_counters", f"__{out_col}_ntoks"
+    return (
+        df.withColumns(
+            {
+                tmp_c: _simhash_counters(text_col, nibbles),
+                tmp_n: F.size(tokens(text_col)),
+            }
+        )
+        .withColumn(
+            out_col, _counters_to_hex(F.col(tmp_c), F.col(tmp_n), nibbles)
+        )
+        .drop(tmp_c, tmp_n)
+    )
+
+
+def simhash_hex(text_col: Column | str, *, nibbles: int = 15) -> Column:
+    """Column-expression form of the SimHash fingerprint.
+
+    Fine for a single projection (one reference); for any plan that reuses
+    the fingerprint (banding, joins) use ``with_simhash`` instead — see its
+    docstring for the expression-duplication hazard.
+    """
+    return _counters_to_hex(
+        _simhash_counters(text_col, nibbles),
+        F.size(tokens(text_col)),
+        nibbles,
+    )
 
 
 def simhash_hamming(a: Column, b: Column, *, nibbles: int = 15) -> Column:
@@ -315,7 +357,12 @@ def simhash_near_dup_pairs(
     pairs within ~(bands-1) nibble corruptions; candidates join on a short
     string key, so the plan scales like MinHash-LSH.
     """
-    sh = df.select(F.col(id_col), simhash_hex(text_col, nibbles=nibbles).alias("__sh"))
+    sh = with_simhash(
+        df.select(F.col(id_col), F.col(text_col)),
+        text_col,
+        out_col="__sh",
+        nibbles=nibbles,
+    ).select(id_col, "__sh")
     n_bands = nibbles // band_nibbles
     band_arr = F.array(
         *[

@@ -698,9 +698,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation is engine-reproducible (oracle generated from the same
     loop). JVM higher-order functions only — no shuffle, no UDF."""
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", dedup.simhash_hex("text", nibbles=15).alias("simhash")
-    )
+    return dedup.with_simhash(d, "text", nibbles=15).select("doc_id", "simhash")
 
 
 # ---- similarity search: brute-force cosine top-k ----

@@ -1,0 +1,98 @@
+"""DQ framework: each check must CATCH its seeded violation (SURVEY.md §5
+— the reference tests data, not code; we test that the tester works)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_bigquery_pipeline_spark.plans import dq
+
+
+def test_scalar_checks_fuse_into_one_pass(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "id int, amount double"
+    )
+    checks = dq.TableChecks(
+        table="t",
+        df=df,
+        scalar=[
+            dq.row_count_check(),
+            dq.null_check(["amount"]),
+            dq.range_check("amount", min_allowed=0.0),
+        ],
+    )
+    results = {r.check: r for r in checks.run()}
+    assert results["row_count"].passed
+    assert not results["null_check"].passed
+    assert results["null_check"].observed == 1
+    assert not results["range_amount"].passed  # min is -5
+
+
+def test_null_check_names_offending_columns(spark):
+    df = spark.createDataFrame([(None, "x"), (1, None)], "a int, b string")
+    res = dq.TableChecks(
+        table="t", df=df, scalar=[dq.null_check(["a", "b"])]
+    ).run()[0]
+    assert "'a': 1" in res.detail and "'b': 1" in res.detail
+
+
+def test_strict_min_boundary(spark):
+    df = spark.createDataFrame([(0.0,), (5.0,)], "price double")
+    strict = dq.TableChecks(
+        table="t",
+        df=df,
+        scalar=[dq.range_check("price", min_allowed=0.0, strict_min=True)],
+    ).run()[0]
+    loose = dq.TableChecks(
+        table="t",
+        df=df,
+        scalar=[dq.range_check("price", min_allowed=0.0)],
+    ).run()[0]
+    assert not strict.passed  # 0 not allowed when strictly positive
+    assert loose.passed
+
+
+def test_duplicate_key_check_counts_groups_not_rows(spark):
+    """SURVEY.md §7.5: D2 counts duplicate *groups* (3 rows of one key =
+    1 group)."""
+    df = spark.createDataFrame(
+        [("k1", 1), ("k1", 2), ("k1", 3), ("k2", 4)], "k string, v int"
+    )
+    res = dq.TableChecks(table="t", df=df, duplicate_keys=[["k"]]).run()[0]
+    assert not res.passed
+    assert res.observed == 1
+
+
+def test_referential_integrity_counts_orphan_rows(spark):
+    fact = spark.createDataFrame(
+        [("p1",), ("p1",), ("p404",), ("p405",)], "product_id string"
+    )
+    dim = spark.createDataFrame([("p1",)], "product_id string")
+    res = dq.referential_integrity_check(fact, dim, "product_id")
+    assert not res.passed
+    assert res.observed == 2  # orphan ROWS (p404, p405)
+
+
+def test_parity_check(spark):
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+    ok = dq.TableChecks(table="t", df=df, scalar=[dq.parity_check(2)]).run()[0]
+    bad = dq.TableChecks(table="t", df=df, scalar=[dq.parity_check(3)]).run()[0]
+    assert ok.passed and not bad.passed
+
+
+def test_enforce_raises_only_on_critical(spark):
+    warn = dq.CheckResult("c1", "t", False, dq.Severity.WARNING, 1, "warn")
+    dq.enforce([warn])  # no raise
+    crit = dq.CheckResult("c2", "t", False, dq.Severity.CRITICAL, 1, "crit")
+    try:
+        dq.enforce([warn, crit])
+        raise AssertionError("should have raised")
+    except dq.CriticalDQFailure as e:
+        assert "c2" in str(e)
+
+
+def test_report_df_schema(spark):
+    rows = [dq.CheckResult("c", "t", True, dq.Severity.CRITICAL, 0, "d")]
+    rep = dq.report_df(spark, rows)
+    assert rep.columns == ["check", "table", "status", "severity", "observed", "detail"]
+    assert rep.first().status == "PASS"

@@ -1,0 +1,79 @@
+"""Multimodal binary-column plumbing: real header parsing, Arrow-batched
+mapInPandas contracts, payload-aware repartitioning. Pixel decode itself is
+a documented stub (no codec libs in this environment)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from etl_bigquery_pipeline_spark.multimodal import binary_ops
+
+
+def _png(w: int, h: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + b"\x00\x00\x00\rIHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x06\x00\x00\x00"
+    )
+
+
+def _gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 4
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    # SOI + APP0 stub + SOF0 with dims
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 9) + b"\x08" + struct.pack(">HH", h, w) + b"\x01"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_header_parsing_pure():
+    assert binary_ops.parse_image_header(_png(640, 480))[:3] == ("png", 640, 480)
+    assert binary_ops.parse_image_header(_gif(10, 20))[:3] == ("gif", 10, 20)
+    assert binary_ops.parse_image_header(_jpeg(800, 600))[:3] == ("jpeg", 800, 600)
+    assert binary_ops.parse_image_header(b"garbage")[0] == "unknown"
+    assert binary_ops.parse_image_header(None) == (None, None, None, 0)
+
+
+def test_with_image_meta_mapinpandas(spark):
+    rows = [
+        (1, _png(640, 480)),
+        (2, _jpeg(320, 240)),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r.id: r.meta for r in binary_ops.with_image_meta(df).collect()}
+    assert out[1]["format"] == "png" and out[1]["width"] == 640
+    assert out[2]["format"] == "jpeg" and out[2]["height"] == 240
+    assert out[3]["format"] is None and out[3]["n_bytes"] == 0
+
+
+def test_extract_features_contract(spark):
+    df = spark.createDataFrame(
+        [(1, b"hello world"), (2, b"hello world"), (3, b"different")],
+        "id long, payload binary",
+    )
+    feats = {r.id: r.feature for r in binary_ops.extract_features(df, dim=8).collect()}
+    assert len(feats[1]) == 8
+    assert feats[1] == feats[2]  # deterministic
+    assert feats[1] != feats[3]
+    assert all(0.0 <= v <= 1.0 for v in feats[1])
+
+
+def test_decode_image_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        binary_ops.decode_image(b"\x89PNG")
+
+
+def test_repartition_for_payload(spark):
+    df = spark.createDataFrame(
+        [(i, bytes(1024)) for i in range(100)], "id long, payload binary"
+    ).withColumn("n_bytes", binary_ops.F.length("payload").cast("long"))
+    out = binary_ops.repartition_for_payload(
+        df, size_col_bytes="n_bytes", target_partition_mb=1
+    )
+    assert out.rdd.getNumPartitions() == 1  # 100KB << 1MB -> single partition

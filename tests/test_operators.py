@@ -1,0 +1,179 @@
+"""Operator unit tests: schema ops, coercion, dedup family behavior on
+constructed fixtures (planted dups the synthetic corpus lacks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_bigquery_pipeline_spark.functions import coercion
+from etl_bigquery_pipeline_spark.functions.text import (
+    lang_guess,
+    quality_score,
+    shingles,
+    tokens,
+)
+from etl_bigquery_pipeline_spark.operators import dedup, schema_ops
+
+
+# ------------------------------------------------------------ schema ----
+
+
+def test_looks_packed_sniffs_sample_only(spark):
+    packed = spark.createDataFrame([("a,b,c",), ("d,e,f",)], ["col0"])
+    plain = spark.createDataFrame([("abc",), ("def",)], ["col0"])
+    assert schema_ops.looks_packed(packed)
+    assert not schema_ops.looks_packed(plain)
+
+
+def test_impose_schema_splits_or_renames(spark):
+    names = ["a", "b", "c"]
+    packed = spark.createDataFrame([("1,2,3",)], ["blob"])
+    out = schema_ops.impose_schema(packed, names)
+    assert out.columns == names
+    assert out.first().asDict() == {"a": "1", "b": "2", "c": "3"}
+
+    wide = spark.createDataFrame([(1, 2, 3)], ["x", "y", "z"])
+    out2 = schema_ops.impose_schema(wide, names)
+    assert out2.columns == names
+
+
+def test_rename_keeps_extra_columns(spark):
+    df = spark.createDataFrame([(1, 2, 3)], ["x", "y", "extra"])
+    out = schema_ops.rename_positional(df, ["a", "b"])
+    assert out.columns == ["a", "b", "extra"]
+
+
+# ---------------------------------------------------------- coercion ----
+
+
+def test_coercion_invalid_to_null(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01", "42", "3.5"), ("garbage", "x", "y")],
+        ["d", "i", "f"],
+    )
+    out = df.select(
+        coercion.to_timestamp_or_null("d").alias("d"),
+        coercion.to_long_or_null("i").alias("i"),
+        coercion.to_double_or_null("f").alias("f"),
+    ).collect()
+    assert out[0].i == 42 and out[0].f == 3.5 and out[0].d is not None
+    assert out[1].d is None and out[1].i is None and out[1].f is None
+
+
+def test_long_coercion_truncates_like_pandas(spark):
+    """pd.to_numeric('3.7').astype(int64) truncates -> 3."""
+    df = spark.createDataFrame([("3.7",)], ["v"])
+    assert df.select(coercion.to_long_or_null("v").alias("v")).first().v == 3
+
+
+# ------------------------------------------------------------- dedup ----
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the  quick   brown fox jumps over the lazy dog"),  # ws-variant
+        (4, "the quick brown fox jumps over the lazy cat today"),  # near-dup
+        (5, "completely different content about spark engines here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_is_whitespace_insensitive(spark):
+    out = dedup.dedup_exact_text(_docs(spark), "doc_id", "text")
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [1, 4, 5]  # 2 and 3 collapse into 1
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    pairs = dedup.minhash_near_dup_pairs(
+        _docs(spark), "doc_id", "text", threshold=0.3
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found and (1, 3) in found  # exact dups always pair
+    assert (1, 4) in found  # the near-dup
+    assert not any(5 in p for p in found)  # unrelated doc never pairs
+
+
+def test_minhash_respects_threshold(spark):
+    pairs = dedup.minhash_near_dup_pairs(
+        _docs(spark), "doc_id", "text", threshold=0.999
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 4) not in found  # near-dup below exact-match threshold
+    assert (1, 2) in found
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.0, block_width=10
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 0.0
+
+
+def test_simhash_near_dup_hamming(spark):
+    # nibbles=8 keeps the (deliberately large) simhash expression tree
+    # small enough for fast test planning; production uses 15
+    pairs = dedup.simhash_near_dup_pairs(
+        _docs(spark), "doc_id", "text", max_hamming=8, nibbles=8
+    ).collect()
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert found.get((1, 2)) == 0  # identical docs -> identical simhash
+    assert found.get((1, 3)) == 0  # whitespace-insensitive
+
+    # banded LSH guarantees recall only near distance 0; the distance
+    # function itself must still separate near-dup from unrelated:
+    sh = dedup.with_simhash(_docs(spark), "text", nibbles=8).select(
+        "doc_id", F.col("simhash").alias("h")
+    )
+    hx = {r.doc_id: r.h for r in sh.collect()}
+
+    def ham(a: str, b: str) -> int:
+        return sum(bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(a, b))
+
+    near, far = ham(hx[1], hx[4]), ham(hx[1], hx[5])
+    assert 0 < near < far
+
+
+# ----------------------------------------------------------- text fns ----
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([(" a  b c d ",)], ["t"])
+    row = df.select(
+        tokens("t").alias("toks"), shingles("t", 2).alias("sh")
+    ).first()
+    assert row.toks == ["a", "b", "c", "d"]
+    assert row.sh == ["a b", "b c", "c d"]
+
+
+def test_lang_guess_picks_marker_language(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of the house",),
+            ("el gato y la casa de que si",),
+            ("der hund und die katze das haus",),
+        ],
+        ["t"],
+    )
+    out = [r.g for r in df.select(lang_guess("t").alias("g")).collect()]
+    assert out == ["en", "es", "de"]
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox of the meadow and a stream to behold",),
+         ("x",)],
+        ["t"],
+    )
+    scores = [r.q for r in df.select(quality_score("t").alias("q")).collect()]
+    assert 0.0 <= scores[1] < scores[0] <= 1.0

@@ -1,0 +1,131 @@
+"""Reference-parity pipeline tests with dirty fixtures (SURVEY.md §5):
+every transform path the reference exercises — packed columns, unparseable
+dates/numbers, nulls, exact dups, orphan keys, negative amounts,
+non-positive prices — with hand-computed expected outputs."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_bigquery_pipeline_spark.plans import dq
+from etl_bigquery_pipeline_spark.plans.pipeline import (
+    run_pipeline,
+    transform_products,
+    transform_sales,
+)
+from etl_bigquery_pipeline_spark.sources.sinks import ParquetWarehouse
+
+CLEAN_SALES = [
+    # date, store_id, product_id, units_sold, sales_amount
+    ("2024-01-01", "s1", "p1", "3", "30.0"),
+    ("2024-01-02", "s1", "p2", "1", "15.5"),
+    ("2024-01-03", "s2", "p1", "2", "20.0"),
+]
+DIRTY_SALES = CLEAN_SALES + [
+    ("not-a-date", "s1", "p1", "2", "20.0"),  # unparseable date -> dropped
+    ("2024-01-04", "s2", "p2", "abc", "10.0"),  # unparseable units -> dropped
+    ("2024-01-05", "s3", "p9", "1", "xyz"),  # unparseable amount -> dropped
+]
+SALES_COLS = ["date", "store_id", "product_id", "units_sold", "sales_amount"]
+
+
+def sales_df(spark, rows=None):
+    return spark.createDataFrame(rows or DIRTY_SALES, SALES_COLS)
+
+
+def packed_sales_df(spark):
+    packed = [",".join(r) for r in DIRTY_SALES]
+    return spark.createDataFrame([(p,) for p in packed], ["blob"])
+
+
+def products_df(spark):
+    rows = [
+        ("p1", "Widget", "10.0"),
+        ("p2", "Gadget", "15.5"),
+        ("p2", "Gadget", "15.5"),  # exact dup -> dropped
+        ("p3", None, "12.0"),  # null name -> dropped
+        ("p4", "Sprocket", "oops"),  # unparseable price -> dropped
+    ]
+    return spark.createDataFrame(rows, ["product_id", "product_name", "price"])
+
+
+def test_transform_sales_drops_unparseable_rows(spark):
+    out = transform_sales(sales_df(spark))
+    assert out.count() == 3
+    types = dict(out.dtypes)
+    assert types["date"] == "timestamp"
+    assert types["units_sold"] == "bigint"
+    assert types["sales_amount"] == "double"
+
+
+def test_transform_sales_handles_packed_column(spark):
+    """The reference's comma-packed single-column repair
+    (/root/reference/dags/etl_pipeline.py:121-129)."""
+    out = transform_sales(packed_sales_df(spark))
+    assert out.columns == SALES_COLS
+    assert out.count() == 3
+
+
+def test_transform_products_dedups_and_cleans(spark):
+    out = transform_products(products_df(spark))
+    rows = {r.product_id: r for r in out.collect()}
+    assert set(rows) == {"p1", "p2"}
+    assert rows["p2"].price == 15.5
+
+
+def test_pipeline_end_to_end_passes_on_clean_data(spark, tmp_path):
+    result = run_pipeline(
+        spark,
+        sales_df(spark),
+        products_df(spark),
+        ParquetWarehouse(str(tmp_path)),
+    )
+    assert result.sales_rows == 3
+    assert result.product_rows == 2
+    by_check = {
+        (r.table, r.check): r for r in result.dq_results
+    }
+    assert all(r.passed for r in result.dq_results), [
+        (k, v.detail) for k, v in by_check.items() if not v.passed
+    ]
+    # report is queryable
+    assert result.report.filter("status = 'FAIL'").count() == 0
+
+
+def test_pipeline_fails_on_negative_amounts(spark, tmp_path):
+    bad = CLEAN_SALES + [("2024-01-06", "s1", "p1", "5", "-4.0")]
+    with pytest.raises(dq.CriticalDQFailure) as exc:
+        run_pipeline(
+            spark,
+            sales_df(spark, bad),
+            products_df(spark),
+            ParquetWarehouse(str(tmp_path)),
+        )
+    assert "range_sales_amount" in str(exc.value)
+
+
+def test_pipeline_flags_orphan_products_as_warning(spark, tmp_path):
+    orphan = CLEAN_SALES + [("2024-01-07", "s1", "p404", "1", "5.0")]
+    result = run_pipeline(
+        spark,
+        sales_df(spark, orphan),
+        products_df(spark),
+        ParquetWarehouse(str(tmp_path)),
+    )
+    ref = [r for r in result.dq_results if r.check.startswith("ref_integrity")][0]
+    assert not ref.passed and ref.observed == 1
+    assert ref.severity == dq.Severity.WARNING  # orphans warn, don't fail
+
+
+def test_non_positive_price_is_critical(spark, tmp_path):
+    """B3: price must be STRICTLY positive (reference uses <=,
+    /root/reference/dags/etl_pipeline.py:445-449)."""
+    products = spark.createDataFrame(
+        [("p1", "Widget", "10.0"), ("p2", "Freebie", "0.0")],
+        ["product_id", "product_name", "price"],
+    )
+    with pytest.raises(dq.CriticalDQFailure) as exc:
+        run_pipeline(
+            spark, sales_df(spark), products, ParquetWarehouse(str(tmp_path))
+        )
+    assert "range_price" in str(exc.value)

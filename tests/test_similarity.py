@@ -1,0 +1,56 @@
+"""Similarity search: exact top-k ground truth + LSH recall/containment."""
+
+from __future__ import annotations
+
+import math
+
+from etl_bigquery_pipeline_spark.operators import similarity
+
+
+def _vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),   # close to 1
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 1
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [1.0, 0.01, 0.0, 0.0]),  # near-identical to 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact_ranking(spark):
+    df = _vecs(spark)
+    out = similarity.cosine_topk(
+        df, df.filter("vec_id = 1"), k=2, id_col="vec_id"
+    ).collect()
+    ranked = [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [(5, 1), (2, 2)]
+    sims = {r.neighbor_id: r.sim for r in out}
+    assert math.isclose(sims[5], 1 / math.sqrt(1 + 0.01**2), rel_tol=1e-4)
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    """LSH candidates are a subset of the corpus; every returned neighbor's
+    sim must equal the exact computation (no approximation in scoring,
+    only in candidate generation)."""
+    df = _vecs(spark)
+    q = df.filter("vec_id = 1")
+    exact = {
+        r.neighbor_id: r.sim
+        for r in similarity.cosine_topk(df, q, k=4, id_col="vec_id").collect()
+    }
+    approx = similarity.lsh_cosine_topk(
+        df, q, k=4, id_col="vec_id", dim=4, bits=2
+    ).collect()
+    for r in approx:
+        assert r.sim == exact[r.neighbor_id]
+
+
+def test_embedding_near_dup_finds_planted_pair(spark):
+    df = _vecs(spark)
+    pairs = similarity.embedding_near_dup_pairs(
+        df, id_col="vec_id", threshold=0.99, dim=4, bits=2
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 5) in found
+    assert (1, 3) not in found  # orthogonal never passes threshold
