@@ -1059,3 +1059,426 @@ def dq_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         "severity",
     )
+
+
+# ===================================================================
+# Tier 1.6 — further relational breadth (set ops, cube, windows,
+# pivot/unpivot, semi joins, scalar subqueries)
+# ===================================================================
+
+_INTERSECT_ORACLE = """
+SELECT
+  (SELECT COUNT(*) FROM ((SELECT DISTINCT c_nationkey FROM customer)
+                         INTERSECT
+                         (SELECT DISTINCT s_nationkey FROM supplier))) AS nations_both,
+  (SELECT COUNT(*) FROM ((SELECT DISTINCT c_nationkey FROM customer)
+                         UNION
+                         (SELECT DISTINCT s_nationkey FROM supplier))) AS nations_either
+"""
+
+
+@query("set_intersect_union_nations", _INTERSECT_ORACLE)
+def set_intersect_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: INTERSECT / UNION (distinct) over nation keys."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    )
+    both = c.intersect(s).agg(F.count(F.lit(1)).alias("nations_both"))
+    either = c.union(s).distinct().agg(
+        F.count(F.lit(1)).alias("nations_either")
+    )
+    return both.crossJoin(either)
+
+
+_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("cube_orders", _CUBE_ORACLE)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate: all 4 grouping-set combinations in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum("o_totalprice").alias("total"),
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("grouping_sets_orders", _GROUPING_SETS_SQL)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (identical SQL runs on both engines)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_SEMI_ORACLE = """
+SELECT COUNT(*) AS n_customers_with_orders
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+@query("semi_join_customers", _SEMI_ORACLE)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS/IN): the complement of the orphan anti-join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.join(o, "c_custkey", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_customers_with_orders")
+    )
+
+
+_SCALAR_SUBQ_ORACLE = """
+SELECT COUNT(*) AS n_above_avg
+FROM orders WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+"""
+
+
+@query("scalar_subquery_filter", _SCALAR_SUBQ_ORACLE)
+def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery predicate: orders above the mean price."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SCALAR_SUBQ_ORACLE)
+
+
+_LAG_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       LAG(o_totalprice)  OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("window_lag_running_orders", _LAG_ORACLE)
+def window_lag_running_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + running (exact decimal) sum per customer order history."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT user_id % 10 AS user_bucket,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+FROM events GROUP BY 1
+"""
+
+
+@query("pivot_event_counts", _PIVOT_ORACLE)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: event-type counts per user bucket (explicit value list keeps
+    the plan one-pass; Spark otherwise scans once to discover values)."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves null for empty cells; the oracle FILTER yields 0
+    return out.na.fill(0, ["click", "view", "purchase", "signup", "error"])
+
+
+_UNPIVOT_ORACLE = """
+SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+"""
+
+
+@query("unpivot_part_measures", _UNPIVOT_ORACLE)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide measures to long (id, measure, val) form."""
+    p = _t(spark, sf_dir, "part").withColumn(
+        "p_size_d", F.col("p_size").cast("double")
+    )
+    out = p.unpivot(
+        ["p_partkey"],
+        ["p_size_d", "p_retailprice"],
+        "measure",
+        "val",
+    )
+    return out.withColumn(
+        "measure",
+        F.when(F.col("measure") == "p_size_d", F.lit("p_size")).otherwise(
+            F.col("measure")
+        ),
+    )
+
+
+# ---- as-of (point-in-time) join & range join over events ----
+
+_ASOF_ORACLE = """
+WITH se AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'signup' THEN ts END AS sig_ts
+  FROM events WHERE event_type IN ('signup', 'error')),
+w AS (
+  SELECT *, MAX(sig_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS last_signup_ts
+  FROM se)
+SELECT event_id, user_id, ts, last_signup_ts
+FROM w WHERE event_type = 'error'
+"""
+
+
+@query("asof_join_error_signup", _ASOF_ORACLE)
+def asof_join_error_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): for each error event, the most
+    recent signup of the same user at-or-before it. Union-the-streams +
+    running MAX over (ts, id) — one shuffle on user_id, linear scan; the
+    scalable point-in-time-join formulation (no per-row range probe)."""
+    e = _t(spark, sf_dir, "events")
+    se = e.filter(F.col("event_type").isin("signup", "error")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("sig_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        se.withColumn("last_signup_ts", F.max("sig_ts").over(w))
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts", "last_signup_ts")
+    )
+
+
+_RANGE_JOIN_ORACLE = """
+WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup')
+SELECT s.event_id, s.user_id,
+       COUNT(e.event_id) AS n_following_events
+FROM s LEFT JOIN events e
+  ON e.user_id = s.user_id
+ AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL '1 hour'
+GROUP BY s.event_id, s.user_id
+"""
+
+
+@query("range_join_signup_followups", _RANGE_JOIN_ORACLE)
+def range_join_signup_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events within 1h after each signup, per user.
+    Planned as an equi hash join on user_id with the time band as residual
+    filter — never a nested-loop over time."""
+    e = _t(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("s_event_id"),
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .alias("s")
+    )
+    r = e.select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    ).alias("r")
+    joined = s.join(
+        r,
+        (F.col("r.r_user_id") == F.col("s.s_user_id"))
+        & (F.col("r.r_ts") > F.col("s.s_ts"))
+        & (F.col("r.r_ts") <= F.col("s.s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return (
+        joined.groupBy("s_event_id", "s_user_id")
+        .agg(F.count(F.col("r.r_event_id")).alias("n_following_events"))
+        .select(
+            F.col("s_event_id").alias("event_id"),
+            F.col("s_user_id").alias("user_id"),
+            "n_following_events",
+        )
+    )
+
+
+# ---- scalar-function breadth (string / date / math) ----
+
+_STRING_FN_ORACLE = """
+SELECT p_partkey,
+       upper(p_name)                         AS up,
+       lower(p_brand)                        AS lo,
+       substring(p_name, 1, 5)               AS sub5,
+       replace(p_name, ' ', '_')             AS underscored,
+       lpad(p_brand, 12, '*')                AS padded,
+       CAST(length(p_name) AS BIGINT)        AS name_len,
+       reverse(p_type)                       AS rev,
+       concat_ws('/', p_brand, p_type)       AS joined,
+       CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS has_a,
+       split_part(p_type, ' ', 1)            AS first_word
+FROM part
+"""
+
+
+@query("string_functions_part", _STRING_FN_ORACLE)
+def string_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function surface (P2/P3 family + the common library)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.substring("p_name", 1, 5).alias("sub5"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("underscored"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.reverse("p_type").alias("rev"),
+        F.concat_ws("/", "p_brand", "p_type").alias("joined"),
+        F.when(F.col("p_name").like("%a%"), F.lit(1)).otherwise(F.lit(0)).alias("has_a"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("first_word"),
+    )
+
+
+_DATE_FN_ORACLE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT)    AS yr,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(month(o_orderdate) AS BIGINT)   AS mo,
+       CAST(day(o_orderdate) AS BIGINT)     AS dom,
+       CAST(o_orderdate + INTERVAL '30 days' AS DATE) AS plus30,
+       last_day(CAST(o_orderdate AS DATE))  AS month_end,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
+FROM orders
+"""
+
+
+@query("date_functions_orders", _DATE_FN_ORACLE)
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar-function surface (P5 family + arithmetic)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus30"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(
+            F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("bigint").alias("days_to_98"),
+    )
+
+
+_MATH_FN_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - 50000.0)         AS dev,
+       CAST(ceil(l_quantity) AS BIGINT)       AS qty_ceil,
+       CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct,
+       round(sqrt(l_extendedprice), 6)        AS price_sqrt,
+       round(ln(l_extendedprice), 6)          AS price_ln,
+       round(pow(l_discount, 2), 6)           AS disc_sq,
+       CAST(sign(l_extendedprice - 50000.0) AS BIGINT) AS above_mid,
+       CAST(l_orderkey % 7 AS BIGINT)         AS key_mod
+FROM lineitem
+"""
+
+
+@query("math_functions_lineitem", _MATH_FN_ORACLE)
+def math_functions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar-function surface; transcendentals rounded to 6 (libm vs
+    JVM may differ in the last ulp)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("dev"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.pow(F.col("l_discount"), 2), 6).alias("disc_sq"),
+        F.signum(F.col("l_extendedprice") - 50000.0).cast("bigint").alias("above_mid"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod"),
+    )
+
+
+# ---- language-ID heuristic as a query (confusion matrix) ----
+
+
+def _lang_guess_oracle() -> str:
+    from etl_bigquery_pipeline_spark.functions.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        markers = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(toks, x -> list_contains([{markers}], x))) AS s_{lang}"
+        )
+    # replicate the Spark-side sequential fold: start with the first
+    # language, replace only on strictly-greater score
+    first, rest = langs[0], langs[1:]
+    guess_expr = f"'{first}'"
+    best_expr = f"s_{first}"
+    for lang in rest:
+        guess_expr = (
+            f"CASE WHEN s_{lang} > {best_expr} THEN '{lang}' ELSE {guess_expr} END"
+        )
+        best_expr = f"greatest({best_expr}, s_{lang})"
+    return f"""
+WITH t AS (
+  SELECT lang,
+         list_transform(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> ''), x -> lower(x)) AS toks
+  FROM documents),
+s AS (SELECT lang, {", ".join(score_cols)} FROM t)
+SELECT lang, {guess_expr} AS lang_guess, COUNT(*) AS n_docs
+FROM s GROUP BY 1, 2
+"""
+
+
+@query("lang_id_confusion", _lang_guess_oracle())
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-marker argmax) vs the labeled lang —
+    a confusion matrix. The oracle replays the identical sequential fold,
+    so ties resolve identically."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", TX.lang_guess("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
