@@ -1,0 +1,57 @@
+"""Skew-handling utilities for 100 TB joins (SURVEY.md §7.4).
+
+AQE's skew-join splitting (on by default in session.py) handles most skew
+at runtime. These explicit tools cover the cases AQE can't: a *broadcast
+disabled* dimension too big to broadcast joined on a power-law key (user_id
+with bot traffic, hot product ids).
+
+Salted join: replicate the small side R times, salt the big side's key with
+hash(row) % R — the hot key's rows spread over R reducer partitions instead
+of one. Trade: R× duplication of the small side; choose R ~ (hot-key rows /
+target-partition rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def with_salt(df: DataFrame, buckets: int, *, deterministic_by: str | None = None) -> DataFrame:
+    """Add a salt column in [0, buckets). ``deterministic_by`` salts by a
+    hash of that column (reproducible); default salts by uniform random —
+    fine for joins, not for tests."""
+    if deterministic_by is not None:
+        salt = F.pmod(F.hash(F.col(deterministic_by)), F.lit(buckets))
+    else:
+        salt = (F.rand() * buckets).cast("int")
+    return df.withColumn(SALT_COL, salt)
+
+
+def explode_salt(df: DataFrame, buckets: int) -> DataFrame:
+    """Replicate every row once per salt value (the small/broadcast-unable
+    side of a salted join)."""
+    return df.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    *,
+    buckets: int = 8,
+    how: str = "inner",
+    deterministic: bool = False,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side, explode the small side,
+    join on (keys + salt). Result equals big.join(small, on, how) for
+    inner/left joins; the shuffle spreads each hot key over ``buckets``
+    partitions."""
+    key0 = on[0]
+    b = with_salt(big, buckets, deterministic_by=key0 if deterministic else None)
+    s = explode_salt(small, buckets)
+    return b.join(s, on + [SALT_COL], how).drop(SALT_COL)

@@ -1482,3 +1482,41 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_guess")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ===================================================================
+# Approximate operators — no SQL oracle by design (driver records a
+# rows-only check); exact-vs-approx bounds are asserted in pytest
+# ===================================================================
+
+
+@query("approx_distinct_orders")
+def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts next to exact ones. Approx sketches
+    are the 100 TB path (mergeable, single pass, no giant hash table);
+    engine-specific sketch values can't be oracle-matched, so this is a
+    rows-only entry with bounds asserted in tests/test_approx.py."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custkeys"),
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+        F.approx_count_distinct("o_orderkey", 0.02).alias("approx_orderkeys"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("lsh_cosine_topk")
+def lsh_cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane LSH buckets —
+    the scale path next to the exact similarity_topk (recall measured in
+    tests/test_approx.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = similarity.lsh_cosine_topk(
+        emb, queries, k=5, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", dim=64, bits=4, seed=42,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "sim",
+        F.col("rank").cast("bigint").alias("rnk"),
+    )
