@@ -38,6 +38,11 @@ BENCH_QUERIES = [
     "events_sliding_1h_30m",
     "sessionization",
     "json_extract_events",
+    "asof_join_error_signup",
+    "range_join_signup_followups",
+    "window_lag_running_orders",
+    "cube_orders",
+    "lsh_cosine_topk",
 ]
 
 

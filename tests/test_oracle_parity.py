@@ -25,7 +25,11 @@ def test_query_matches_oracle(spark, con, name):
     assert ok, f"{name}: {msg}"
 
 
+# Approximate operators (engine-specific sketches / probabilistic candidate
+# sets) are rows-only by design; their bounds are asserted in test_approx.py
+ROWS_ONLY = {"approx_distinct_orders", "lsh_cosine_topk"}
+
+
 def test_all_queries_have_oracle_or_reason():
     missing = set(catalog.QUERIES) - set(catalog.ORACLE)
-    # non-SQL-expressible ops may be rows-only; keep the list deliberate
-    assert missing == set(), f"queries without oracle: {missing}"
+    assert missing == ROWS_ONLY, f"undocumented oracle-less queries: {missing - ROWS_ONLY}"
