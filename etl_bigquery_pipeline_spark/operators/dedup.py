@@ -74,6 +74,48 @@ def _minhash_expr(shingle_array: Column, seed: int, width: int = 16) -> Column:
     return F.array_min(hashed)
 
 
+def _signatures_from_shingles(
+    sh_df: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    num_hashes: int,
+) -> DataFrame:
+    """(id, signature array<string>) from a shingle-set frame.
+
+    md5 economy: one md5 yields 32 hex chars = two independent 16-hex
+    minhash lanes, so ``num_hashes`` lanes need only num_hashes/2 digests.
+    Shingles are exploded to rows so the digest pack is a plain per-row
+    projection (evaluated exactly once — array-lambda formulations
+    re-evaluate the md5s per lane), and the per-lane minima become
+    map-side partial aggregates: the doc_id shuffle carries only
+    num_hashes×16 hex chars per document. shingles() always yields >=1
+    element, so explode drops no documents.
+    """
+    n_md5 = (num_hashes + 1) // 2
+    packed = F.concat(
+        *[F.md5(F.concat(F.lit(f"{i}:"), F.col("__s"))) for i in range(n_md5)]
+    )
+    exploded = sh_df.select(
+        F.col(id_col), F.explode(F.col(shingle_col)).alias("__s")
+    ).select(F.col(id_col), packed.alias("__packed"))
+    mins = [
+        F.min(
+            F.substring(F.col("__packed"), (k // 2) * 32 + (k % 2) * 16 + 1, 16)
+        ).alias(f"__m{k}")
+        for k in range(num_hashes)
+    ]
+    return (
+        exploded.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__m{k}") for k in range(num_hashes)]).alias(
+                "signature"
+            ),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -82,10 +124,13 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, signature array<string>) — one narrow projection, no shuffle."""
-    sh = shingles(text_col, shingle_n)
-    sig = F.array(*[_minhash_expr(sh, i) for i in range(num_hashes)])
-    return df.select(F.col(id_col), sig.alias("signature"))
+    """(id, signature array<string>) — narrow projections, no shuffle."""
+    sh_df = df.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("__sh")
+    )
+    return _signatures_from_shingles(sh_df, id_col, "__sh", num_hashes).select(
+        id_col, "signature"
+    )
 
 
 def minhash_band_keys(
@@ -115,9 +160,15 @@ def minhash_band_keys(
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    """Exact Jaccard similarity of two (distinct-element) arrays.
+
+    |union| = |a| + |b| - |inter| for distinct arrays, so only the
+    intersection is materialized — array_union would rebuild and re-dedupe
+    a combined array per pair, doubling the per-pair cost."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    return F.try_divide(inter, F.size(F.array_union(a, b)).cast("double"))
+    return F.try_divide(
+        inter, F.size(a).cast("double") + F.size(b).cast("double") - inter
+    )
 
 
 def minhash_near_dup_pairs(
@@ -143,11 +194,8 @@ def minhash_near_dup_pairs(
     sh_df = df.select(
         F.col(id_col), shingles(text_col, shingle_n).alias("__sh")
     ).cache()
-    sig = sh_df.select(
-        F.col(id_col),
-        F.array(*[_minhash_expr(F.col("__sh"), i) for i in range(num_hashes)]).alias(
-            "signature"
-        ),
+    sig = _signatures_from_shingles(sh_df, id_col, "__sh", num_hashes).select(
+        id_col, "signature"
     )
     bk = minhash_band_keys(sig, id_col, bands=bands)
     left = bk.alias("l")

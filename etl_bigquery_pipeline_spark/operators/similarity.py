@@ -24,7 +24,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_bigquery_pipeline_spark.functions.vectors import cosine, dot
+from etl_bigquery_pipeline_spark.functions.vectors import cosine, dot, norm
 
 
 def cosine_topk(
@@ -43,11 +43,25 @@ def cosine_topk(
     scanned once. Ranking uses the rounded similarity with neighbor-id
     tie-break, so results are total-ordered and engine-reproducible.
     """
+    # norms are per-vector, not per-pair: compute them in the pre-join
+    # projections (once per row) so each pair costs one dot product
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        norm(vec_col).alias("__qnorm"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
-    sim = F.round(cosine(F.col("__qvec"), F.col("__cvec")), sim_decimals).alias("sim")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(vec_col).alias("__cnorm"),
+    )
+    sim = F.round(
+        F.try_divide(
+            dot(F.col("__qvec"), F.col("__cvec")),
+            F.col("__qnorm") * F.col("__cnorm"),
+        ),
+        sim_decimals,
+    ).alias("sim")
     scored = (
         c.join(F.broadcast(q), F.col(query_id_col) != F.col("neighbor_id"))
         .select(query_id_col, "neighbor_id", sim)
@@ -124,18 +138,26 @@ def lsh_cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
+        norm(vec_col).alias("__cnorm"),
         bucket(corpus).alias("__bucket"),
     )
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qvec"),
+        norm(vec_col).alias("__qnorm"),
         F.explode(
             probe_buckets(
                 bucket(queries), bits=bits, max_flips=probe_flips
             )
         ).alias("__bucket"),
     )
-    sim = F.round(cosine(F.col("__qvec"), F.col("__cvec")), sim_decimals).alias("sim")
+    sim = F.round(
+        F.try_divide(
+            dot(F.col("__qvec"), F.col("__cvec")),
+            F.col("__qnorm") * F.col("__cnorm"),
+        ),
+        sim_decimals,
+    ).alias("sim")
     scored = (
         c.join(F.broadcast(q), "__bucket")
         .filter(F.col(query_id_col) != F.col("neighbor_id"))
@@ -166,9 +188,17 @@ def embedding_near_dup_pairs(
     b = df.select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
+        norm(vec_col).alias("__norm"),
         hyperplane_bucket(vec_col, dim=dim, bits=bits, seed=seed).alias("__bucket"),
     )
     l, r = b.alias("l"), b.alias("r")
+    sim = F.round(
+        F.try_divide(
+            dot(F.col("l.__v"), F.col("r.__v")),
+            F.col("l.__norm") * F.col("r.__norm"),
+        ),
+        6,
+    ).alias("cosine_sim")
     return (
         l.join(
             r,
@@ -178,7 +208,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.round(cosine(F.col("l.__v"), F.col("r.__v")), 6).alias("cosine_sim"),
+            sim,
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
