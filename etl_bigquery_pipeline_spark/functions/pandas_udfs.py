@@ -1,0 +1,61 @@
+"""Pandas-UDF (Arrow-vectorized) surface — the sanctioned Python escape
+hatch (SURVEY.md §2.8 lists UDF/UDAF as absent from the reference).
+
+Policy: every hot-path operator in this engine is JVM-side; a Pandas UDF is
+for logic that genuinely needs Python (model inference, codec libraries,
+numpy-heavy math). These implementations mirror JVM operators bit-for-bit
+so tests can assert the two paths agree — the contract a real model UDF
+would slot into.
+
+Row-at-a-time Python UDFs (``F.udf``) are deliberately not exported: at
+100 TB the serialization tax is 10-100× vs Arrow batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+# return types as DataType objects: DDL strings would need an active
+# SparkSession at import time
+@pandas_udf(T.DoubleType())
+def cosine_to_query_udf(emb: pd.Series, query: pd.Series) -> pd.Series:
+    """Vectorized cosine between an embedding column and a (constant)
+    query vector column. numpy does the batch math — one Arrow transfer
+    per batch, no per-row Python."""
+    mat = np.stack(emb.to_numpy())
+    qv = np.stack(query.to_numpy())
+    dots = np.einsum("ij,ij->i", mat, qv)
+    norms = np.linalg.norm(mat, axis=1) * np.linalg.norm(qv, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(norms == 0, np.nan, dots / norms)
+    return pd.Series(out)
+
+
+@pandas_udf(T.IntegerType())
+def token_count_udf(text: pd.Series) -> pd.Series:
+    """Whitespace token count — pandas str ops, batch-at-a-time."""
+    return text.str.split().map(len).astype("int32")
+
+
+def with_udf_cosine(
+    df: DataFrame, query_vec: list[float], *, vec_col: str = "embedding"
+) -> DataFrame:
+    """Score a corpus against one query vector via the Pandas UDF path.
+
+    The JVM path (functions.vectors.cosine) is preferred; this exists to
+    (a) prove the Arrow contract and (b) host numpy/model scoring when the
+    math outgrows SQL expressions.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return df.withColumn(
+        "sim_udf",
+        cosine_to_query_udf(
+            F.col(vec_col).cast("array<double>"), q
+        ),
+    )

