@@ -212,3 +212,120 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+# ------------------------------------------------------------------ IVF ---
+
+
+def train_centroids(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    sample_n: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic k-means centroids from a bounded, ordered sample.
+
+    Driver-side training on <= sample_n vectors (the one sanctioned
+    driver-side step: model fitting on a sample, like any ML pipeline);
+    fixed seed + fixed iteration count + id-ordered sample make the
+    centroids reproducible run-over-run.
+    """
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    )
+    x = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    rs = np.random.RandomState(seed)
+    centroids = x[rs.choice(len(x), size=min(nlist, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(centroids)):
+            members = x[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return centroids.round(6).tolist()
+
+
+def _nearest_centroids(vec_col, centroids: list[list[float]], n: int):
+    """Indices of the n nearest centroids (by dot product, desc; index asc
+    tie-break) as an array column."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    scored = F.array(
+        *[
+            F.struct(
+                dot(col, F.array(*[F.lit(float(v)) for v in c])).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    ranked = F.reverse(F.array_sort(scored))  # by (d, i) asc -> reversed
+    return F.transform(F.slice(ranked, 1, n), lambda s: s["i"])
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nlist: int = 16,
+    nprobe: int = 4,
+    sample_n: int = 2048,
+    seed: int = 42,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned by nearest trained
+    centroid, queries probe their ``nprobe`` nearest cells.
+
+    The scale shape: corpus is written partitioned/bucketed by cell id, so
+    a query batch touches nprobe/nlist of the data with no corpus shuffle.
+    Expected recall beats random-hyperplane LSH at equal candidate budget
+    because cells follow the data distribution.
+    """
+    centroids = train_centroids(
+        corpus,
+        vec_col=vec_col,
+        id_col=id_col,
+        nlist=nlist,
+        sample_n=sample_n,
+        seed=seed,
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(vec_col).alias("__cnorm"),
+        F.element_at(_nearest_centroids(vec_col, centroids, 1), 1).alias("__cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        norm(vec_col).alias("__qnorm"),
+        F.explode(_nearest_centroids(vec_col, centroids, nprobe)).alias("__cell"),
+    )
+    sim = F.round(
+        F.try_divide(
+            dot(F.col("__qvec"), F.col("__cvec")),
+            F.col("__qnorm") * F.col("__cnorm"),
+        ),
+        sim_decimals,
+    ).alias("sim")
+    scored = (
+        c.join(F.broadcast(q), "__cell")
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .select(query_id_col, "neighbor_id", sim)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "sim", "rank")
+    )

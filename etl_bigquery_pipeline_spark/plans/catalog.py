@@ -1588,3 +1588,21 @@ def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
         F.element_at(m, "k").try_cast("bigint").alias("k_value"),
     )
+
+
+@query("ivf_cosine_topk")
+def ivf_cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (trained-centroid) approximate nearest neighbors — the
+    data-adaptive scale path next to hyperplane LSH (recall compared in
+    tests/test_approx.py). Rows-only: k-means cells are not
+    SQL-replicable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = similarity.ivf_cosine_topk(
+        emb, queries, k=5, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", nlist=16, nprobe=4, seed=42,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "sim",
+        F.col("rank").cast("bigint").alias("rnk"),
+    )

@@ -30,3 +30,18 @@ def test_lsh_topk_recall_against_exact(spark, sf_dir):
     # reasonable share of the true top-5
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.2, f"recall collapsed: {recall}"
+
+
+def test_ivf_topk_recall_beats_lsh(spark, sf_dir):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in catalog.QUERIES["similarity_topk"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in catalog.QUERIES["ivf_cosine_topk"](spark, sf_dir).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    # nprobe/nlist = 1/4 of the corpus scanned; cells follow the data so
+    # recall should be comfortably above that fraction
+    assert recall >= 0.3, f"IVF recall: {recall}"

@@ -78,3 +78,54 @@ def test_session_stream_matches_batch_session_count(spark, tmp_path):
         return {u: tuple(v) for u, v in out.items()}
 
     assert per_user(got) == per_user(batch_sessions)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data policy: events older than the watermark at their arrival
+    are discarded by the windowed aggregate. A live query is synchronized
+    with processAllAvailable() so the late file is guaranteed to arrive in
+    a second micro-batch, after the watermark advanced."""
+    import os
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src_dir = str(tmp_path / "late_src")
+    os.makedirs(src_dir)
+    spark.createDataFrame(
+        [
+            (1, base, 0, "view", 1.0),
+            (2, base + dt.timedelta(hours=5), 0, "view", 1.0),  # WM -> ~3h
+        ],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream_df = spark.readStream.schema(SCHEMA).parquet(src_dir)
+    agg = stream_events.tumbling_counts_stream(
+        stream_df, window="1 hour", watermark="2 hours"
+    )
+    name = "late_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 done -> watermark = 5h - 2h = 3h
+        spark.createDataFrame(
+            [
+                (3, base + dt.timedelta(hours=1), 0, "view", 99.0),  # LATE
+                (4, base + dt.timedelta(hours=5, minutes=5), 0, "view", 1.0),
+            ],
+            SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        q.processAllAvailable()  # batch 2 under the advanced watermark
+    finally:
+        q.stop()
+
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    sums = {}
+    for r in rows:  # update mode: later emissions override
+        sums[r.window_start] = r.value_sum
+    assert sums[base + dt.timedelta(hours=5)] == 2.0  # fresh event landed
+    assert base + dt.timedelta(hours=1) not in sums  # late event dropped
