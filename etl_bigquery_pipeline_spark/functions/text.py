@@ -86,13 +86,16 @@ def content_hash(col: Column | str) -> Column:
     return F.md5(F.array_join(tokens(c), " "))
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingle set -> array<string> (distinct, for MinHash)."""
+def ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-grams in order, with multiplicity -> array<string>."""
     toks = tokens(col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle set -> array<string> (distinct, for MinHash)."""
+    return F.array_distinct(ngrams(col, n))
 
 
 def lang_guess(col: Column | str) -> Column:

@@ -1606,3 +1606,149 @@ def ivf_cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "sim",
         F.col("rank").cast("bigint").alias("rnk"),
     )
+
+
+# ---- corpus statistics: TF-IDF keywords, top n-grams, canonical docs ----
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents),
+n_docs AS (SELECT COUNT(*) AS n FROM toks),
+tf AS (
+  SELECT doc_id, unnest(t) AS term FROM toks),
+tf_counts AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf_counts.doc_id, tf_counts.term,
+         round(tf_counts.tf * ln((SELECT n FROM n_docs) / df.df), 6) AS tfidf
+  FROM tf_counts JOIN df ON tf_counts.term = df.term),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rnk
+  FROM scored)
+SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+@query("tfidf_keywords", _TFIDF_ORACLE)
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Explode -> tf counts -> df counts
+    (broadcast back) -> score -> per-doc window rank. The df table is
+    vocabulary-sized, so the join is a broadcast at any corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens(F.lower(F.col("text"))).alias("t"))
+    n_docs = toks.count()
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_counts), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+_TOP_NGRAMS_ORACLE = """
+WITH toks AS (
+  SELECT lang, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT lang,
+         unnest([array_to_string(t[i:i+1], ' ')
+                 for i in generate_series(1, greatest(len(t) - 1, 1))]) AS gram
+  FROM toks),
+counts AS (
+  SELECT lang, gram, COUNT(*) AS n FROM grams GROUP BY lang, gram),
+ranked AS (
+  SELECT lang, gram, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, gram ASC) AS BIGINT) AS rnk
+  FROM counts)
+SELECT lang, gram, n, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+@query("top_bigrams_by_lang", _TOP_NGRAMS_ORACLE)
+def top_bigrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language: shingle -> explode -> count ->
+    window rank. The heavy groupBy key is (lang, gram) — partial
+    aggregation absorbs the explosion map-side."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "lang",
+        F.explode(
+            TX.ngrams(F.lower(F.col("text")), 2)
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("gram").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+_CANONICAL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, text, lang,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents),
+q AS (
+  SELECT doc_id, lang,
+         md5(array_to_string(list_sort(list_distinct(
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''))), ' ')) AS fp,
+         round(
+           (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.4 ELSE 0.0 END)
+           + least(len(list_filter(tk, x -> list_contains(['the','a','of','and','to'], lower(x))))
+                   / greatest(len(tk), 1) * 4.0, 1.0) * 0.4
+           + 0.2
+           - least((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / greatest(length(text), 1) * 2.0, 0.2), 4) AS quality
+  FROM toks),
+ranked AS (
+  SELECT doc_id, lang, fp, quality,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM q)
+SELECT doc_id, lang, fp, quality FROM ranked WHERE rn = 1
+"""
+
+
+@query("canonical_docs_by_fingerprint", _CANONICAL_ORACLE)
+def canonical_docs_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup: one canonical document per bag-of-words
+    fingerprint, chosen by quality score (ties -> lowest id) — the
+    composition of fingerprinting + quality scoring a real training-data
+    pipeline runs."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        TX.fingerprint("text").alias("fp"),
+        TX.quality_score("text", "en").alias("quality"),
+    )
+    w = Window.partitionBy("fp").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "fp", "quality")
+    )
