@@ -86,3 +86,19 @@ def run_available_now(stream_df: DataFrame, *, checkpoint: str) -> list:
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}").collect()
+
+
+def dedup_stream(
+    events: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated keys arriving within the
+    watermark window (dropDuplicatesWithinWatermark keeps state bounded —
+    plain dropDuplicates on a stream grows state forever). The streaming
+    twin of operators.dedup/cleaning exact dedup."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -129,3 +129,27 @@ def test_watermark_drops_late_events(spark, tmp_path):
         sums[r.window_start] = r.value_sum
     assert sums[base + dt.timedelta(hours=5)] == 2.0  # fresh event landed
     assert base + dt.timedelta(hours=1) not in sums  # late event dropped
+
+
+def test_stream_dedup_drops_repeats(spark, tmp_path):
+    rows = _event_rows()
+    dup_rows = rows + rows[:10]  # re-deliver 10 events
+    df = spark.createDataFrame(dup_rows, SCHEMA)
+    src = str(tmp_path / "dedup_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream_df = spark.readStream.schema(SCHEMA).parquet(src)
+    deduped = stream_events.dedup_stream(
+        stream_df, key_cols=("event_id",), watermark="10 hours"
+    )
+    name = "dedup_sink"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(f"SELECT COUNT(*) AS c FROM {name}").first().c
+    assert got == len(rows)
