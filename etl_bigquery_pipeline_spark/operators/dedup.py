@@ -252,8 +252,21 @@ def ngram_jaccard_pairs(
     (width = block_width; the right side lands in its own bucket and the
     previous one) and applies the exact predicate as a post-filter — a
     hash join touching only ~2×n×width/width candidate rows.
+
+    Per-pair cost: shingle strings are pre-hashed to int64 (xxhash64) once
+    per document, so every pairwise intersection compares longs instead of
+    re-hashing strings. Jaccard depends only on set sizes, which an
+    injective-in-practice 64-bit hash preserves (collision odds per pair
+    ~|a|·|b|/2^64 — vanishing).
     """
-    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("__sh"))
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+            )
+        ).alias("__sh"),
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
     sim = F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6).alias(
