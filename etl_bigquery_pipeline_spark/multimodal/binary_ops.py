@@ -133,3 +133,68 @@ def repartition_for_payload(
     total = df.agg(F.sum(size_col_bytes)).first()[0] or 0
     n = max(1, int(total / (target_partition_mb * 1024 * 1024)))
     return df.repartition(n)
+
+
+RESIZE_SCHEMA = "id long, payload binary, width int, height int"
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    binary_col: str = "payload",
+    target: tuple[int, int] = (224, 224),
+) -> DataFrame:
+    """Resize contract: (id, payload, width, height) out, Arrow-batched.
+
+    Real pixel resampling needs a codec lib (absent here) — the stub
+    re-emits the payload with the target dimensions recorded, keeping the
+    schema/batching/partitioning path fully exercisable. A PIL-backed body
+    replaces only the inner loop.
+    """
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w, h = target
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "payload": pdf[binary_col],  # stub: bytes unchanged
+                    "width": w,
+                    "height": h,
+                }
+            )
+
+    return df.mapInPandas(do, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "id long, frame_idx int, frame binary"
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    binary_col: str = "payload",
+    every_n_bytes: int = 4096,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame-sampling contract for video payloads: one output row per
+    sampled frame (id, frame_idx, frame). Without ffmpeg the "frames" are
+    deterministic byte windows — the row-explosion shape (rows out >> rows
+    in, payload sliced not copied whole) is the part that matters for the
+    Spark plan, and it is real.
+    """
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, p in zip(pdf[id_col], pdf[binary_col]):
+                p = p or b""
+                for k in range(min(max_frames, max(1, len(p) // every_n_bytes))):
+                    ids.append(i)
+                    idxs.append(k)
+                    frames.append(p[k * every_n_bytes : (k + 1) * every_n_bytes])
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(do, FRAME_SCHEMA)

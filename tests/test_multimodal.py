@@ -77,3 +77,22 @@ def test_repartition_for_payload(spark):
         df, size_col_bytes="n_bytes", target_partition_mb=1
     )
     assert out.rdd.getNumPartitions() == 1  # 100KB << 1MB -> single partition
+
+
+def test_resize_contract(spark):
+    df = spark.createDataFrame(
+        [(1, b"\x00" * 100), (2, b"\xff" * 50)], "id long, payload binary"
+    )
+    out = binary_ops.resize_images(df, target=(64, 64)).collect()
+    assert all(r.width == 64 and r.height == 64 for r in out)
+    assert {r.id for r in out} == {1, 2}
+
+
+def test_sample_frames_explodes_rows(spark):
+    df = spark.createDataFrame(
+        [(1, bytes(range(256)) * 64)], "id long, payload binary"  # 16 KiB
+    )
+    out = binary_ops.sample_frames(df, every_n_bytes=4096, max_frames=8).collect()
+    assert len(out) == 4  # 16 KiB / 4 KiB
+    assert [r.frame_idx for r in sorted(out, key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
+    assert all(len(r.frame) == 4096 for r in out)
