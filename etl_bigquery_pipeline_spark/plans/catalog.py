@@ -1752,3 +1752,184 @@ def canonical_docs_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "fp", "quality")
     )
+
+
+# ---- DQ catching seeded violations (statuses must flip to FAIL) ----
+
+_DQ_DIRTY_ORACLE = """
+WITH dirty AS (
+  SELECT CASE WHEN l_orderkey % 97 = 0 THEN NULL ELSE l_orderkey END AS l_orderkey,
+         l_linenumber,
+         CASE WHEN l_orderkey % 101 = 0 THEN -l_quantity ELSE l_quantity END AS l_quantity,
+         l_extendedprice
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+  FROM lineitem WHERE l_orderkey % 103 = 0)
+SELECT 'null_check' AS check_name,
+       CASE WHEN (SELECT COUNT(*) FILTER (WHERE l_orderkey IS NULL) FROM dirty) = 0
+            THEN 'PASS' ELSE 'FAIL' END AS status
+UNION ALL
+SELECT 'range_l_quantity',
+       CASE WHEN (SELECT MIN(l_quantity) >= 0 FROM dirty) THEN 'PASS' ELSE 'FAIL' END
+UNION ALL
+SELECT 'dup_l_orderkey_l_linenumber',
+       CASE WHEN (SELECT COUNT(*) FROM (SELECT 1 AS x FROM dirty
+                  WHERE l_orderkey IS NOT NULL
+                  GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)) = 0
+            THEN 'PASS' ELSE 'FAIL' END
+UNION ALL
+SELECT 'row_count',
+       CASE WHEN (SELECT COUNT(*) FROM dirty) >= 1 THEN 'PASS' ELSE 'FAIL' END
+"""
+
+
+@query("dq_catches_seeded_violations", _DQ_DIRTY_ORACLE)
+def dq_catches_seeded_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DQ framework against a deterministically-dirtied fact table
+    (seeded nulls, negative amounts, duplicated keys): null/range/dup
+    checks must flip to FAIL, proving detection rather than
+    trivially-green data."""
+    li = _t(spark, sf_dir, "lineitem")
+    dirty = li.select(
+        F.when(F.col("l_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("l_orderkey"))
+        .alias("l_orderkey"),
+        "l_linenumber",
+        F.when(F.col("l_orderkey") % 101 == 0, -F.col("l_quantity"))
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity"),
+        "l_extendedprice",
+    ).unionAll(
+        li.filter(F.col("l_orderkey") % 103 == 0).select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        )
+    )
+    results = dq.TableChecks(
+        table="dirty",
+        df=dirty,
+        scalar=[
+            dq.row_count_check(),
+            dq.null_check(["l_orderkey"]),
+            dq.range_check("l_quantity", min_allowed=0),
+        ],
+        duplicate_keys=[],
+    ).run()
+    # dup probe on non-null keys (the seeded nulls are a different check)
+    n_dup = (
+        dedup.duplicate_key_groups(
+            dirty.filter(F.col("l_orderkey").isNotNull()),
+            ["l_orderkey", "l_linenumber"],
+        ).count()
+    )
+    results.append(
+        dq.CheckResult(
+            "dup_l_orderkey_l_linenumber",
+            "dirty",
+            n_dup == 0,
+            dq.Severity.WARNING,
+            n_dup,
+            f"duplicate groups: {n_dup}",
+        )
+    )
+    return dq.report_df(spark, results).select(
+        F.col("check").alias("check_name"), "status"
+    )
+
+
+# ---- distinct aggregates & null-handling expression breadth ----
+
+_DISTINCT_AGG_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS uniq_parts,
+       COUNT(DISTINCT l_suppkey) AS uniq_supps,
+       CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_distinct_qty,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("distinct_aggregates", _DISTINCT_AGG_ORACLE)
+def distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one grouped pass (expand-based
+    plan); SUM(DISTINCT) over decimal for exactness."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("uniq_parts"),
+        F.countDistinct("l_suppkey").alias("uniq_supps"),
+        F.sum_distinct(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_distinct_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_COND_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 200000 THEN 'high'
+            WHEN o_totalprice >= 100000 THEN 'mid'
+            ELSE 'low' END AS price_band,
+       COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'URGENT!') AS priority_remap,
+       greatest(o_totalprice, 150000.0) AS floor_price,
+       least(o_totalprice, 150000.0)    AS cap_price,
+       CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_totalprice END AS open_price,
+       CAST(o_totalprice IS NULL AS INT) + CAST(o_custkey IS NULL AS INT) AS null_flags
+FROM orders
+"""
+
+
+@query("conditional_expressions", _COND_ORACLE)
+def conditional_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/COALESCE/NULLIF/greatest/least/null-flag expression surface."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 200000, F.lit("high"))
+        .when(F.col("o_totalprice") >= 100000, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("price_band"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")),
+            F.lit("URGENT!"),
+        ).alias("priority_remap"),
+        F.greatest("o_totalprice", F.lit(150000.0)).alias("floor_price"),
+        F.least("o_totalprice", F.lit(150000.0)).alias("cap_price"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("open_price"),
+        (
+            F.col("o_totalprice").isNull().cast("int")
+            + F.col("o_custkey").isNull().cast("int")
+        ).alias("null_flags"),
+    )
+
+
+_NTILE_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_quartile,
+       FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS first_order,
+       CAST(floor(CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey) * 10000) AS BIGINT) AS cume_bps
+FROM orders
+"""
+
+
+@query("window_ntile_firstvalue", _NTILE_ORACLE)
+def window_ntile_firstvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / first_value / cume_dist window breadth (cume_dist scaled to
+    integer basis points to avoid float-representation drift)."""
+    o = _t(spark, sf_dir, "orders")
+    w_price = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    w_cust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_cume = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w_price).cast("bigint").alias("price_quartile"),
+        F.first("o_orderkey").over(w_cust).alias("first_order"),
+        # explicit floor: DuckDB's double->BIGINT cast rounds, Spark's
+        # truncates
+        F.floor(F.cume_dist().over(w_cume) * 10000)
+        .cast("bigint")
+        .alias("cume_bps"),
+    )
