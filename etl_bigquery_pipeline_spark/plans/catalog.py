@@ -1933,3 +1933,37 @@ def window_ntile_firstvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cume_bps"),
     )
+
+
+# ---- theta join against a tiny literal dimension ----
+
+_THETA_ORACLE = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', 0.0, 100000.0),
+         ('mid', 100000.0, 200000.0),
+         ('high', 200000.0, 1e12))
+SELECT band, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
+@query("theta_join_price_bands", _THETA_ORACLE)
+def theta_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join done right: the only sound plan for an
+    arbitrary inequality join is nested-loop — which is exactly correct
+    when one side is a literal handful of rows broadcast everywhere."""
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 200000.0), ("high", 200000.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    joined = o.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum("o_totalprice").alias("total"),
+    )

@@ -153,3 +153,26 @@ def test_stream_dedup_drops_repeats(spark, tmp_path):
     q.awaitTermination()
     got = spark.sql(f"SELECT COUNT(*) AS c FROM {name}").first().c
     assert got == len(rows)
+
+
+def test_incremental_sink_end_to_end(spark, tmp_path):
+    from etl_bigquery_pipeline_spark.streaming import incremental
+
+    rows = _event_rows()
+    df = spark.createDataFrame(rows + rows[:5], SCHEMA)  # 5 re-delivered
+    src = str(tmp_path / "inc_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "inc_out")
+    q = incremental.incremental_events_sink(
+        spark.readStream.schema(SCHEMA).parquet(src),
+        out,
+        str(tmp_path / "inc_ckpt"),
+        watermark="10 hours",
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    assert back.count() == len(rows)  # re-deliveries deduped
+    assert "event_date" in back.columns
+    import os
+
+    assert any(d.startswith("event_date=") for d in os.listdir(out))
