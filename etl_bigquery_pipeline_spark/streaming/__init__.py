@@ -1,3 +1,3 @@
-from etl_bigquery_pipeline_spark.streaming import events
+from etl_bigquery_pipeline_spark.streaming import events, incremental
 
-__all__ = ["events"]
+__all__ = ["events", "incremental"]
