@@ -129,3 +129,18 @@ def test_non_positive_price_is_critical(spark, tmp_path):
             spark, sales_df(spark), products, ParquetWarehouse(str(tmp_path))
         )
     assert "range_price" in str(exc.value)
+
+
+def test_duplicate_product_date_pairs_warn(spark, tmp_path):
+    """FIXTURES.md A3: duplicate (product_id, date) fact pairs are caught
+    by the dup-key check (warning, counts groups)."""
+    dup = CLEAN_SALES + [("2024-01-01", "s9", "p1", "7", "70.0")]  # p1@01-01 again
+    result = run_pipeline(
+        spark,
+        sales_df(spark, dup),
+        products_df(spark),
+        ParquetWarehouse(str(tmp_path)),
+    )
+    chk = [r for r in result.dq_results if r.check == "dup_product_id_date"][0]
+    assert not chk.passed and chk.observed == 1  # one duplicated group
+    assert chk.severity == dq.Severity.WARNING
