@@ -176,3 +176,55 @@ def test_incremental_sink_end_to_end(spark, tmp_path):
     import os
 
     assert any(d.startswith("event_date=") for d in os.listdir(out))
+
+
+def test_stateful_user_totals_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user lifetime totals must carry state
+    across micro-batches AND across query restarts (checkpoint-restored
+    state). availableNow triggers keep the runs bounded — with
+    ProcessingTimeTimeout a default-trigger query schedules micro-batches
+    forever to service timeouts, so processAllAvailable never settles."""
+    import os
+    from etl_bigquery_pipeline_spark.streaming import stateful
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "state_src")
+    out_dir = str(tmp_path / "state_out")
+    ckpt = str(tmp_path / "state_ckpt")
+    os.makedirs(src)
+
+    def run_once():
+        stream = stateful.user_lifetime_totals(
+            spark.readStream.schema(SCHEMA).parquet(src)
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(1, base, 7, "view", 10.0), (2, base, 7, "view", 5.0),
+         (3, base, 8, "view", 1.0)],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    spark.createDataFrame(
+        [(4, base + dt.timedelta(minutes=1), 7, "view", 2.5)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()  # restart: state restored from checkpoint
+
+    rows = spark.read.parquet(out_dir).collect()
+    latest = {}
+    for r in sorted(rows, key=lambda r: r.n_events):
+        latest[r.user_id] = (r.n_events, r.value_sum)
+    assert latest[7] == (3, 17.5)  # 2 events run1 + 1 event run2
+    assert latest[8] == (1, 1.0)
