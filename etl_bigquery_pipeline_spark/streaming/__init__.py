@@ -1,3 +1,3 @@
-from etl_bigquery_pipeline_spark.streaming import events, incremental
+from etl_bigquery_pipeline_spark.streaming import events, incremental, stateful
 
-__all__ = ["events", "incremental"]
+__all__ = ["events", "incremental", "stateful"]
