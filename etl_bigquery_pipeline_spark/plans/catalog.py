@@ -1967,3 +1967,42 @@ def theta_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         exact_sum("o_totalprice").alias("total"),
     )
+
+
+# ---- statistical aggregates: exact percentiles + second moments ----
+
+_STATS_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       quantile_cont(l_extendedprice, 0.5)  AS p50,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.75) AS p75,
+       median(l_quantity) AS qty_median,
+       round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar,
+       round(stddev_samp(l_extendedprice), 6)            AS price_stddev,
+       round(var_samp(l_extendedprice), 4)               AS price_var
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("stats_aggregates", _STATS_ORACLE)
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles/median + second-moment aggregates
+    (corr/covar/stddev/var, rounded — moment sums are order-sensitive in
+    the last bits). Percentiles are exact sort-based values: identical
+    across engines with no rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
+        F.median("l_quantity").alias("qty_median"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("price_stddev"),
+        F.round(F.var_samp("l_extendedprice"), 4).alias("price_var"),
+    )

@@ -1,0 +1,61 @@
+"""Physical-plan assertions: the scale properties SCALE.md claims must be
+visible in the plans, so a regression (lost pushdown, broadcast flipped to
+shuffle, nested-loop sneaking in) fails CI instead of melting a cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_bigquery_pipeline_spark.plans import catalog
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = catalog.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, "flagship_sales_rollup", sf_dir)
+    assert "ReadSchema" in plan
+    # only the 6 needed columns reach the scan — not l_orderkey etc.
+    schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_returnflag" in schema_line and "l_orderkey" not in schema_line
+
+
+def test_orphan_join_broadcasts_dimension(spark, sf_dir):
+    plan = _plan(spark, "orphan_lineitem_part", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan  # fact side must not shuffle
+
+
+def test_multiway_join_broadcasts_small_sides(spark, sf_dir):
+    plan = _plan(spark, "revenue_by_segment", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_jaccard_plans_hash_join_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, "ngram_jaccard_pairs", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_has_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "minhash_near_dup_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    from etl_bigquery_pipeline_spark.sources.readers import read_table
+
+    df = read_table(spark, sf_dir, "orders").filter("o_totalprice > 100000").select(
+        "o_orderkey"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
+
+
+def test_theta_join_is_broadcast_nested_loop_by_design(spark, sf_dir):
+    # the one sanctioned nested-loop: 3-row literal dim broadcast
+    plan = _plan(spark, "theta_join_price_bands", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
