@@ -82,16 +82,17 @@ def _signatures_from_shingles(
 ) -> DataFrame:
     """(id, signature array<string>) from a shingle-set frame.
 
-    md5 economy: one md5 yields 32 hex chars = two independent 16-hex
-    minhash lanes, so ``num_hashes`` lanes need only num_hashes/2 digests.
-    Shingles are exploded to rows so the digest pack is a plain per-row
-    projection (evaluated exactly once — array-lambda formulations
-    re-evaluate the md5s per lane), and the per-lane minima become
-    map-side partial aggregates: the doc_id shuffle carries only
-    num_hashes×16 hex chars per document. shingles() always yields >=1
-    element, so explode drops no documents.
+    md5 economy: one md5 yields 32 hex chars = four independent 8-hex
+    (32-bit) minhash lanes — the standard MinHash width — so
+    ``num_hashes`` lanes need only num_hashes/4 digests. Shingles are
+    exploded to rows so the digest pack is a plain per-row projection
+    (evaluated exactly once — array-lambda formulations re-evaluate the
+    md5s per lane), and the per-lane minima become map-side partial
+    aggregates: the doc_id shuffle carries only num_hashes×8 hex chars
+    per document. shingles() always yields >=1 element, so explode drops
+    no documents.
     """
-    n_md5 = (num_hashes + 1) // 2
+    n_md5 = (num_hashes + 3) // 4
     packed = F.concat(
         *[F.md5(F.concat(F.lit(f"{i}:"), F.col("__s"))) for i in range(n_md5)]
     )
@@ -100,7 +101,7 @@ def _signatures_from_shingles(
     ).select(F.col(id_col), packed.alias("__packed"))
     mins = [
         F.min(
-            F.substring(F.col("__packed"), (k // 2) * 32 + (k % 2) * 16 + 1, 16)
+            F.substring(F.col("__packed"), (k // 4) * 32 + (k % 4) * 8 + 1, 8)
         ).alias(f"__m{k}")
         for k in range(num_hashes)
     ]

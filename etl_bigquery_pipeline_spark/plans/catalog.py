@@ -593,11 +593,11 @@ sh AS (
                         for i in generate_series(1, greatest(len(t) - 2, 1))]) AS s
   FROM toks),
 sig AS (
-  -- two 16-hex minhash lanes per md5 digest (seed k uses digest k//2,
-  -- offset (k%2)*16) — mirrors _signatures_from_shingles
+  -- four 8-hex (32-bit) minhash lanes per md5 digest (seed k uses digest
+  -- k//4, offset (k%4)*8) — mirrors _signatures_from_shingles
   SELECT doc_id, s,
-         [list_min([substring(md5(CAST(k // 2 AS VARCHAR) || ':' || x),
-                              (k % 2) * 16 + 1, 16) for x in s])
+         [list_min([substring(md5(CAST(k // 4 AS VARCHAR) || ':' || x),
+                              (k % 4) * 8 + 1, 8) for x in s])
           for k in generate_series(0, 15)] AS sg
   FROM sh),
 bands AS (

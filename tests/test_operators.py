@@ -87,8 +87,12 @@ def test_exact_dedup_is_whitespace_insensitive(spark):
 
 
 def test_minhash_lsh_finds_planted_near_dup(spark):
+    # bands=16 -> 1 lane per band: any shared minhash makes a candidate
+    # (recall ~1 even for moderate jaccard). The default 4x4 banding is
+    # tuned for ~0.7+ similarity and would legitimately miss a j~0.45
+    # pair ~85% of the time.
     pairs = dedup.minhash_near_dup_pairs(
-        _docs(spark), "doc_id", "text", threshold=0.3
+        _docs(spark), "doc_id", "text", threshold=0.3, bands=16
     ).collect()
     found = {(r.id_a, r.id_b) for r in pairs}
     assert (1, 2) in found and (1, 3) in found  # exact dups always pair
