@@ -2006,3 +2006,71 @@ def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_extendedprice"), 6).alias("price_stddev"),
         F.round(F.var_samp("l_extendedprice"), 4).alias("price_var"),
     )
+
+
+# ---- regex functions, multiset set-ops, posexplode ----
+
+_REGEX_ORACLE = r"""
+SELECT p_partkey,
+       regexp_extract(p_type, '^(\w+)', 1) AS first_word,
+       regexp_extract(p_type, '(\w+)$', 1) AS last_word,
+       CASE WHEN regexp_matches(p_type, 'BRASS|COPPER') THEN 1 ELSE 0 END AS is_metal,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+FROM part
+"""
+
+
+@query("regex_functions_part", _REGEX_ORACLE)
+def regex_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: group extraction, match predicate, global replace."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_extract("p_type", r"(\w+)$", 1).alias("last_word"),
+        F.col("p_type").rlike("BRASS|COPPER").cast("int").alias("is_metal"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+    )
+
+
+_EXCEPT_ALL_ORACLE = """
+SELECT
+  (SELECT COUNT(*) FROM (SELECT l_partkey FROM lineitem
+                         EXCEPT ALL SELECT p_partkey FROM part)) AS except_all_rows,
+  (SELECT COUNT(*) FROM (SELECT l_partkey FROM lineitem
+                         INTERSECT ALL SELECT p_partkey FROM part)) AS intersect_all_rows
+"""
+
+
+@query("multiset_set_ops", _EXCEPT_ALL_ORACLE)
+def multiset_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL / INTERSECT ALL (bag semantics: occurrence
+    counts subtract/min instead of collapsing to distinct)."""
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))
+    ex = li.exceptAll(p).agg(F.count(F.lit(1)).alias("except_all_rows"))
+    inter = li.intersectAll(p).agg(
+        F.count(F.lit(1)).alias("intersect_all_rows")
+    )
+    return ex.crossJoin(inter)
+
+
+_POSEXPLODE_ORACLE = r"""
+WITH d AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id < 50),
+e AS (SELECT doc_id,
+             unnest([{'pos': i - 1, 'tok': toks[i]}
+                     for i in generate_series(1, len(toks))]) AS u
+      FROM d)
+SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.tok AS tok FROM e
+"""
+
+
+@query("posexplode_tokens", _POSEXPLODE_ORACLE)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/table-function surface: posexplode tokens with ordinal."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "tok")
