@@ -2074,3 +2074,70 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "tok")
     ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "tok")
+
+
+# ---- SimHash near-dup pairs (banded + Hamming-verified), oracled ----
+
+
+def _simhash_pairs_oracle(nibbles: int = 15, band_nibbles: int = 4, max_h: int = 8) -> str:
+    hexs = "0123456789abcdef"
+    # simhash expression over CTE columns th (token-hash list) / nt (count)
+    nib_exprs = []
+    for p in range(nibbles):
+        bits = []
+        for j in (3, 2, 1, 0):
+            ones = (
+                f"len(list_filter(th, h -> "
+                f"(((strpos('{hexs}', substring(h, {p + 1}, 1)) - 1) >> {j}) & 1) = 1))"
+            )
+            bits.append(f"(CASE WHEN 2 * {ones} > nt THEN 1 ELSE 0 END)")
+        nib = f"({bits[0]}*8 + {bits[1]}*4 + {bits[2]}*2 + {bits[3]})"
+        nib_exprs.append(f"substring('{hexs}', {nib} + 1, 1)")
+    sh_expr = " || ".join(nib_exprs)
+    n_bands = nibbles // band_nibbles
+    hamming = " + ".join(
+        f"bit_count(xor(strpos('{hexs}', substring(sha, {p + 1}, 1)) - 1, "
+        f"strpos('{hexs}', substring(shb, {p + 1}, 1)) - 1))"
+        for p in range(nibbles)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzz extra' FROM documents WHERE doc_id < 25),
+t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM docs),
+h AS (
+  SELECT doc_id, [substring(md5(x), 1, {nibbles}) for x in toks] AS th,
+         len(toks) AS nt
+  FROM t),
+s AS (SELECT doc_id, {sh_expr} AS sh FROM h),
+bands AS (
+  SELECT doc_id, sh, gs.b AS band, substring(sh, gs.b * {band_nibbles} + 1, {band_nibbles}) AS bk
+  FROM s CROSS JOIN generate_series(0, {n_bands - 1}) AS gs(b)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.sh AS sha, r.sh AS shb
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bk = r.bk AND l.doc_id < r.doc_id),
+scored AS (
+  SELECT id_a, id_b, CAST({hamming} AS BIGINT) AS hamming FROM cand)
+SELECT id_a, id_b, hamming FROM scored WHERE hamming <= {max_h}
+"""
+
+
+@query("simhash_near_dup_pairs", _simhash_pairs_oracle())
+def simhash_near_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over the corpus + 25 planted near-dups:
+    banded hex-prefix blocking, full Hamming verification <= 8 bits. The
+    oracle replays the identical bit table in SQL."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
+    )
+    corpus = d.unionAll(planted)
+    out = dedup.simhash_near_dup_pairs(
+        corpus, "doc_id", "text", max_hamming=8, nibbles=15, band_nibbles=4
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
