@@ -102,3 +102,40 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def signup_followups_stream(
+    signups: DataFrame,
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: events within ``within`` after a signup by
+    the same user — the streaming twin of the batch range join
+    (catalog.range_join_signup_followups). Both sides carry watermarks and
+    the join condition bounds event time on both ends, so each side's
+    buffered state is watermark+window bounded.
+    """
+    s = (
+        signups.withWatermark(ts_col, watermark)
+        .select(
+            F.col("event_id").alias("s_event_id"),
+            F.col(user_col).alias("s_user_id"),
+            F.col(ts_col).alias("s_ts"),
+        )
+    )
+    e = events.withWatermark(ts_col, watermark).select(
+        F.col("event_id").alias("e_event_id"),
+        F.col(user_col).alias("e_user_id"),
+        F.col(ts_col).alias("e_ts"),
+    )
+    return s.join(
+        e,
+        (F.col("e_user_id") == F.col("s_user_id"))
+        & (F.col("e_ts") > F.col("s_ts"))
+        & (F.col("e_ts") <= F.col("s_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    )

@@ -228,3 +228,55 @@ def test_stateful_user_totals_accumulate_across_batches(spark, tmp_path):
         latest[r.user_id] = (r.n_events, r.value_sum)
     assert latest[7] == (3, 17.5)  # 2 events run1 + 1 event run2
     assert latest[8] == (1, 1.0)
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, tmp_path):
+    """Stream-stream time-bounded join must agree with the batch range
+    join on the same bounded input."""
+    rows = _event_rows()
+    df = spark.createDataFrame(rows, SCHEMA)
+    src = str(tmp_path / "ss_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    signups = stream.filter("event_type = 'view'")  # fixture has no signup
+    joined = stream_events.signup_followups_stream(
+        signups, stream, within="1 hour", watermark="10 hours"
+    )
+    name = "ss_sink"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.s_event_id, r.e_event_id)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    import pyspark.sql.functions as F
+
+    s = df.filter("event_type = 'view'").select(
+        F.col("event_id").alias("s_event_id"),
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    e = df.select(
+        F.col("event_id").alias("e_event_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    expect = {
+        (r.s_event_id, r.e_event_id)
+        for r in s.join(
+            e,
+            (F.col("e_user_id") == F.col("s_user_id"))
+            & (F.col("e_ts") > F.col("s_ts"))
+            & (F.col("e_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == expect and len(expect) > 0
