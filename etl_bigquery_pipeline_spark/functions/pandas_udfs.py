@@ -59,3 +59,38 @@ def with_udf_cosine(
             F.col(vec_col).cast("array<double>"), q
         ),
     )
+
+
+def trimmed_mean_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    trim_frac: float = 0.1,
+) -> DataFrame:
+    """Custom grouped aggregate (UDAF shape) via applyInPandas: per-group
+    trimmed mean — drop the top/bottom ``trim_frac`` before averaging.
+
+    Not expressible as a single built-in aggregate; the group's rows
+    arrive as one Arrow-backed pandas frame. Scale note: a group must fit
+    in executor memory — use only on bounded-cardinality groups, and
+    pre-aggregate or sample upstream when a group can be huge.
+    """
+    import math
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].sort_values().to_numpy()
+        k = math.floor(len(v) * trim_frac)
+        kept = v[k : len(v) - k] if len(v) > 2 * k else v
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "trimmed_mean": [float(kept.mean())],
+                "n_used": [len(kept)],
+                "n_total": [len(v)],
+            }
+        )
+
+    return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
+        agg, f"{group_col} string, trimmed_mean double, n_used long, n_total long"
+    )

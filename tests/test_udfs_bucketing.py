@@ -84,3 +84,35 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_applyinpandas_trimmed_mean(spark):
+    rows = [("a", float(v)) for v in range(1, 11)] + [("a", 1000.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r.g: r
+        for r in pandas_udfs.trimmed_mean_by_group(
+            df, "g", "v", trim_frac=0.1
+        ).collect()
+    }
+    # group a: 11 values, trim 1 from each end -> 2..10 -> mean 6.0
+    assert out["a"].trimmed_mean == 6.0
+    assert out["a"].n_used == 9 and out["a"].n_total == 11
+    assert out["b"].trimmed_mean == 5.0  # too small to trim
+
+
+def test_python_udtf_surface(spark):
+    """UDTF (table function) surface: one input row -> many output rows."""
+    from pyspark.sql.functions import udtf, lit
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield w, i
+
+    spark.udtf.register("split_words", SplitWords)
+    rows = spark.sql(
+        "SELECT * FROM split_words('the quick fox')"
+    ).collect()
+    assert [(r.word, r.pos) for r in rows] == [("the", 0), ("quick", 1), ("fox", 2)]
