@@ -116,3 +116,37 @@ def test_python_udtf_surface(spark):
         "SELECT * FROM split_words('the quick fox')"
     ).collect()
     assert [(r.word, r.pos) for r in rows] == [("the", 0), ("quick", 1), ("fox", 2)]
+
+
+def test_cogrouped_applyinpandas(spark):
+    """Cogrouped map: per-key alignment of two frames in pandas — the
+    escape hatch for per-entity reconciliation logic."""
+    import pandas as pd
+
+    orders = spark.createDataFrame(
+        [(1, 100.0), (2, 50.0)], "k long, ordered double"
+    )
+    payments = spark.createDataFrame(
+        [(1, 60.0), (1, 40.0), (3, 10.0)], "k long, paid double"
+    )
+
+    def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        k = left["k"].iloc[0] if len(left) else right["k"].iloc[0]
+        return pd.DataFrame(
+            {
+                "k": [k],
+                "ordered": [float(left["ordered"].sum())],
+                "paid": [float(right["paid"].sum())],
+            }
+        )
+
+    out = {
+        r.k: (r.ordered, r.paid)
+        for r in orders.groupBy("k")
+        .cogroup(payments.groupBy("k"))
+        .applyInPandas(reconcile, "k long, ordered double, paid double")
+        .collect()
+    }
+    assert out[1] == (100.0, 100.0)
+    assert out[2] == (50.0, 0.0)
+    assert out[3] == (0.0, 10.0)
