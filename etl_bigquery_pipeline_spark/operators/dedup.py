@@ -63,17 +63,6 @@ def dedup_exact_text(
 # -------------------------------------------------------------- minhash ---
 
 
-def _minhash_expr(shingle_array: Column, seed: int, width: int = 16) -> Column:
-    """One MinHash value: min over shingles of the first ``width`` hex chars
-    of md5(seed:shingle). Min over fixed-width lowercase hex == min over the
-    corresponding unsigned ints, with no engine-specific hex->int cast."""
-    hashed = F.transform(
-        shingle_array,
-        lambda s: F.substring(F.md5(F.concat(F.lit(f"{seed}:"), s)), 1, width),
-    )
-    return F.array_min(hashed)
-
-
 def _signatures_from_shingles(
     sh_df: DataFrame,
     id_col: str,
