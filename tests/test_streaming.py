@@ -280,3 +280,33 @@ def test_stream_stream_join_matches_batch_range_join(spark, tmp_path):
         ).collect()
     }
     assert got == expect and len(expect) > 0
+
+
+def test_streaming_with_rocksdb_state_store(spark, tmp_path):
+    """State at scale: the RocksDB state store provider (spillable,
+    incremental-checkpoint) must run the same windowed aggregate. At 100 TB
+    stream state, the default in-memory HDFS-backed store OOMs; RocksDB is
+    the production choice — this pins that it works in this engine."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src, batch_df = _write_stream_source(spark, tmp_path)
+        stream_df = spark.readStream.schema(SCHEMA).parquet(src)
+        agg = stream_events.tumbling_counts_stream(
+            stream_df, window="1 hour", watermark="2 hours"
+        )
+        got = stream_events.run_available_now(
+            agg, checkpoint=str(tmp_path / "ckpt_rocks")
+        )
+        expect = windows.tumbling_agg(batch_df, unit="hour").count()
+        assert len(got) == expect
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
