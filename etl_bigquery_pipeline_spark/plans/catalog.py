@@ -2141,3 +2141,32 @@ def simhash_near_dup_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "doc_id", "text", max_hamming=8, nibbles=15, band_nibbles=4
     )
     return out.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+# ---- pipeline summary: the whole reference shape in one statement ----
+
+_PIPELINE_SUMMARY_ORACLE = """
+SELECT
+  (SELECT COUNT(*) FROM lineitem) AS fact_rows,
+  (SELECT COUNT(*) FROM part)     AS dim_rows,
+  (SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+   FROM lineitem) AS net_revenue,
+  (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+   WHERE p.p_partkey IS NULL) AS orphan_rows,
+  (SELECT COUNT(*) FILTER (WHERE l_quantity IS NULL OR l_extendedprice IS NULL)
+   FROM lineitem) AS null_violations,
+  (SELECT COUNT(*) FROM (SELECT 1 AS x FROM lineitem
+   GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)) AS dup_key_groups,
+  (SELECT COUNT(*) FILTER (WHERE l_quantity < 0 OR l_extendedprice < 0)
+   FROM lineitem) AS range_violations
+"""
+
+
+@query("pipeline_summary", _PIPELINE_SUMMARY_ORACLE)
+def pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline's full shape as one summary row: load
+    counts, revenue rollup, and every DQ dimension (nulls, dup keys,
+    orphans, ranges) — the statement a scheduler would alert on."""
+    for name in ("lineitem", "part"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_PIPELINE_SUMMARY_ORACLE)
