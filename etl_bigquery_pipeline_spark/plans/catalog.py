@@ -2170,3 +2170,30 @@ def pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("lineitem", "part"):
         _t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_PIPELINE_SUMMARY_ORACLE)
+
+
+# ---- correlated subqueries (EXISTS / NOT EXISTS / IN) ----
+
+_CORRELATED_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM orders o
+   WHERE EXISTS (SELECT 1 FROM lineitem l
+                 WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45))
+      AS orders_with_bulk_line,
+  (SELECT COUNT(*) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45))
+      AS orders_without_bulk_line,
+  (SELECT COUNT(*) FROM part
+   WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_discount > 0.09))
+      AS parts_sold_at_deep_discount
+"""
+
+
+@query("correlated_subqueries", _CORRELATED_SQL)
+def correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS / IN predicates — Catalyst rewrites
+    them to semi/anti joins (identical SQL text runs on the oracle)."""
+    for name in ("orders", "lineitem", "part"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_CORRELATED_SQL)
