@@ -1,0 +1,77 @@
+"""Sampling & ID-assignment operators for training-data curation.
+
+Corpus curation constantly needs: reproducible holdout splits, per-stratum
+downsampling (e.g., cap each language/source at a quota), and stable row
+ids. All of these have sharp edges at scale:
+
+- df.sample/randomSplit are seed-deterministic but *partitioning-
+  dependent* — stable only while the upstream plan (and its splits) stays
+  fixed. For splits that must survive re-partitioning, use
+  ``hash_split``: membership is a pure function of a key column.
+- monotonically_increasing_id() is partition-dependent and not stable
+  across runs; ``with_stable_ids`` derives ids from a declared total
+  order instead (one global sort — pay it once at ingest, then persist).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    *,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Partition-independent split assignment: bucket = md5(salt:key) mod
+    10_000 mapped onto cumulative weight ranges. Same key -> same split,
+    on any cluster, any partitioning, any engine with md5."""
+    total = sum(weights.values())
+    acc = 0.0
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    expr = None
+    for name, w in weights.items():
+        acc += w / total * 10000
+        cond = bucket < F.lit(int(round(acc)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = list(weights)[-1]
+    return df.withColumn("split", expr.otherwise(F.lit(last)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (sampleBy): cap over-represented
+    languages/sources at a fraction. One pass, no shuffle."""
+    return df.sampleBy(stratum_col, fractions, seed)
+
+
+def with_stable_ids(
+    df: DataFrame,
+    order_by: list[str],
+    *,
+    id_col: str = "row_id",
+) -> DataFrame:
+    """Assign dense 0-based ids by a declared total order.
+
+    One global sort (single-partition window) — correct and reproducible;
+    meant for ingest-time assignment that is then persisted. For
+    assign-on-read at extreme scale, prefer hash-derived keys
+    (md5 of a natural key) over positional ids.
+    """
+    w = Window.orderBy(*order_by)
+    return df.withColumn(id_col, F.row_number().over(w).cast("bigint") - 1)

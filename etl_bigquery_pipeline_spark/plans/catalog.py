@@ -2197,3 +2197,44 @@ def correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("orders", "lineitem", "part"):
         _t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_CORRELATED_SQL)
+
+
+# ---- reproducible train/val/test split (md5-bucketed, oracled) ----
+
+
+def _split_oracle() -> str:
+    # hex -> int arithmetically (DuckDB has no conv()): sum of nibble*16^k
+    hexs = "0123456789abcdef"
+    terms = " + ".join(
+        f"(strpos('{hexs}', substring(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+  FROM documents),
+v AS (SELECT doc_id, ({terms}) % 10000 AS bucket FROM b),
+s AS (
+  SELECT doc_id,
+         CASE WHEN bucket < 8000 THEN 'train'
+              WHEN bucket < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM v)
+SELECT split, COUNT(*) AS n_docs FROM s GROUP BY split
+"""
+
+
+@query("train_val_test_split", _split_oracle())
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 split via md5 key-bucketing
+    (operators/sampling.hash_split): membership is a pure function of
+    doc_id — stable under any partitioning, any cluster size, any engine
+    (the oracle recomputes the same buckets)."""
+    from etl_bigquery_pipeline_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.hash_split(
+        d, "doc_id", weights={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))

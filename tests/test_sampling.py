@@ -1,0 +1,66 @@
+"""Sampling/split/ID operators: determinism and distribution contracts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_bigquery_pipeline_spark.operators import sampling
+
+
+def test_hash_split_is_partition_independent(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(d, "doc_id", weights=w).collect()
+    }
+    b = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(
+            d.repartition(13), "doc_id", weights=w
+        ).collect()
+    }
+    assert a == b  # identical assignment under any partitioning
+    n = len(a)
+    train_frac = sum(1 for v in a.values() if v == "train") / n
+    assert 0.7 < train_frac < 0.9
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+def test_stratified_sample_respects_fractions(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sampling.stratified_sample(
+        d, "lang", {"en": 1.0, "es": 0.0, "de": 0.5, "fr": 0.5, "zh": 0.5},
+        seed=7,
+    )
+    counts = {r.lang: r.c for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    orig = {r.lang: r.c for r in d.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert counts.get("es") is None  # fraction 0 -> dropped entirely
+    assert counts["en"] == orig["en"]  # fraction 1 -> kept entirely
+    # deterministic with the same seed
+    again = sampling.stratified_sample(
+        d, "lang", {"en": 1.0, "es": 0.0, "de": 0.5, "fr": 0.5, "zh": 0.5},
+        seed=7,
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_with_stable_ids_dense_and_ordered(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/part.parquet")
+    out = sampling.with_stable_ids(d, ["p_partkey"], id_col="rid").collect()
+    ids = [r.rid for r in sorted(out, key=lambda r: r.p_partkey)]
+    assert ids == list(range(len(out)))  # dense, 0-based, order-aligned
+
+
+def test_writer_max_records_per_file(spark, tmp_path):
+    """Output hygiene: bound file sizes so downstream scans see uniform
+    splits (a 100 TB table of 10 GB files is unschedulable)."""
+    import os
+
+    df = spark.range(1000).coalesce(1)
+    out = str(tmp_path / "bounded")
+    df.write.option("maxRecordsPerFile", 100).parquet(out)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 10
