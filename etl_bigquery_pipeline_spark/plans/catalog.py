@@ -2238,3 +2238,45 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", weights={"train": 0.8, "val": 0.1, "test": 0.1}
     )
     return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---- sequence packing into token budgets (oracled, global order) ----
+
+_PACKING_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t),
+p AS (
+  SELECT doc_id, n_tok,
+         CAST(FLOOR((cum - n_tok) / 2048) AS BIGINT) AS pack_id
+  FROM c)
+SELECT pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+FROM p GROUP BY pack_id
+"""
+
+
+@query("token_budget_packing", _PACKING_ORACLE)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 2048-token training sequences (streaming
+    packing over doc_id order) and report per-pack fill. The parallel
+    bucketed variant (operators/packing.packed) shares the semantics;
+    this global form is the oracle-checkable reference."""
+    from etl_bigquery_pipeline_spark.operators import packing
+    from etl_bigquery_pipeline_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tok")
+    )
+    out = packing.pack_global(
+        d, size_col="n_tok", order_by=["doc_id"], budget=2048
+    )
+    return out.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("pack_tokens"),
+    )

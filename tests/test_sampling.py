@@ -64,3 +64,26 @@ def test_writer_max_records_per_file(spark, tmp_path):
     df.write.option("maxRecordsPerFile", 100).parquet(out)
     files = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert len(files) == 10
+
+
+def test_parallel_packing_fill_rate(spark, sf_dir):
+    """Bucketed parallel packing: every pack stays under budget + one doc
+    overflow, and fill rate is reasonable."""
+    from etl_bigquery_pipeline_spark.operators import packing
+    from etl_bigquery_pipeline_spark.functions.text import token_count
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", token_count("text").alias("n_tok")
+    )
+    out = packing.packed(
+        d, size_col="n_tok", order_by=["doc_id"], budget=512, buckets=8
+    )
+    stats = (
+        out.groupBy("pack_id")
+        .agg(F.sum("n_tok").alias("tok"), F.max("n_tok").alias("mx"))
+        .collect()
+    )
+    # a pack can exceed budget by at most its last document
+    assert all(r.tok < 512 + r.mx for r in stats)
+    # docs are never split/lost
+    assert out.count() == d.count()
