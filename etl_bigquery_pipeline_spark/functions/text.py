@@ -125,3 +125,38 @@ def lang_guess(col: Column | str) -> Column:
             # keep the higher score; on ties keep the alphabetically first
             best = F.when(entry["score"] > best["score"], entry).otherwise(best)
     return best["lang"]
+
+
+def token_chunks(
+    col: Column | str, *, chunk_tokens: int = 64, overlap: int = 16
+) -> Column:
+    """Split a document into overlapping fixed-token-window chunks ->
+    array<struct<chunk_idx int, chunk string, n_tokens int>>.
+
+    Stride = chunk_tokens - overlap; the final chunk may be short. The
+    chunking a training/RAG pipeline runs before tokenization — pure
+    JVM higher-order functions, exploded downstream into one row per
+    chunk.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(col)
+    n = F.size(toks)
+    # starts: 0, stride, 2*stride ... while start < n (at least one chunk)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.array_join(
+                F.slice(toks, i * stride + 1, chunk_tokens), " "
+            ).alias("chunk"),
+            F.least(n - i * stride, F.lit(chunk_tokens))
+            .cast("int")
+            .alias("n_tokens"),
+        ),
+    )

@@ -2280,3 +2280,42 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("pack_tokens"),
     )
+
+
+# ---- document chunking (fixed token windows with overlap), oracled ----
+
+_CHUNK_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+n AS (
+  SELECT doc_id, toks, len(toks) AS nt,
+         greatest(CAST(ceil((len(toks) - 16) / 48.0) AS INT), 1) AS n_chunks
+  FROM t),
+c AS (
+  SELECT doc_id,
+         unnest([{'chunk_idx': i,
+                  'chunk': array_to_string(toks[i*48 + 1 : i*48 + 64], ' '),
+                  'n_tokens': least(nt - i*48, 64)}
+                 for i in generate_series(0, n_chunks - 1)]) AS u
+  FROM n)
+SELECT doc_id, CAST(u.chunk_idx AS INT) AS chunk_idx, u.chunk AS chunk,
+       CAST(u.n_tokens AS INT) AS n_tokens
+FROM c
+"""
+
+
+@query("document_chunks", _CHUNK_ORACLE)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk documents into 64-token windows with 16-token overlap
+    (stride 48) — one output row per chunk. The pre-tokenization step of
+    a training/RAG pipeline; pure projection + explode, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = TX.token_chunks("text", chunk_tokens=64, overlap=16)
+    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk").alias("chunk"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
