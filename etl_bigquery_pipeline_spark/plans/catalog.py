@@ -2319,3 +2319,133 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.chunk").alias("chunk"),
         F.col("c.n_tokens").alias("n_tokens"),
     )
+
+
+# ---- PII redaction & repetition (quality-filter) statistics ----
+
+_PII_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact bob@example.com or +1-555-123-4567 via https://ex.com/x' AS text
+  FROM documents WHERE doc_id < 100),
+r AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g'),
+           '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+  FROM d)
+SELECT doc_id,
+       CAST(length(redacted) - length(replace(redacted, '<EMAIL>', substring('<EMAIL>', 2))) AS BIGINT) AS n_emails,
+       CAST(length(redacted) - length(replace(redacted, '<URL>', substring('<URL>', 2))) AS BIGINT) AS n_urls,
+       CAST(length(redacted) - length(replace(redacted, '<PHONE>', substring('<PHONE>', 2))) AS BIGINT) AS n_phones,
+       md5(redacted) AS redacted_hash
+FROM r
+"""
+
+
+@query("pii_redaction", _PII_ORACLE)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails/URLs/phones replaced with typed placeholders
+    (planted PII, since the corpus has none). Counts derive from the
+    length delta per placeholder; the md5 of the redacted text pins the
+    exact output. Chained regexp_replace — one codegen'd pass."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact bob@example.com or +1-555-123-4567 via https://ex.com/x"),
+            ).alias("text"),
+        )
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("text"),
+                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                "<EMAIL>",
+            ),
+            r"https?://[^\s]+",
+            "<URL>",
+        ),
+        r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+        "<PHONE>",
+    )
+
+    def count_marker(marker: str) -> Column:
+        # occurrences = length delta when dropping one char per marker
+        return (
+            F.length(F.col("redacted"))
+            - F.length(F.replace(F.col("redacted"), F.lit(marker), F.lit(marker[1:])))
+        ).cast("bigint")
+
+    return d.withColumn("redacted", redacted).select(
+        "doc_id",
+        count_marker("<EMAIL>").alias("n_emails"),
+        count_marker("<URL>").alias("n_urls"),
+        count_marker("<PHONE>").alias("n_phones"),
+        F.md5("redacted").alias("redacted_hash"),
+    )
+
+
+_REPETITION_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         [array_to_string(toks[i:i+1], ' ')
+          for i in generate_series(1, greatest(len(toks) - 1, 1))] AS bigrams
+  FROM t),
+m AS (
+  SELECT doc_id, n_tok, n_distinct, len(bigrams) AS n_bigrams,
+         (SELECT max(cnt) FROM (
+            SELECT COUNT(*) AS cnt FROM unnest(g.bigrams) AS u(b) GROUP BY u.b)) AS max_bigram
+  FROM g)
+SELECT doc_id,
+       round(n_distinct / greatest(n_tok, 1), 6) AS distinct_token_ratio,
+       round(max_bigram / greatest(n_bigrams, 1), 6) AS top_bigram_frac
+FROM m
+"""
+
+
+@query("repetition_stats", _REPETITION_ORACLE)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: distinct-token ratio and the
+    fraction held by the most frequent bigram — the standard
+    boilerplate/spam signals for corpus filtering."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.lower(F.col("text")))
+    bigrams = TX.ngrams(F.lower(F.col("text")), 2)
+    # most-frequent-bigram count via aggregate over the distinct bigrams
+    def max_count(arr: Column) -> Column:
+        distinct = F.array_distinct(arr)
+        counts = F.transform(
+            distinct,
+            lambda b: F.size(F.filter(arr, lambda x: x == b)),
+        )
+        return F.array_max(counts)
+
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        bigrams.alias("__bg"),
+    )
+    return base.select(
+        "doc_id",
+        F.round(
+            F.col("n_distinct") / F.greatest(F.col("n_tok"), F.lit(1)), 6
+        ).alias("distinct_token_ratio"),
+        F.round(
+            max_count(F.col("__bg"))
+            / F.greatest(F.size("__bg"), F.lit(1)),
+            6,
+        ).alias("top_bigram_frac"),
+    )
