@@ -2423,29 +2423,27 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = TX.tokens(F.lower(F.col("text")))
     bigrams = TX.ngrams(F.lower(F.col("text")), 2)
-    # most-frequent-bigram count via aggregate over the distinct bigrams
-    def max_count(arr: Column) -> Column:
-        distinct = F.array_distinct(arr)
-        counts = F.transform(
-            distinct,
-            lambda b: F.size(F.filter(arr, lambda x: x == b)),
-        )
-        return F.array_max(counts)
-
     base = d.select(
         "doc_id",
         F.size(toks).alias("n_tok"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
         bigrams.alias("__bg"),
     )
-    return base.select(
+    # linear formulation: explode -> per-(doc,bigram) counts -> per-doc max
+    # (an in-array nested count would be quadratic in document length)
+    max_bigram = (
+        base.select("doc_id", F.explode("__bg").alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bigram"))
+    )
+    return base.join(max_bigram, "doc_id").select(
         "doc_id",
         F.round(
             F.col("n_distinct") / F.greatest(F.col("n_tok"), F.lit(1)), 6
         ).alias("distinct_token_ratio"),
         F.round(
-            max_count(F.col("__bg"))
-            / F.greatest(F.size("__bg"), F.lit(1)),
-            6,
+            F.col("max_bigram") / F.greatest(F.size("__bg"), F.lit(1)), 6
         ).alias("top_bigram_frac"),
     )
