@@ -181,9 +181,16 @@ def minhash_near_dup_pairs(
     This is the scale path: the only shuffles are the band-key join and the
     candidate-pair distinct; no all-pairs product ever materializes.
     """
-    sh_df = df.select(
-        F.col(id_col), shingles(text_col, shingle_n).alias("__sh")
-    ).cache()
+    # Repartition BEFORE shingling: small inputs arrive as one file split,
+    # and shingling + the md5 signature pack downstream are the dominant
+    # cost — they must run across the executors, not one task (explicit
+    # count so AQE doesn't coalesce the compute stage).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh_df = (
+        df.repartition(par, F.col(id_col))
+        .select(F.col(id_col), shingles(text_col, shingle_n).alias("__sh"))
+        .cache()
+    )
     sig = _signatures_from_shingles(sh_df, id_col, "__sh", num_hashes).select(
         id_col, "signature"
     )
@@ -244,12 +251,28 @@ def ngram_jaccard_pairs(
     hash join touching only ~2×n×width/width candidate rows.
 
     Per-pair cost: shingle strings are pre-hashed to int64 (xxhash64) once
-    per document, so every pairwise intersection compares longs instead of
-    re-hashing strings. Jaccard depends only on set sizes, which an
+    per document, so intersections compare longs instead of re-hashing
+    strings. Jaccard depends only on set sizes, which an
     injective-in-practice 64-bit hash preserves (collision odds per pair
     ~|a|·|b|/2^64 — vanishing).
+
+    Shuffle note: the default path does NOT ship shingle arrays to every
+    candidate pair (n×block_width array copies — the dominant cost of the
+    naive plan). It explodes each document's shingle set once and
+    equi-joins on (bucket, shingle_hash): only co-occurring shingles meet,
+    a groupBy counts |a∩b| per pair, and a join with the per-doc set
+    sizes (AQE broadcasts it when small) finishes
+    jaccard = c / (|a|+|b|-c). Pairs sharing zero
+    shingles never materialize — correct for any threshold > 0 (their
+    similarity is exactly 0); for threshold <= 0 or a custom ``block``
+    predicate the pairwise array-intersect plan is used instead.
     """
-    sh = df.select(
+    # Shingling + hashing dominates the whole pipeline, and small inputs
+    # arrive as one file split — spread rows across the executors BEFORE
+    # the expensive projection (explicit count: AQE must not coalesce the
+    # compute stage back down to the input's partition count).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par, F.col(id_col)).select(
         F.col(id_col),
         F.array_distinct(
             F.transform(
@@ -257,30 +280,79 @@ def ngram_jaccard_pairs(
             )
         ).alias("__sh"),
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
-    sim = F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6).alias(
-        "jaccard_sim"
-    )
-    if block is not None:
-        joined = a.join(b, (F.col("id_a") < F.col("id_b")) & block)
-    else:
-        a_k = a.withColumn("__bk", F.floor(F.col("id_a") / block_width))
-        b_k = b.withColumn(
-            "__bk",
-            F.explode(
-                F.array(
-                    F.floor(F.col("id_b") / block_width),
-                    F.floor(F.col("id_b") / block_width) - 1,
-                )
-            ),
+    if block is not None or threshold <= 0:
+        a = sh.select(
+            F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")
         )
-        joined = a_k.join(b_k, "__bk").filter(
+        b = sh.select(
+            F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b")
+        )
+        sim = F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6).alias(
+            "jaccard_sim"
+        )
+        if block is not None:
+            joined = a.join(b, (F.col("id_a") < F.col("id_b")) & block)
+        else:
+            a_k = a.withColumn("__bk", F.floor(F.col("id_a") / block_width))
+            b_k = b.withColumn(
+                "__bk",
+                F.explode(
+                    F.array(
+                        F.floor(F.col("id_b") / block_width),
+                        F.floor(F.col("id_b") / block_width) - 1,
+                    )
+                ),
+            )
+            joined = a_k.join(b_k, "__bk").filter(
+                (F.col("id_a") < F.col("id_b"))
+                & ((F.col("id_b") - F.col("id_a")) <= block_width)
+            )
+        return joined.select("id_a", "id_b", sim).filter(
+            F.col("jaccard_sim") >= threshold
+        )
+
+    sizes = sh.select(
+        F.col(id_col).alias("__sid"), F.size("__sh").alias("__n")
+    )
+    tok = sh.select(F.col(id_col), F.explode("__sh").alias("__h"))
+    a_t = tok.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__h"),
+        F.floor(F.col(id_col) / block_width).alias("__bk"),
+    )
+    b_t = tok.select(F.col(id_col).alias("id_b"), F.col("__h")).withColumn(
+        "__bk",
+        F.explode(
+            F.array(
+                F.floor(F.col("id_b") / block_width),
+                F.floor(F.col("id_b") / block_width) - 1,
+            )
+        ),
+    )
+    common = (
+        a_t.join(b_t, ["__bk", "__h"])
+        .filter(
             (F.col("id_a") < F.col("id_b"))
             & ((F.col("id_b") - F.col("id_a")) <= block_width)
         )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    inter = F.col("__c").cast("double")
+    sim = F.round(
+        inter / (F.col("__na") + F.col("__nb") - inter).cast("double"), 6
+    ).alias("jaccard_sim")
     return (
-        joined.select("id_a", "id_b", sim)
+        common.join(
+            sizes.select(F.col("__sid"), F.col("__n").alias("__na")),
+            F.col("id_a") == F.col("__sid"),
+        )
+        .drop("__sid")
+        .join(
+            sizes.select(F.col("__sid"), F.col("__n").alias("__nb")),
+            F.col("id_b") == F.col("__sid"),
+        )
+        .select("id_a", "id_b", sim)
         .filter(F.col("jaccard_sim") >= threshold)
     )
 
@@ -408,8 +480,14 @@ def simhash_near_dup_pairs(
     pairs within ~(bands-1) nibble corruptions; candidates join on a short
     string key, so the plan scales like MinHash-LSH.
     """
+    # Spread rows before fingerprinting: the md5-per-token bit-counter
+    # aggregate is the expensive stage and small inputs arrive as one
+    # file split (explicit count so AQE can't coalesce it away).
+    par = df.sparkSession.sparkContext.defaultParallelism
     sh = with_simhash(
-        df.select(F.col(id_col), F.col(text_col)),
+        df.select(F.col(id_col), F.col(text_col)).repartition(
+            par, F.col(id_col)
+        ),
         text_col,
         out_col="__sh",
         nibbles=nibbles,
@@ -439,7 +517,10 @@ def simhash_near_dup_pairs(
         )
         .distinct()
     )
-    return cands.select(
+    # The nibble-wise Hamming verify is ~60 conv/bitcount ops per pair;
+    # AQE coalesces the small post-distinct shuffle to a couple of tasks,
+    # serializing that CPU — force the verify stage wide again.
+    return cands.repartition(par, F.col("id_a"), F.col("id_b")).select(
         "id_a",
         "id_b",
         simhash_hamming(F.col("__sh_a"), F.col("__sh_b"), nibbles=nibbles).alias(
