@@ -310,3 +310,78 @@ def test_streaming_with_rocksdb_state_store(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_tws_user_totals_accumulate_across_batches(spark, tmp_path):
+    """transformWithStateInPandas: ValueState totals and MapState type
+    counts must carry across micro-batches AND across query restarts
+    (checkpoint-restored state), matching the applyInPandasWithState
+    operator's semantics on the same input.
+
+    Requires google.protobuf (the TWS state-server protocol; bundled with
+    standard Spark distros, absent in this container) and the RocksDB
+    state store provider."""
+    import os
+
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from etl_bigquery_pipeline_spark.streaming import tws
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "tws_src")
+    out_dir = str(tmp_path / "tws_out")
+    ckpt = str(tmp_path / "tws_ckpt")
+    os.makedirs(src)
+
+    def run_once():
+        stream = tws.user_totals_tws(
+            spark.readStream.schema(SCHEMA).parquet(src)
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        spark.createDataFrame(
+            [(1, base, 7, "view", 10.0), (2, base, 7, "click", 5.0),
+             (3, base, 8, "view", 1.0)],
+            SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_once()
+
+        spark.createDataFrame(
+            [(4, base + dt.timedelta(minutes=1), 7, "view", 2.5)], SCHEMA
+        ).coalesce(1).write.mode("append").parquet(src)
+        run_once()  # restart: state restored from checkpoint
+
+        rows = spark.read.parquet(out_dir).collect()
+        latest = {}
+        for r in sorted(rows, key=lambda r: r.n_events):
+            latest[r.user_id] = (r.n_events, r.value_sum, r.type_counts)
+        assert latest[7] == (3, 17.5, "click:1,view:2")
+        assert latest[8] == (1, 1.0, "view:1")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
