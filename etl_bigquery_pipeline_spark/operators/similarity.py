@@ -44,7 +44,12 @@ def cosine_topk(
     tie-break, so results are total-ordered and engine-reproducible.
     """
     # norms are per-vector, not per-pair: compute them in the pre-join
-    # projections (once per row) so each pair costs one dot product
+    # projections (once per row) so each pair costs one dot product.
+    # Repartition the corpus before scoring: small inputs arrive as one
+    # file split and the per-pair dot products would run single-task
+    # (explicit count so AQE keeps the stage wide).
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    corpus = corpus.repartition(par, F.col(id_col))
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qvec"),
@@ -135,7 +140,11 @@ def lsh_cosine_topk(
     corpus shuffle happens at all.
     """
     bucket = lambda d: hyperplane_bucket(vec_col, dim=dim, bits=bits, seed=seed)  # noqa: E731
-    c = corpus.select(
+    # bits x dim dot products per corpus row for the bucket code — spread
+    # the scan before computing (one-split small inputs otherwise
+    # serialize the whole projection).
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         norm(vec_col).alias("__cnorm"),
@@ -185,7 +194,11 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join: pairs in the
     same hyperplane bucket with cosine >= threshold (id_a < id_b)."""
-    b = df.select(
+    # Spread rows before the bucket-code projection (see lsh_cosine_topk);
+    # the identical repartition exchange under both self-join sides is
+    # computed once (ReusedExchange).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    b = df.repartition(par, F.col(id_col)).select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
         norm(vec_col).alias("__norm"),
