@@ -2447,3 +2447,105 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_bigram") / F.greatest(F.size("__bg"), F.lit(1)), 6
         ).alias("top_bigram_frac"),
     )
+
+
+# ---- composite curation decision (C4/Gopher-style keep/drop) ----
+
+_CURATION_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS rtoks,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         round(CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.4 ELSE 0.0 END
+               + least(len(list_filter(rtoks, x -> list_contains(['the','a','of','and','to'], lower(x))))
+                       / greatest(len(rtoks), 1) * 4.0, 1.0) * 0.4
+               + 0.2
+               - least((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                       / greatest(length(text), 1) * 2.0, 0.2), 4) AS quality,
+         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp,
+         len(toks) AS n_tok,
+         round(len(list_distinct(toks)) / greatest(len(toks), 1), 6) AS dtr,
+         [array_to_string(toks[i:i+1], ' ')
+          for i in generate_series(1, greatest(len(toks) - 1, 1))] AS bigrams
+  FROM t),
+m AS (
+  SELECT *, round((SELECT max(cnt) FROM (
+           SELECT COUNT(*) AS cnt FROM unnest(q.bigrams) AS u(b) GROUP BY u.b))
+         / greatest(len(bigrams), 1), 6) AS tbf,
+         row_number() OVER (PARTITION BY fp ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM q),
+d AS (
+  SELECT doc_id,
+         CASE WHEN rn > 1 THEN 'exact_dup'
+              WHEN n_tok < 15 THEN 'too_short'
+              WHEN quality < 0.55 THEN 'low_quality'
+              WHEN dtr < 0.35 OR tbf > 0.2 THEN 'repetitive'
+         END AS drop_reason
+  FROM m)
+SELECT doc_id, drop_reason IS NULL AS keep, drop_reason FROM d
+"""
+
+
+@query("curation_decisions", _CURATION_ORACLE)
+def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone curation filter a training-data pipeline runs per
+    document: keep/drop plus the FIRST matching drop reason, composed from
+    exact-dup canonicalization (bag-of-words fingerprint, keep-best by
+    quality), minimum length, heuristic quality, and Gopher-style
+    repetition signals. Rule order is fixed (dup > short > quality >
+    repetition) so the reason column is deterministic; all thresholds
+    apply to the same rounded values the oracle computes.
+
+    Scale shape: one shuffle for the per-(doc,bigram) counts, one for the
+    fingerprint window — both on keys that partition evenly (doc_id, fp).
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.lower(F.col("text")))
+    bigrams = TX.ngrams(F.lower(F.col("text")), 2)
+    base = d.select(
+        "doc_id",
+        TX.quality_score("text", "en").alias("quality"),
+        TX.fingerprint("text").alias("fp"),
+        F.size(toks).alias("n_tok"),
+        F.round(
+            F.size(F.array_distinct(toks))
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("dtr"),
+        F.size(bigrams).alias("n_bigrams"),
+        bigrams.alias("__bg"),
+    )
+    max_bigram = (
+        base.select("doc_id", F.explode("__bg").alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bigram"))
+    )
+    scored = base.drop("__bg").join(max_bigram, "doc_id").withColumn(
+        "tbf",
+        F.round(
+            F.col("max_bigram") / F.greatest(F.col("n_bigrams"), F.lit(1)), 6
+        ),
+    )
+    w = Window.partitionBy("fp").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    reason = (
+        F.when(F.row_number().over(w) > 1, F.lit("exact_dup"))
+        .when(F.col("n_tok") < 15, F.lit("too_short"))
+        .when(F.col("quality") < 0.55, F.lit("low_quality"))
+        .when(
+            (F.col("dtr") < 0.35) | (F.col("tbf") > 0.2), F.lit("repetitive")
+        )
+    )
+    return scored.select(
+        "doc_id", reason.alias("drop_reason")
+    ).select(
+        "doc_id",
+        F.col("drop_reason").isNull().alias("keep"),
+        "drop_reason",
+    )
