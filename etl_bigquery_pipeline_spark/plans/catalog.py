@@ -2549,3 +2549,72 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("drop_reason").isNull().alias("keep"),
         "drop_reason",
     )
+
+
+# ---- benchmark decontamination (n-gram overlap vs held-out eval set) ----
+
+_DECONTAM_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+3], ' ')
+                        for i in generate_series(1, greatest(len(toks) - 3, 1))]) AS grams
+  FROM t),
+ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 100 = 0),
+corp AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 100 <> 0),
+sh AS (
+  SELECT corp.doc_id, COUNT(*) AS n_shared
+  FROM corp JOIN ev USING (gram) GROUP BY corp.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+       coalesce(sh.n_shared, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM g WHERE doc_id % 100 <> 0) d
+LEFT JOIN sh USING (doc_id)
+"""
+
+
+@query("decontamination", _DECONTAM_ORACLE)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    4-gram with a held-out eval set (stand-in: doc_id % 100 == 0), with
+    the shared-distinct-gram count. The standard pre-training step that
+    keeps eval data out of the training corpus; production widths are
+    8-13 grams — 4 here because the synthetic docs are ~50 tokens and
+    longer grams never collide (a vacuous check).
+
+    Scale shape: the eval side reduces to a distinct-gram set that is tiny
+    relative to the corpus (broadcast-able; at 100 TB you'd md5 the grams
+    to a fixed-width join key and still broadcast), so the corpus is
+    scanned once with no corpus-side shuffle except the per-doc count.
+    """
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.array_distinct(
+            TX.ngrams(F.lower(F.col("text")), 4)
+        ).alias("__grams"),
+    )
+    ev = (
+        grams.filter(F.col("doc_id") % 100 == 0)
+        .select(F.explode("__grams").alias("gram"))
+        .distinct()
+    )
+    corp = grams.filter(F.col("doc_id") % 100 != 0)
+    shared = (
+        corp.select("doc_id", F.explode("__grams").alias("gram"))
+        .join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        corp.select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__n"), F.lit(0)).alias("n_shared"),
+            (F.coalesce(F.col("__n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
