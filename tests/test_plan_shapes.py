@@ -59,3 +59,18 @@ def test_theta_join_is_broadcast_nested_loop_by_design(spark, sf_dir):
     # the one sanctioned nested-loop: 3-row literal dim broadcast
     plan = _plan(spark, "theta_join_price_bands", sf_dir)
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_decontamination_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-set gram join must broadcast (corpus never shuffles for
+    the probe) and nothing may degenerate to a product."""
+    plan = _plan(spark, "decontamination", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curation_decisions_no_product_joins(spark, sf_dir):
+    plan = _plan(spark, "curation_decisions", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
