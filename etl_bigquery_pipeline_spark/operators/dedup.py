@@ -272,13 +272,20 @@ def ngram_jaccard_pairs(
     # the expensive projection (explicit count: AQE must not coalesce the
     # compute stage back down to the input's partition count).
     par = df.sparkSession.sparkContext.defaultParallelism
-    sh = df.repartition(par, F.col(id_col)).select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform(
-                shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
-            )
-        ).alias("__sh"),
+    # cache(): sizes, the a-side, and the b-side all branch from this
+    # frame — uncached, each branch re-runs the shingle+hash projection
+    # (3x the dominant cost; same pattern as minhash_near_dup_pairs).
+    sh = (
+        df.repartition(par, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(
+                    shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+                )
+            ).alias("__sh"),
+        )
+        .cache()
     )
     if block is not None or threshold <= 0:
         a = sh.select(
