@@ -2505,7 +2505,11 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = TX.tokens(F.lower(F.col("text")))
     bigrams = TX.ngrams(F.lower(F.col("text")), 2)
-    base = d.select(
+    # Repartition before the heavy projection (one-split small inputs
+    # would run it single-task) and cache: the bigram-count branch and
+    # the scored branch both consume it.
+    par = spark.sparkContext.defaultParallelism
+    base = d.repartition(par, F.col("doc_id")).select(
         "doc_id",
         TX.quality_score("text", "en").alias("quality"),
         TX.fingerprint("text").alias("fp"),
@@ -2517,7 +2521,7 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dtr"),
         F.size(bigrams).alias("n_bigrams"),
         bigrams.alias("__bg"),
-    )
+    ).cache()
     max_bigram = (
         base.select("doc_id", F.explode("__bg").alias("b"))
         .groupBy("doc_id", "b")
