@@ -1692,7 +1692,10 @@ def top_bigrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     window rank. The heavy groupBy key is (lang, gram) — partial
     aggregation absorbs the explosion map-side."""
     d = _t(spark, sf_dir, "documents")
-    grams = d.select(
+    # widen the one-split scan before the ngram projection
+    grams = d.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    ).select(
         "lang",
         F.explode(
             TX.ngrams(F.lower(F.col("text")), 2)
@@ -2423,12 +2426,16 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = TX.tokens(F.lower(F.col("text")))
     bigrams = TX.ngrams(F.lower(F.col("text")), 2)
-    base = d.select(
+    # widen the one-split scan before the token/bigram projection and
+    # cache — the max-bigram branch and the final join both consume it
+    base = d.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    ).select(
         "doc_id",
         F.size(toks).alias("n_tok"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
         bigrams.alias("__bg"),
-    )
+    ).cache()
     # linear formulation: explode -> per-(doc,bigram) counts -> per-doc max
     # (an in-array nested count would be quadratic in document length)
     max_bigram = (
