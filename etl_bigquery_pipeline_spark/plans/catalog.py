@@ -1640,7 +1640,12 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast back) -> score -> per-doc window rank. The df table is
     vocabulary-sized, so the join is a broadcast at any corpus scale."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", TX.tokens(F.lower(F.col("text"))).alias("t"))
+    # widen the one-split scan before tokenizing (tf path + df path + the
+    # count all re-run the projection; tokenization is cheap enough that
+    # width, not caching, is what matters here)
+    toks = d.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    ).select("doc_id", TX.tokens(F.lower(F.col("text"))).alias("t"))
     n_docs = toks.count()
     tf = (
         toks.select("doc_id", F.explode("t").alias("term"))
