@@ -91,6 +91,10 @@ def trimmed_mean_by_group(
             }
         )
 
+    # derive the group column's type from the input schema — hardcoding
+    # `string` broke grouping by numeric columns with a schema mismatch
+    group_type = df.schema[group_col].dataType.simpleString()
     return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
-        agg, f"{group_col} string, trimmed_mean double, n_used long, n_total long"
+        agg,
+        f"{group_col} {group_type}, trimmed_mean double, n_used long, n_total long",
     )

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_bigquery_pipeline_spark.functions.text import content_hash, shingles, tokens
+from etl_bigquery_pipeline_spark.operators.partitioning import widen_if_narrow
 
 # ---------------------------------------------------------------- exact ---
 
@@ -131,6 +132,9 @@ def minhash_band_keys(
     sig = F.col("signature")
     rows_per_band = F.floor(F.size(sig) / bands).cast("int")
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    # the LAST band absorbs any remainder lanes (num_hashes % bands != 0)
+    # so every signature lane contributes to some band key — silently
+    # dropping trailing lanes would quietly reduce LSH recall.
     bands_col = F.transform(
         band_idx,
         lambda b: F.struct(
@@ -139,7 +143,18 @@ def minhash_band_keys(
                 F.concat(
                     b.cast("string"),
                     F.lit("|"),
-                    F.array_join(F.slice(sig, b * rows_per_band + 1, rows_per_band), ","),
+                    F.array_join(
+                        F.slice(
+                            sig,
+                            b * rows_per_band + 1,
+                            F.when(
+                                b < F.lit(bands - 1), rows_per_band
+                            ).otherwise(
+                                F.size(sig) - b * rows_per_band
+                            ),
+                        ),
+                        ",",
+                    ),
                 )
             ).alias("band_key"),
         ),
@@ -181,13 +196,17 @@ def minhash_near_dup_pairs(
     This is the scale path: the only shuffles are the band-key join and the
     candidate-pair distinct; no all-pairs product ever materializes.
     """
-    # Repartition BEFORE shingling: small inputs arrive as one file split,
-    # and shingling + the md5 signature pack downstream are the dominant
-    # cost — they must run across the executors, not one task (explicit
-    # count so AQE doesn't coalesce the compute stage).
-    par = df.sparkSession.sparkContext.defaultParallelism
+    # Widen BEFORE shingling: small inputs arrive as one file split, and
+    # shingling + the md5 signature pack downstream are the dominant cost
+    # — they must run across the executors, not one task. widen_if_narrow
+    # is a no-op on already-wide (at-scale) inputs, so the document body
+    # never shuffles at 100 TB.
+    # cache(): the signature path and both verify sides branch from this
+    # frame; callers running many operators in one long-lived session
+    # should spark.catalog.clearCache() between runs (the plan is lazy, so
+    # the operator itself cannot know when the frame is consumed).
     sh_df = (
-        df.repartition(par, F.col(id_col))
+        widen_if_narrow(df, id_col)
         .select(F.col(id_col), shingles(text_col, shingle_n).alias("__sh"))
         .cache()
     )
@@ -268,15 +287,14 @@ def ngram_jaccard_pairs(
     predicate the pairwise array-intersect plan is used instead.
     """
     # Shingling + hashing dominates the whole pipeline, and small inputs
-    # arrive as one file split — spread rows across the executors BEFORE
-    # the expensive projection (explicit count: AQE must not coalesce the
-    # compute stage back down to the input's partition count).
-    par = df.sparkSession.sparkContext.defaultParallelism
+    # arrive as one file split — widen BEFORE the expensive projection
+    # (no-op on already-wide at-scale inputs: the body never shuffles).
     # cache(): sizes, the a-side, and the b-side all branch from this
     # frame — uncached, each branch re-runs the shingle+hash projection
     # (3x the dominant cost; same pattern as minhash_near_dup_pairs).
+    # Long-lived sessions should clearCache() between operator runs.
     sh = (
-        df.repartition(par, F.col(id_col))
+        widen_if_narrow(df, id_col)
         .select(
             F.col(id_col),
             F.array_distinct(
@@ -487,14 +505,12 @@ def simhash_near_dup_pairs(
     pairs within ~(bands-1) nibble corruptions; candidates join on a short
     string key, so the plan scales like MinHash-LSH.
     """
-    # Spread rows before fingerprinting: the md5-per-token bit-counter
-    # aggregate is the expensive stage and small inputs arrive as one
-    # file split (explicit count so AQE can't coalesce it away).
+    # Widen before fingerprinting: the md5-per-token bit-counter aggregate
+    # is the expensive stage and small inputs arrive as one file split
+    # (no-op on wide at-scale inputs — the body never shuffles).
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = with_simhash(
-        df.select(F.col(id_col), F.col(text_col)).repartition(
-            par, F.col(id_col)
-        ),
+        widen_if_narrow(df.select(F.col(id_col), F.col(text_col)), id_col),
         text_col,
         out_col="__sh",
         nibbles=nibbles,

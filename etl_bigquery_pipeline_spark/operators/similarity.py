@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_bigquery_pipeline_spark.functions.vectors import cosine, dot, norm
+from etl_bigquery_pipeline_spark.operators.partitioning import widen_if_narrow
 
 
 def cosine_topk(
@@ -45,11 +46,10 @@ def cosine_topk(
     """
     # norms are per-vector, not per-pair: compute them in the pre-join
     # projections (once per row) so each pair costs one dot product.
-    # Repartition the corpus before scoring: small inputs arrive as one
-    # file split and the per-pair dot products would run single-task
-    # (explicit count so AQE keeps the stage wide).
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    corpus = corpus.repartition(par, F.col(id_col))
+    # Widen the corpus before scoring: small inputs arrive as one file
+    # split and the per-pair dot products would run single-task (no-op on
+    # wide at-scale inputs — no corpus shuffle at 100 TB).
+    corpus = widen_if_narrow(corpus, id_col)
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qvec"),
@@ -140,11 +140,10 @@ def lsh_cosine_topk(
     corpus shuffle happens at all.
     """
     bucket = lambda d: hyperplane_bucket(vec_col, dim=dim, bits=bits, seed=seed)  # noqa: E731
-    # bits x dim dot products per corpus row for the bucket code — spread
+    # bits x dim dot products per corpus row for the bucket code — widen
     # the scan before computing (one-split small inputs otherwise
-    # serialize the whole projection).
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = corpus.repartition(par, F.col(id_col)).select(
+    # serialize the whole projection; wide inputs pass through untouched).
+    c = widen_if_narrow(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         norm(vec_col).alias("__cnorm"),
@@ -194,11 +193,10 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join: pairs in the
     same hyperplane bucket with cosine >= threshold (id_a < id_b)."""
-    # Spread rows before the bucket-code projection (see lsh_cosine_topk);
-    # the identical repartition exchange under both self-join sides is
-    # computed once (ReusedExchange).
-    par = df.sparkSession.sparkContext.defaultParallelism
-    b = df.repartition(par, F.col(id_col)).select(
+    # Widen before the bucket-code projection (see lsh_cosine_topk); when
+    # the widen does repartition, the identical exchange under both
+    # self-join sides is computed once (ReusedExchange).
+    b = widen_if_narrow(df, id_col).select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
         norm(vec_col).alias("__norm"),

@@ -50,7 +50,17 @@ def salted_join(
     """Skew-resistant equi-join: salt the big side, explode the small side,
     join on (keys + salt). Result equals big.join(small, on, how) for
     inner/left joins; the shuffle spreads each hot key over ``buckets``
-    partitions."""
+    partitions.
+
+    Only inner/left are accepted: right/full/outer would emit each
+    unmatched SMALL-side row once per salt value (explode_salt replicates
+    it ``buckets`` times), silently diverging from the unsalted join.
+    """
+    if how not in {"inner", "left", "left_outer", "leftouter"}:
+        raise ValueError(
+            f"salted_join supports how in inner/left only, got {how!r}: "
+            "outer variants duplicate unmatched small-side rows per salt"
+        )
     key0 = on[0]
     b = with_salt(big, buckets, deterministic_by=key0 if deterministic else None)
     s = explode_salt(small, buckets)

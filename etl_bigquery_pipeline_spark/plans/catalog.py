@@ -45,6 +45,7 @@ from etl_bigquery_pipeline_spark.operators import (
     similarity,
     windows,
 )
+from etl_bigquery_pipeline_spark.operators.partitioning import widen_if_narrow
 from etl_bigquery_pipeline_spark.plans import dq
 from etl_bigquery_pipeline_spark.sources.readers import read_table
 
@@ -1608,6 +1609,68 @@ def ivf_cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- approx-quality gates: recall/error bounds as driver-checkable rows ----
+#
+# The approx operators above are rows-only (engine-specific sketch values /
+# candidate sets can't be value-matched). These companion queries make the
+# QUALITY driver-enforceable: each computes its bound entirely in Spark and
+# emits a single row of booleans, with a trivial `SELECT true` oracle — a
+# regression in recall or sketch error now fails the driver sweep, not just
+# the local pytest bounds (tests/test_approx.py keeps the measured values).
+
+
+def _recall_ok(exact: DataFrame, approx: DataFrame, floor: float) -> DataFrame:
+    """(recall >= floor) over (query_id, neighbor_id) pair sets, one row."""
+    ex = exact.select("query_id", "neighbor_id")
+    ap = approx.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1))
+    return (
+        ex.join(ap, ["query_id", "neighbor_id"], "left")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                / F.count(F.lit(1))
+            ).alias("__recall")
+        )
+        .select((F.col("__recall") >= floor).alias("recall_ok"))
+    )
+
+
+@query("lsh_recall_vs_exact", "SELECT true AS recall_ok")
+def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-enforceable LSH quality gate: recall of the multi-probe LSH
+    top-5 against the exact top-5 must hold its floor (0.2 for 4-bit
+    hyperplanes on weakly-clustered 64-dim data; measured values live in
+    tests/test_approx.py). Emits one boolean row so the oracle is trivial
+    while the bound itself is computed in Spark."""
+    exact = QUERIES["similarity_topk"](spark, sf_dir)
+    approx = QUERIES["lsh_cosine_topk"](spark, sf_dir)
+    return _recall_ok(exact, approx, 0.2)
+
+
+@query("ivf_recall_vs_exact", "SELECT true AS recall_ok")
+def ivf_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-enforceable IVF quality gate: trained-centroid cells follow
+    the data distribution, so nprobe/nlist = 1/4 of the corpus must
+    recover >= 0.3 of the exact top-5 (comfortably above the scanned
+    fraction on clustered data)."""
+    exact = QUERIES["similarity_topk"](spark, sf_dir)
+    approx = QUERIES["ivf_cosine_topk"](spark, sf_dir)
+    return _recall_ok(exact, approx, 0.3)
+
+
+@query("approx_distinct_error", "SELECT true AS error_ok")
+def approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-enforceable HLL++ error gate: |approx - exact| must stay
+    within a 3-sigma-ish bound of the configured rsd (0.02 -> 6%)."""
+    row = QUERIES["approx_distinct_orders"](spark, sf_dir)
+    return row.select(
+        (
+            F.abs(F.col("approx_custkeys") - F.col("exact_custkeys"))
+            <= 0.06 * F.col("exact_custkeys")
+        ).alias("error_ok")
+    )
+
+
 # ---- corpus statistics: TF-IDF keywords, top n-grams, canonical docs ----
 
 _TFIDF_ORACLE = """
@@ -1642,10 +1705,11 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     # widen the one-split scan before tokenizing (tf path + df path + the
     # count all re-run the projection; tokenization is cheap enough that
-    # width, not caching, is what matters here)
-    toks = d.repartition(
-        spark.sparkContext.defaultParallelism, F.col("doc_id")
-    ).select("doc_id", TX.tokens(F.lower(F.col("text"))).alias("t"))
+    # width, not caching, is what matters here). No-op on wide inputs —
+    # the body never shuffles at scale.
+    toks = widen_if_narrow(d, "doc_id").select(
+        "doc_id", TX.tokens(F.lower(F.col("text"))).alias("t")
+    )
     n_docs = toks.count()
     tf = (
         toks.select("doc_id", F.explode("t").alias("term"))
@@ -1697,10 +1761,8 @@ def top_bigrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     window rank. The heavy groupBy key is (lang, gram) — partial
     aggregation absorbs the explosion map-side."""
     d = _t(spark, sf_dir, "documents")
-    # widen the one-split scan before the ngram projection
-    grams = d.repartition(
-        spark.sparkContext.defaultParallelism, F.col("doc_id")
-    ).select(
+    # widen the one-split scan before the ngram projection (no-op at scale)
+    grams = widen_if_narrow(d, "doc_id").select(
         "lang",
         F.explode(
             TX.ngrams(F.lower(F.col("text")), 2)
@@ -2431,11 +2493,10 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = TX.tokens(F.lower(F.col("text")))
     bigrams = TX.ngrams(F.lower(F.col("text")), 2)
-    # widen the one-split scan before the token/bigram projection and
-    # cache — the max-bigram branch and the final join both consume it
-    base = d.repartition(
-        spark.sparkContext.defaultParallelism, F.col("doc_id")
-    ).select(
+    # widen the one-split scan before the token/bigram projection (no-op
+    # on wide at-scale inputs) and cache — the max-bigram branch and the
+    # final join both consume it
+    base = widen_if_narrow(d, "doc_id").select(
         "doc_id",
         F.size(toks).alias("n_tok"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
@@ -2517,11 +2578,10 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = TX.tokens(F.lower(F.col("text")))
     bigrams = TX.ngrams(F.lower(F.col("text")), 2)
-    # Repartition before the heavy projection (one-split small inputs
-    # would run it single-task) and cache: the bigram-count branch and
-    # the scored branch both consume it.
-    par = spark.sparkContext.defaultParallelism
-    base = d.repartition(par, F.col("doc_id")).select(
+    # Widen before the heavy projection (one-split small inputs would run
+    # it single-task; wide at-scale inputs pass through untouched) and
+    # cache: the bigram-count branch and the scored branch both consume it.
+    base = widen_if_narrow(d, "doc_id").select(
         "doc_id",
         TX.quality_score("text", "en").alias("quality"),
         TX.fingerprint("text").alias("fp"),

@@ -2,9 +2,10 @@
 
 The streaming counterpart of plans/pipeline.py: the same transform
 operators run inside foreachBatch, writing an append-only parquet table
-partitioned by event date. Checkpointing makes delivery exactly-once at
-the batch level (an interrupted batch re-runs; the idempotent overwrite of
-its batch-id subdirectory dedupes the retry).
+partitioned by (batch_id, event_date). Checkpointing makes delivery
+exactly-once at the batch level: an interrupted batch re-runs with the
+same batch_id, and because each batch overwrites exactly its own
+``batch_id=N`` subdirectory, the retry is idempotent.
 """
 
 from __future__ import annotations
@@ -39,10 +40,17 @@ def incremental_events_sink(
             batch_df.na.drop("any", subset=[*key_cols, ts_col])
             .withColumn("event_date", F.col(ts_col).cast("date"))
         )
+        # foreachBatch is at-least-once: a micro-batch replayed after a
+        # failure re-runs write_batch with the SAME batch_id. Writing each
+        # batch into its own hive-style batch_id=N directory with
+        # mode=overwrite makes the retry idempotent — the replay replaces
+        # exactly its own output, never duplicating rows. Readers of
+        # ``out_path`` see batch_id and event_date as discovered partition
+        # columns (day-level pruning still applies).
         (
-            cleaned.write.mode("append")
+            cleaned.write.mode("overwrite")
             .partitionBy("event_date")
-            .parquet(out_path)
+            .parquet(f"{out_path}/batch_id={batch_id}")
         )
 
     return (

@@ -109,6 +109,25 @@ def test_minhash_respects_threshold(spark):
     assert (1, 2) in found
 
 
+def test_minhash_band_keys_cover_remainder_lanes(spark):
+    """num_hashes % bands != 0: the last band must absorb the remainder
+    lanes — signatures differing ONLY in a trailing lane need different
+    last-band keys (floor-sliced banding silently dropped those lanes)."""
+    from pyspark.sql import functions as F
+
+    sig_a = [f"{i:08x}" for i in range(18)]
+    sig_b = sig_a[:17] + ["ffffffff"]  # differs only in lane 17
+    sigs = spark.createDataFrame(
+        [(1, sig_a), (2, sig_b)], ["doc_id", "signature"]
+    )
+    bk = dedup.minhash_band_keys(sigs, "doc_id", bands=4)
+    last = {
+        r.doc_id: r.band_key
+        for r in bk.filter(F.col("band") == 3).collect()
+    }
+    assert last[1] != last[2]
+
+
 def test_ngram_jaccard_exact_values(spark):
     df = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],

@@ -74,3 +74,25 @@ def test_curation_decisions_no_product_joins(spark, sf_dir):
     plan = _plan(spark, "curation_decisions", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_widen_if_narrow_adds_no_exchange_on_wide_input(spark, sf_dir):
+    """SCALE.md's 'the body never shuffles' invariant: an input already at
+    or above defaultParallelism passes through widen_if_narrow untouched
+    (identical DataFrame object — zero added Exchange), while a one-split
+    input gets spread to the session's parallelism."""
+    from etl_bigquery_pipeline_spark.operators.partitioning import (
+        widen_if_narrow,
+    )
+    from etl_bigquery_pipeline_spark.sources.readers import read_table
+
+    par = spark.sparkContext.defaultParallelism
+    docs = read_table(spark, sf_dir, "documents")
+
+    wide = docs.repartition(par)
+    assert widen_if_narrow(wide, "doc_id") is wide
+
+    narrow = docs.coalesce(1)
+    widened = widen_if_narrow(narrow, "doc_id")
+    assert widened is not narrow
+    assert widened.rdd.getNumPartitions() == par

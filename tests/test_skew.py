@@ -36,6 +36,15 @@ def test_salted_left_join_matches_plain(spark):
     )
 
 
+def test_salted_join_rejects_outer_variants(spark):
+    import pytest
+
+    big, small = _skewed(spark)
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            skew.salted_join(big, small, ["k"], how=how)
+
+
 def test_deterministic_salt_spreads_hot_key(spark):
     big, _ = _skewed(spark)
     salted = skew.with_salt(big, 8, deterministic_by="v")

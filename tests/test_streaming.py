@@ -175,7 +175,17 @@ def test_incremental_sink_end_to_end(spark, tmp_path):
     assert "event_date" in back.columns
     import os
 
-    assert any(d.startswith("event_date=") for d in os.listdir(out))
+    # exactly-once layout: each micro-batch owns a batch_id=N directory it
+    # can idempotently overwrite on replay; event_date partitions nest
+    # inside (both become discovered partition columns on read)
+    batch_dirs = [d for d in os.listdir(out) if d.startswith("batch_id=")]
+    assert batch_dirs
+    assert "batch_id" in back.columns
+    assert any(
+        d.startswith("event_date=")
+        for b in batch_dirs
+        for d in os.listdir(os.path.join(out, b))
+    )
 
 
 def test_stateful_user_totals_accumulate_across_batches(spark, tmp_path):

@@ -101,6 +101,18 @@ def test_applyinpandas_trimmed_mean(spark):
     assert out["b"].trimmed_mean == 5.0  # too small to trim
 
 
+def test_applyinpandas_trimmed_mean_numeric_group(spark):
+    """The output schema must inherit the group column's actual type —
+    a hardcoded `string` made numeric group columns fail at runtime."""
+    rows = [(1, float(v)) for v in range(1, 11)] + [(1, 1000.0), (2, 5.0)]
+    df = spark.createDataFrame(rows, "g bigint, v double")
+    got = pandas_udfs.trimmed_mean_by_group(df, "g", "v", trim_frac=0.1)
+    assert got.schema["g"].dataType.simpleString() == "bigint"
+    out = {r.g: r for r in got.collect()}
+    assert out[1].trimmed_mean == 6.0
+    assert out[2].trimmed_mean == 5.0
+
+
 def test_python_udtf_surface(spark):
     """UDTF (table function) surface: one input row -> many output rows."""
     from pyspark.sql.functions import udtf, lit
