@@ -43,6 +43,12 @@ BENCH_QUERIES = [
     "window_lag_running_orders",
     "cube_orders",
     "lsh_cosine_topk",
+    # curation tier — locks in the round-1 widen/cache optimizations
+    "curation_decisions",
+    "decontamination",
+    "repetition_stats",
+    "tfidf_keywords",
+    "top_bigrams_by_lang",
 ]
 
 

@@ -110,6 +110,104 @@ def read_json(
     return reader.json(path)
 
 
+_XLSX_MAIN_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_XLSX_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_XLSX_DOCREL = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+)
+
+
+def _xlsx_col_index(cell_ref: str) -> int:
+    """'A1' -> 0, 'B3' -> 1, 'AA7' -> 26 (0-based column index)."""
+    idx = 0
+    for ch in cell_ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
+
+
+def _read_xlsx_stdlib(
+    path: str, sheet_name: int | str = 0
+) -> tuple[list[str], list[list]]:
+    """Parse an .xlsx with ONLY the stdlib (zipfile + ElementTree).
+
+    An xlsx is a zip of XML parts; this reads the workbook's sheet list,
+    resolves the requested sheet through the relationship table, inflates
+    shared strings, and returns (header, rows) with numbers as int/float,
+    't="b"' cells as bool, and missing cells as None. Covers the cell
+    types pandas would produce for a config-sized workbook — the fallback
+    when openpyxl isn't installed (the reference's own engine,
+    /root/reference/dags/etl_pipeline.py:70).
+    """
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    M, R = _XLSX_MAIN_NS, _XLSX_REL_NS
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{M}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{M}t")))
+
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        sheets = wb.find(f"{M}sheets").findall(f"{M}sheet")
+        if isinstance(sheet_name, int):
+            sheet = sheets[sheet_name]
+        else:
+            matches = [s for s in sheets if s.get("name") == sheet_name]
+            if not matches:
+                raise ValueError(f"no sheet named {sheet_name!r} in {path}")
+            sheet = matches[0]
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        target = {
+            r.get("Id"): r.get("Target")
+            for r in rels.findall(f"{R}Relationship")
+        }[sheet.get(_XLSX_DOCREL)]
+        sheet_part = target if target.startswith("xl/") else f"xl/{target}"
+
+        grid: list[list] = []
+        for row in ET.fromstring(z.read(sheet_part)).iter(f"{M}row"):
+            cells: dict[int, object] = {}
+            for c in row.findall(f"{M}c"):
+                ci = _xlsx_col_index(c.get("r", ""))
+                ctype = c.get("t", "n")
+                if ctype == "inlineStr":
+                    is_el = c.find(f"{M}is")
+                    val: object = (
+                        "".join(t.text or "" for t in is_el.iter(f"{M}t"))
+                        if is_el is not None
+                        else None
+                    )
+                else:
+                    v = c.find(f"{M}v")
+                    raw = v.text if v is not None else None
+                    if raw is None:
+                        val = None
+                    elif ctype == "s":
+                        val = shared[int(raw)]
+                    elif ctype == "b":
+                        val = raw == "1"
+                    elif ctype == "str":
+                        val = raw
+                    else:  # numeric
+                        f = float(raw)
+                        val = int(f) if f.is_integer() else f
+                cells[ci] = val
+            width = max(cells) + 1 if cells else 0
+            grid.append([cells.get(i) for i in range(width)])
+
+    if not grid:
+        return [], []
+    width = max(len(r) for r in grid)
+    grid = [r + [None] * (width - len(r)) for r in grid]
+    header = [
+        str(h) if h is not None else f"col{i}" for i, h in enumerate(grid[0])
+    ]
+    return header, grid[1:]
+
+
 def read_excel(
     spark: SparkSession, path: str, sheet_name: int | str = 0
 ) -> DataFrame:
@@ -120,10 +218,18 @@ def read_excel(
     reader without an external package, so this reads on the driver and
     ships to executors via Arrow. Documented limit: workbook must fit in
     driver memory. Everything downstream is distributed.
-    """
-    import pandas as pd  # local import: openpyxl optional
 
-    pdf = pd.read_excel(path, sheet_name=sheet_name)
+    Engine: pandas/openpyxl when installed; otherwise a stdlib
+    zipfile+ElementTree parser (xlsx is just zipped XML) so the source
+    works in minimal environments too.
+    """
+    import pandas as pd  # local import keeps pandas off the module path
+
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet_name)
+    except ImportError:  # openpyxl absent -> stdlib parse
+        header, rows = _read_xlsx_stdlib(path, sheet_name)
+        pdf = pd.DataFrame(rows, columns=header)
     # Arrow conversion chokes on mixed object columns; stringify them.
     for col in pdf.columns:
         if pdf[col].dtype == object:

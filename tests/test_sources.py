@@ -1,16 +1,79 @@
 """Source/sink tests: CSV/JSON explicit-schema ingest, parquet warehouse
-round-trip, Excel (gated: openpyxl absent in this environment)."""
+round-trip, Excel (stdlib-zipfile fixture — runs with or without
+openpyxl)."""
 
 from __future__ import annotations
 
 import importlib.util
 import json
+import zipfile
 
 import pytest
 
 from etl_bigquery_pipeline_spark.sources import readers, sinks
 
 HAS_OPENPYXL = importlib.util.find_spec("openpyxl") is not None
+
+
+def _write_xlsx(path, header, rows, *, sheet="Sheet1"):
+    """Hand-build a minimal valid .xlsx (zipped OOXML) with the stdlib:
+    shared strings for str cells, inline numbers/bools otherwise."""
+    strings: list[str] = []
+
+    def cell(ref, v):
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, str):
+            if v not in strings:
+                strings.append(v)
+            return f'<c r="{ref}" t="s"><v>{strings.index(v)}</v></c>'
+        return f'<c r="{ref}"><v>{v}</v></c>'
+
+    def row_xml(i, vals):
+        cols = "".join(
+            cell(f"{chr(ord('A') + j)}{i}", v) for j, v in enumerate(vals)
+        )
+        return f'<row r="{i}">{cols}</row>'
+
+    body = "".join(row_xml(i + 1, r) for i, r in enumerate([header, *rows]))
+    M = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    P = "http://schemas.openxmlformats.org/package/2006/relationships"
+    CT = "http://schemas.openxmlformats.org/package/2006/content-types"
+    sst = "".join(f"<si><t>{s}</t></si>" for s in strings)
+    parts = {
+        "[Content_Types].xml": (
+            f'<Types xmlns="{CT}">'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/'
+            'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            "</Types>"
+        ),
+        "_rels/.rels": (
+            f'<Relationships xmlns="{P}">'
+            f'<Relationship Id="rId1" Type="{R}/officeDocument" '
+            'Target="xl/workbook.xml"/></Relationships>'
+        ),
+        "xl/workbook.xml": (
+            f'<workbook xmlns="{M}" xmlns:r="{R}"><sheets>'
+            f'<sheet name="{sheet}" sheetId="1" r:id="rId1"/>'
+            "</sheets></workbook>"
+        ),
+        "xl/_rels/workbook.xml.rels": (
+            f'<Relationships xmlns="{P}">'
+            f'<Relationship Id="rId1" Type="{R}/worksheet" '
+            'Target="worksheets/sheet1.xml"/></Relationships>'
+        ),
+        "xl/sharedStrings.xml": f'<sst xmlns="{M}">{sst}</sst>',
+        "xl/worksheets/sheet1.xml": (
+            f'<worksheet xmlns="{M}"><sheetData>{body}</sheetData></worksheet>'
+        ),
+    }
+    with zipfile.ZipFile(path, "w") as z:
+        for name, content in parts.items():
+            z.writestr(name, content)
 
 
 def test_read_csv_explicit_schema(spark, tmp_path):
@@ -63,14 +126,39 @@ def test_write_parquet_partitioned(spark, tmp_path):
     assert one.count() == 1
 
 
-@pytest.mark.skipif(not HAS_OPENPYXL, reason="openpyxl not installed")
-def test_read_excel_driver_side(spark, tmp_path):  # pragma: no cover
-    import pandas as pd
-
+def test_read_excel_driver_side(spark, tmp_path):
+    """S1 Excel scan executes in this container: the stdlib zipfile
+    fallback parses a hand-built xlsx (pandas/openpyxl path used
+    automatically when installed)."""
     p = tmp_path / "in.xlsx"
-    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_excel(p, index=False)
+    _write_xlsx(
+        p,
+        ["a", "b", "ratio"],
+        [[1, "x", 0.5], [2, "y", 1.25]],
+    )
     df = readers.read_excel(spark, str(p))
-    assert df.count() == 2
+    rows = {r.a: r for r in df.collect()}
+    assert len(rows) == 2
+    assert rows[1].b == "x" and rows[2].b == "y"
+    assert rows[2].ratio == 1.25
+
+
+def test_read_excel_stdlib_parser_types_and_sheets(tmp_path):
+    """The stdlib parser itself: shared strings, ints vs floats, bools,
+    missing cells -> None, sheet selection by name."""
+    p = tmp_path / "multi.xlsx"
+    _write_xlsx(
+        p,
+        ["k", "label", "flag"],
+        [[10, "alpha", True], [20, None, False]],
+        sheet="cfg",
+    )
+    header, rows = readers._read_xlsx_stdlib(str(p), "cfg")
+    assert header == ["k", "label", "flag"]
+    assert rows == [[10, "alpha", True], [20, None, False]]
+    assert isinstance(rows[0][0], int)
+    with pytest.raises(ValueError, match="no sheet named"):
+        readers._read_xlsx_stdlib(str(p), "nope")
 
 
 def test_load_tables_registers_views(spark, sf_dir):
