@@ -1,0 +1,243 @@
+"""Persisted ANN indexes: write-once bucketed corpus, shuffle-free probes.
+
+The in-memory paths (operators/similarity.py) recompute bucket codes /
+cells on every query batch and shuffle nothing but still scan everything.
+At 100 TB the corpus should be written ONCE with its bucket key
+materialized, so that a probe:
+
+1. reads only the matching bucket FILES — Spark prunes buckets for
+   equality/IN predicates on the bucketBy column (``SelectedBucketsCount``
+   in the scan node), so a probe touches ~|probe set|/buckets of the data;
+2. never shuffles the corpus — the query side is broadcast, and the only
+   Exchange in the whole plan is the tiny candidate-set repartition for
+   the per-query top-k window.
+
+Index metadata (hyperplanes seed/bits for LSH, trained centroids for IVF)
+is persisted in a one-row ``<table>__meta`` JSON table so probes never
+retrain and never rescan the corpus.
+
+Same contract as similarity.py: with identical (dim, bits, seed,
+probe_flips) an index probe returns EXACTLY the rows of
+``lsh_cosine_topk`` — the candidates are the same set, the scoring the
+same expressions — which is what lets tests (and the driver) check the
+persisted path against the in-memory one value-for-value.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_bigquery_pipeline_spark.functions.vectors import dot, norm
+from etl_bigquery_pipeline_spark.operators.similarity import (
+    _nearest_centroids,
+    hyperplane_bucket,
+    probe_buckets,
+    train_centroids,
+)
+
+_META_SUFFIX = "__meta"
+
+
+def _write_meta(spark: SparkSession, table: str, meta: dict) -> None:
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").write.mode(
+        "overwrite"
+    ).saveAsTable(table + _META_SUFFIX)
+
+
+def _read_meta(spark: SparkSession, table: str) -> dict:
+    return json.loads(spark.table(table + _META_SUFFIX).first().meta)
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 4,
+    seed: int = 42,
+    buckets: int | None = None,
+) -> None:
+    """One-time index build: bucket code + norm materialized per vector,
+    persisted bucketed-by(bucket) so probes bucket-prune the scan.
+
+    The build is the only pass over the corpus; at 100 TB it is a single
+    map + bucketed write (one shuffle into the bucket layout, amortized
+    over every future probe).
+    """
+    spark = corpus.sparkSession
+    n_buckets = buckets or min(2**bits, 64)
+    indexed = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        norm(vec_col).alias("vnorm"),
+        hyperplane_bucket(vec_col, dim=dim, bits=bits, seed=seed).alias(
+            "bucket"
+        ),
+    )
+    (
+        indexed.write.mode("overwrite")
+        .bucketBy(n_buckets, "bucket")
+        .sortBy("bucket")
+        .saveAsTable(table)
+    )
+    _write_meta(
+        spark, table, {"kind": "lsh", "dim": dim, "bits": bits, "seed": seed}
+    )
+
+
+def probe_lsh_index(
+    spark: SparkSession,
+    table: str,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    probe_flips: int = 1,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Top-k probe against a persisted LSH index — zero corpus shuffle.
+
+    The query batch's probe codes (own bucket + every ``probe_flips``-flip
+    neighbor) are collected driver-side (bounded: |queries|×(bits+1)
+    short strings — queries are small by contract) and pushed into the
+    scan as ``bucket IN (...)``, which Spark turns into bucket pruning:
+    non-matching bucket files are never read. The query side is broadcast;
+    the corpus side flows scan→join with no Exchange. Returns
+    (query_id, neighbor_id, sim, rank) — identical to
+    ``similarity.lsh_cosine_topk`` at equal parameters.
+    """
+    meta = _read_meta(spark, table)
+    dim, bits, seed = meta["dim"], meta["bits"], meta["seed"]
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        norm(vec_col).alias("__qnorm"),
+        F.explode(
+            probe_buckets(
+                hyperplane_bucket(vec_col, dim=dim, bits=bits, seed=seed),
+                bits=bits,
+                max_flips=probe_flips,
+            )
+        ).alias("bucket"),
+    )
+    probe_codes = sorted({r.bucket for r in q.select("bucket").collect()})
+
+    c = spark.table(table).filter(F.col("bucket").isin(probe_codes))
+    sim = F.round(
+        F.try_divide(
+            dot(F.col("__qvec"), F.col("vec")),
+            F.col("__qnorm") * F.col("vnorm"),
+        ),
+        sim_decimals,
+    ).alias("sim")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .select(query_id_col, "neighbor_id", sim)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "sim", "rank")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    sample_n: int = 2048,
+    seed: int = 42,
+    buckets: int | None = None,
+) -> None:
+    """One-time IVF build: train centroids on a bounded sample, assign
+    each vector to its nearest cell, persist bucketed-by(cell). Centroids
+    land in the meta table so probes reuse them without retraining."""
+    spark = corpus.sparkSession
+    centroids = train_centroids(
+        corpus,
+        vec_col=vec_col,
+        id_col=id_col,
+        nlist=nlist,
+        sample_n=sample_n,
+        seed=seed,
+    )
+    indexed = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        norm(vec_col).alias("vnorm"),
+        F.element_at(_nearest_centroids(vec_col, centroids, 1), 1).alias(
+            "cell"
+        ),
+    )
+    (
+        indexed.write.mode("overwrite")
+        .bucketBy(buckets or min(nlist, 64), "cell")
+        .sortBy("cell")
+        .saveAsTable(table)
+    )
+    _write_meta(spark, table, {"kind": "ivf", "centroids": centroids})
+
+
+def probe_ivf_index(
+    spark: SparkSession,
+    table: str,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nprobe: int = 4,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Top-k probe against a persisted IVF index — zero corpus shuffle,
+    cells bucket-pruned via ``cell IN (...)``. Identical results to
+    ``similarity.ivf_cosine_topk`` at equal parameters."""
+    centroids = _read_meta(spark, table)["centroids"]
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        norm(vec_col).alias("__qnorm"),
+        F.explode(_nearest_centroids(vec_col, centroids, nprobe)).alias(
+            "cell"
+        ),
+    )
+    probe_cells = sorted({r.cell for r in q.select("cell").collect()})
+
+    c = spark.table(table).filter(F.col("cell").isin(probe_cells))
+    sim = F.round(
+        F.try_divide(
+            dot(F.col("__qvec"), F.col("vec")),
+            F.col("__qnorm") * F.col("vnorm"),
+        ),
+        sim_decimals,
+    ).alias("sim")
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .select(query_id_col, "neighbor_id", sim)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "sim", "rank")
+    )

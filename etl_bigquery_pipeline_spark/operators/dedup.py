@@ -176,6 +176,30 @@ def jaccard(a: Column, b: Column) -> Column:
     )
 
 
+def _drop_hot_buckets(
+    bk: DataFrame, keys: list[str], cap: int
+) -> DataFrame:
+    """Remove band-bucket rows whose bucket holds more than ``cap`` ids.
+
+    A bucket with n members yields n(n-1)/2 candidate pairs — quadratic —
+    and boilerplate corpora routinely put 10-30% of all documents behind
+    ONE band key, which no join strategy survives (AQE skew-split spreads
+    the build side but cannot shrink the pair product). The hot list is
+    tiny (it is the count of distinct hot KEYS), so it broadcasts into a
+    left-anti join; the cheap pre-count shuffles only the short band keys.
+    Documents dropped this way are near-identical boilerplate — route them
+    through exact dedup (dedup_exact_text), which handles mega-clusters in
+    one linear groupBy.
+    """
+    hot = (
+        bk.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bc"))
+        .filter(F.col("__bc") > cap)
+        .select(*keys)
+    )
+    return bk.join(F.broadcast(hot), keys, "left_anti")
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -185,6 +209,7 @@ def minhash_near_dup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -195,6 +220,12 @@ def minhash_near_dup_pairs(
 
     This is the scale path: the only shuffles are the band-key join and the
     candidate-pair distinct; no all-pairs product ever materializes.
+
+    ``max_band_bucket`` is the hot-bucket guard for boilerplate corpora:
+    band buckets holding more than that many documents are excluded from
+    candidate generation (quadratic pair blowup — see _drop_hot_buckets).
+    Run exact dedup first/alongside to collapse the boilerplate clusters
+    this skips; default None preserves exact recall.
     """
     # Widen BEFORE shingling: small inputs arrive as one file split, and
     # shingling + the md5 signature pack downstream are the dominant cost
@@ -214,6 +245,8 @@ def minhash_near_dup_pairs(
         id_col, "signature"
     )
     bk = minhash_band_keys(sig, id_col, bands=bands)
+    if max_band_bucket is not None:
+        bk = _drop_hot_buckets(bk, ["band", "band_key"], max_band_bucket)
     left = bk.alias("l")
     right = bk.alias("r")
     cands = (
@@ -497,13 +530,17 @@ def simhash_near_dup_pairs(
     max_hamming: int = 8,
     nibbles: int = 15,
     band_nibbles: int = 4,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on hex-prefix bands (any shared
     ``band_nibbles``-wide slice), verify by full Hamming distance.
 
     Banding a 60-bit fingerprint into 4-nibble slices guarantees recall for
     pairs within ~(bands-1) nibble corruptions; candidates join on a short
-    string key, so the plan scales like MinHash-LSH.
+    string key, so the plan scales like MinHash-LSH. ``max_band_bucket``
+    guards hot buckets exactly as in minhash_near_dup_pairs (SimHash
+    clusters even harder on topically-narrow corpora — SCALE.md records
+    5k docs -> 100k+ candidates without it).
     """
     # Widen before fingerprinting: the md5-per-token bit-counter aggregate
     # is the expensive stage and small inputs arrive as one file split
@@ -525,6 +562,8 @@ def simhash_near_dup_pairs(
         ]
     )
     banded = sh.select(id_col, "__sh", F.explode(band_arr).alias("band_key"))
+    if max_band_bucket is not None:
+        banded = _drop_hot_buckets(banded, ["band_key"], max_band_bucket)
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
         l.join(

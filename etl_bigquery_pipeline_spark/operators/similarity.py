@@ -137,7 +137,9 @@ def lsh_cosine_topk(
 
     The bucket join shuffles on a <=bits-char key; at scale the corpus is
     written bucketed-by(bucket), queries explode to their probe set, and no
-    corpus shuffle happens at all.
+    corpus shuffle happens at all — that persisted path is
+    operators/ann_index.build_lsh_index / probe_lsh_index (probe results
+    are value-identical to this operator at equal parameters).
     """
     bucket = lambda d: hyperplane_bucket(vec_col, dim=dim, bits=bits, seed=seed)  # noqa: E731
     # bits x dim dot products per corpus row for the bucket code — widen
@@ -296,9 +298,11 @@ def ivf_cosine_topk(
     centroid, queries probe their ``nprobe`` nearest cells.
 
     The scale shape: corpus is written partitioned/bucketed by cell id, so
-    a query batch touches nprobe/nlist of the data with no corpus shuffle.
-    Expected recall beats random-hyperplane LSH at equal candidate budget
-    because cells follow the data distribution.
+    a query batch touches nprobe/nlist of the data with no corpus shuffle
+    — that persisted path is operators/ann_index.build_ivf_index /
+    probe_ivf_index (value-identical probes, centroids persisted in the
+    index meta table). Expected recall beats random-hyperplane LSH at
+    equal candidate budget because cells follow the data distribution.
     """
     centroids = train_centroids(
         corpus,

@@ -1658,6 +1658,30 @@ def ivf_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_ok(exact, approx, 0.3)
 
 
+@query("lsh_index_probe_matches", "SELECT true AS probe_matches")
+def lsh_index_probe_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-ANN-index gate: build the bucketed LSH index table once
+    (operators/ann_index.py), probe it, and require the probe to match the
+    in-memory lsh_cosine_topk value-for-value (same candidates, same
+    scoring — the persisted path just bucket-prunes the scan and never
+    shuffles the corpus; plan asserted in tests/test_ann_index.py).
+    Emits one boolean row with a trivial oracle."""
+    from etl_bigquery_pipeline_spark.operators import ann_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    ann_index.build_lsh_index(
+        emb, "ann_lsh_catalog", dim=_DIM, bits=4, seed=42
+    )
+    got = ann_index.probe_lsh_index(spark, "ann_lsh_catalog", queries_df, k=5)
+    want = similarity.lsh_cosine_topk(
+        emb, queries_df, k=5, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", dim=_DIM, bits=4, seed=42,
+    )
+    diff = got.exceptAll(want).unionAll(want.exceptAll(got))
+    return diff.agg((F.count(F.lit(1)) == 0).alias("probe_matches"))
+
+
 @query("approx_distinct_error", "SELECT true AS error_ok")
 def approx_distinct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-enforceable HLL++ error gate: |approx - exact| must stay

@@ -45,6 +45,41 @@ def test_salted_join_rejects_outer_variants(spark):
             skew.salted_join(big, small, ["k"], how=how)
 
 
+def test_minhash_hot_band_bucket_cap(spark):
+    """Boilerplate skew hazard: ~30% of docs share one text, so ONE band
+    key holds all of them and the bucket self-join would build n(n-1)/2
+    candidate pairs. max_band_bucket excises those buckets while normal
+    near-dup pairs keep flowing; the skipped boilerplate cluster is exact
+    dedup's job (documented in _drop_hot_buckets)."""
+    from etl_bigquery_pipeline_spark.operators import dedup
+
+    boiler = "all rights reserved contact us terms of service apply here"
+    rows = [(i, boiler) for i in range(30)]  # 30% of corpus: ONE bucket
+    rows += [(100 + i, f"unique document number {i} talks about topic {i} "
+              f"in detail with extra words {i * 7}") for i in range(68)]
+    rows += [
+        (900, "spark engines process data with distributed execution today"),
+        (901, "spark engines process data with distributed execution now"),
+    ]  # a genuine near-dup pair outside the hot cluster
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = dedup.minhash_near_dup_pairs(
+        docs, threshold=0.3, bands=16
+    ).collect()
+    boiler_pairs = [r for r in uncapped if r.id_a < 30 and r.id_b < 30]
+    assert len(boiler_pairs) == 30 * 29 // 2  # the quadratic blowup
+
+    capped = dedup.minhash_near_dup_pairs(
+        docs, threshold=0.3, bands=16, max_band_bucket=10
+    ).collect()
+    capped_pairs = {(r.id_a, r.id_b) for r in capped}
+    assert not any(a < 30 and b < 30 for a, b in capped_pairs)
+    assert (900, 901) in capped_pairs  # cold-bucket recall intact
+    # exact dedup owns the boilerplate cluster the cap skipped
+    kept = dedup.dedup_exact_text(docs, "doc_id", "text")
+    assert kept.filter("doc_id < 30").count() == 1
+
+
 def test_deterministic_salt_spreads_hot_key(spark):
     big, _ = _skewed(spark)
     salted = skew.with_salt(big, 8, deterministic_by="v")
