@@ -2718,3 +2718,138 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("__n"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# ===================================================================
+# Round-2 breadth: embedding centroids, Pandas-UDF aggregate parity,
+# exact percentiles, salted-join equivalence gate
+# ===================================================================
+
+_CENTROID_ORACLE = f"""
+WITH u AS (
+  SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, generate_series(1, {_DIM}) AS g(i))
+SELECT label, CAST(pos AS BIGINT) AS pos,
+       round(avg(v), 6) AS centroid_val,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM u GROUP BY label, pos
+"""
+
+
+@query("embedding_centroids", _CENTROID_ORACLE)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (elementwise mean) — the building
+    block for IVF training at full-corpus scale, class prototypes, and
+    drift monitoring. posexplode -> groupBy (label, position) mean: the
+    shuffle key is (label, pos) — DIM×labels cells, perfectly even, with
+    map-side partial aggregation absorbing the explosion. Emitted as one
+    row per (label, pos) scalar; reassemble with
+    transform(array_sort(collect_list(struct(pos, val)))) when an array
+    column is needed downstream."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).cast("bigint").alias("pos"))
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+_TRIMMED_MEAN_ORACLE = """
+WITH s AS (
+  SELECT c_mktsegment,
+         list(c_acctbal ORDER BY c_acctbal) AS l,
+         COUNT(*) AS n,
+         CAST(floor(COUNT(*) * 0.1) AS BIGINT) AS k
+  FROM customer GROUP BY c_mktsegment),
+t AS (
+  SELECT c_mktsegment,
+         CASE WHEN n > 2 * k THEN l[k + 1 : n - k] ELSE l END AS kept,
+         n
+  FROM s)
+SELECT c_mktsegment,
+       round(list_avg(kept), 4) AS trimmed_mean,
+       CAST(len(kept) AS BIGINT) AS n_used,
+       CAST(n AS BIGINT) AS n_total
+FROM t
+"""
+
+
+@query("trimmed_mean_acctbal", _TRIMMED_MEAN_ORACLE)
+def trimmed_mean_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pandas-UDF (applyInPandas) aggregate path, oracle-checked:
+    10%-trimmed mean of customer balance per market segment. Proves the
+    Arrow UDAF contract end-to-end against an engine-independent
+    definition — the slot a model-scoring UDF drops into. Groups are
+    segment-sized (bounded cardinality), the documented applyInPandas
+    regime."""
+    from etl_bigquery_pipeline_spark.functions.pandas_udfs import (
+        trimmed_mean_by_group,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    out = trimmed_mean_by_group(
+        c, "c_mktsegment", "c_acctbal", trim_frac=0.1
+    )
+    return out.select(
+        "c_mktsegment",
+        F.round("trimmed_mean", 4).alias("trimmed_mean"),
+        "n_used",
+        "n_total",
+    )
+
+
+_PERCENTILE_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("percentile_lineitem", _PERCENTILE_ORACLE)
+def percentile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per return flag (Spark `percentile`
+    == DuckDB `quantile_cont`, both linear interpolation). Exact
+    percentile is a full sort per group — fine per-group here; at 100 TB
+    swap in approx_percentile (t-digest sketch, mergeable, one pass) and
+    gate it like approx_distinct_error."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))"
+    )
+    g = li.groupBy("l_returnflag").agg(pct.alias("__p"))
+    return g.select(
+        "l_returnflag",
+        *[
+            F.round(F.element_at("__p", i + 1), 4).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p99"])
+        ],
+    )
+
+
+@query("salted_join_parity", "SELECT true AS salted_matches")
+def salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the skew tooling: salted_join(orders, customer)
+    must equal the plain join row-for-row (inner, 8 salt buckets). Emits
+    one boolean with a trivial oracle; the skew-spread behavior itself is
+    asserted in tests/test_skew.py."""
+    from etl_bigquery_pipeline_spark.operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_mktsegment"
+    )
+    salted = salted_join(
+        o.withColumnRenamed("o_custkey", "k"),
+        c.withColumnRenamed("c_custkey", "k"),
+        ["k"],
+        buckets=8,
+    ).select("o_orderkey", "c_mktsegment")
+    diff = salted.exceptAll(plain).unionAll(plain.exceptAll(salted))
+    return diff.agg((F.count(F.lit(1)) == 0).alias("salted_matches"))
