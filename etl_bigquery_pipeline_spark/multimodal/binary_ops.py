@@ -6,12 +6,15 @@ All decode / feature-extract steps are Arrow-batched Pandas iterators via
 ``mapInPandas`` — the payload never crosses the JVM<->Python boundary
 row-at-a-time, and each batch is one contiguous Arrow buffer.
 
-The actual codec calls are STUBBED in this environment (no PIL/ffmpeg in
-the container): ``decode_image_meta`` parses real PNG/JPEG headers with
-pure-Python struct reads (deterministic, testable), and the feature
-extractor is a documented deterministic fake behind the same signature a
-real model-embedding UDF would use. The Spark-side contract — schemas,
-batch iteration, partitioning — is real and tested.
+Codec policy: formats that need an external library (PNG/JPEG/GIF/video)
+are gated — header sniffing is real (pure struct reads), pixel decode
+raises with a clear message. Uncompressed raster formats decode FOR REAL
+in pure numpy: PPM (P6) and 24-bit BMP round-trip through
+``decode_image``/``encode_ppm``, ``resize_images`` does actual
+nearest-neighbor resampling on them, and ``channel_stats`` computes true
+per-channel pixel statistics — so the whole decode→transform→feature
+pipeline executes end-to-end in this container, with PIL/ffmpeg needed
+only to widen the codec matrix, not to exercise the path.
 
 Scale notes: binary payloads make *row size*, not row count, the planning
 unit. ``repartition_for_payload`` sizes partitions by payload bytes so a
@@ -52,6 +55,15 @@ def parse_image_header(payload: bytes | None) -> tuple[str | None, int | None, i
     if payload[:3] == b"GIF" and n >= 10:
         w, h = struct.unpack("<HH", payload[6:10])
         return "gif", w, h, n
+    if payload[:2] == b"P6" and payload[2:3] in b" \t\r\n":
+        try:
+            w, h, _, _ = _parse_ppm_header(payload)
+            return "ppm", w, h, n
+        except ValueError:
+            return "ppm", None, None, n
+    if payload[:2] == b"BM" and n >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return "bmp", w, abs(h), n
     if payload[:2] == b"\xff\xd8":  # JPEG: walk segments to SOF0/2
         i = 2
         while i + 9 < n:
@@ -88,13 +100,83 @@ def with_image_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
     return df.mapInPandas(scan, out_schema)
 
 
+def _parse_ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, maxval, data_offset) of a binary PPM (P6).
+
+    The header is ASCII tokens (magic, width, height, maxval) separated by
+    whitespace/comments, then ONE whitespace byte before raw RGB data.
+    """
+    tokens: list[int] = []
+    i = 2  # past b"P6"
+    n = len(payload)
+    while len(tokens) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c == b"#":  # comment to end of line
+            while i < n and payload[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and payload[j : j + 1].isdigit():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+        else:
+            raise ValueError(f"bad PPM header byte {c!r} at {i}")
+    if len(tokens) < 3 or i >= n:
+        raise ValueError("truncated PPM header")
+    return tokens[0], tokens[1], tokens[2], i + 1  # +1: the single ws byte
+
+
 def decode_image(payload: bytes) -> "object":
-    """Full pixel decode — requires a codec library not present in this
-    container. Deliberate stub; the real implementation returns an
-    ndarray(h, w, c) and slots into extract_features below unchanged."""
+    """Pixel decode to ndarray(h, w, 3) uint8 — pure numpy, no codec libs.
+
+    Real for uncompressed formats: PPM (P6) and 24-bit uncompressed BMP
+    (bottom-up or top-down, 4-byte row padding, BGR->RGB). Compressed
+    formats (PNG/JPEG/GIF) raise NotImplementedError with the required
+    library named — the same signature a PIL-backed decode slots into.
+    """
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        w, h, maxval, off = _parse_ppm_header(payload)
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM not supported")
+        arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off)
+        return arr.reshape(h, w, 3).copy()
+    if payload[:2] == b"BM":
+        data_off = struct.unpack("<I", payload[10:14])[0]
+        w, h_signed = struct.unpack("<ii", payload[18:26])
+        bpp = struct.unpack("<H", payload[28:30])[0]
+        compression = struct.unpack("<I", payload[30:34])[0]
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                f"only 24-bit uncompressed BMP decodes here (bpp={bpp}, "
+                f"compression={compression})"
+            )
+        h = abs(h_signed)
+        row_bytes = (w * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+        raw = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
+        ).reshape(h, row_bytes)
+        rgb = raw[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        if h_signed > 0:  # positive height = bottom-up row order
+            rgb = rgb[::-1]
+        return rgb.copy()
+    fmt = parse_image_header(payload)[0]
     raise NotImplementedError(
-        "pixel decode needs PIL/opencv; not available in this environment"
+        f"decoding {fmt!r} needs a codec library (PIL/opencv) — only "
+        "uncompressed PPM/BMP decode without one"
     )
+
+
+def encode_ppm(arr: "object") -> bytes:
+    """ndarray(h, w, 3) uint8 -> binary PPM (P6) bytes. The re-encode
+    target for decode->transform->write pipelines (PPM is the simplest
+    lossless interchange that round-trips without a codec library)."""
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
 
 
 FEATURE_SCHEMA = "id long, feature array<float>"
@@ -138,6 +220,20 @@ def repartition_for_payload(
 RESIZE_SCHEMA = "id long, payload binary, width int, height int"
 
 
+def resize_nearest(arr: "object", target: tuple[int, int]) -> "object":
+    """Nearest-neighbor resample of ndarray(h, w, 3) to (target_w,
+    target_h) — two integer index gathers, fully vectorized, deterministic
+    (matches PIL's NEAREST up to its center-sampling convention, which we
+    replicate: source index = floor((i + 0.5) * src/dst))."""
+    import numpy as np
+
+    tw, th = target
+    sh, sw = arr.shape[0], arr.shape[1]
+    rows = np.minimum(((np.arange(th) + 0.5) * sh / th).astype(int), sh - 1)
+    cols = np.minimum(((np.arange(tw) + 0.5) * sw / tw).astype(int), sw - 1)
+    return arr[rows][:, cols]
+
+
 def resize_images(
     df: DataFrame,
     *,
@@ -145,27 +241,73 @@ def resize_images(
     binary_col: str = "payload",
     target: tuple[int, int] = (224, 224),
 ) -> DataFrame:
-    """Resize contract: (id, payload, width, height) out, Arrow-batched.
+    """Resize step: (id, payload, width, height) out, Arrow-batched.
 
-    Real pixel resampling needs a codec lib (absent here) — the stub
-    re-emits the payload with the target dimensions recorded, keeping the
-    schema/batching/partitioning path fully exercisable. A PIL-backed body
-    replaces only the inner loop.
+    Decodable payloads (PPM/BMP) are REALLY resampled (vectorized
+    nearest-neighbor) and re-encoded as PPM; codec-gated formats pass
+    through with their dimensions recorded, so a mixed-format corpus
+    flows without failure — swap the inner body for PIL to widen the
+    matrix. The plan shape (Arrow batches, payload-sized partitions) is
+    identical either way.
     """
 
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         w, h = target
         for pdf in batches:
+            payloads = []
+            for p in pdf[binary_col]:
+                try:
+                    payloads.append(encode_ppm(resize_nearest(decode_image(p), (w, h))))
+                except (NotImplementedError, ValueError, TypeError):
+                    payloads.append(p)  # codec-gated format: pass through
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
-                    "payload": pdf[binary_col],  # stub: bytes unchanged
+                    "payload": payloads,
                     "width": w,
                     "height": h,
                 }
             )
 
     return df.mapInPandas(do, RESIZE_SCHEMA)
+
+
+CHANNEL_STATS_SCHEMA = (
+    "id long, width int, height int, "
+    "mean_r double, mean_g double, mean_b double, std_gray double"
+)
+
+
+def channel_stats(
+    df: DataFrame, *, id_col: str = "id", binary_col: str = "payload"
+) -> DataFrame:
+    """TRUE pixel statistics for decodable payloads: per-channel means and
+    grayscale std from the actual decoded array — the simplest real
+    feature extraction (brightness/contrast filters for image curation,
+    the multimodal twin of text quality_score). Non-decodable payloads
+    yield null stats instead of failing the batch."""
+    import numpy as np
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "width", "height", "mean_r", "mean_g", "mean_b", "std_gray")}
+            for i, p in zip(pdf[id_col], pdf[binary_col]):
+                out["id"].append(i)
+                try:
+                    arr = decode_image(p).astype(np.float64)
+                    out["width"].append(arr.shape[1])
+                    out["height"].append(arr.shape[0])
+                    means = arr.mean(axis=(0, 1))
+                    out["mean_r"].append(round(float(means[0]), 4))
+                    out["mean_g"].append(round(float(means[1]), 4))
+                    out["mean_b"].append(round(float(means[2]), 4))
+                    out["std_gray"].append(round(float(arr.mean(axis=2).std()), 4))
+                except (NotImplementedError, ValueError, TypeError):
+                    for k in ("width", "height", "mean_r", "mean_g", "mean_b", "std_gray"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(do, CHANNEL_STATS_SCHEMA)
 
 
 FRAME_SCHEMA = "id long, frame_idx int, frame binary"

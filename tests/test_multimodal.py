@@ -1,14 +1,38 @@
 """Multimodal binary-column plumbing: real header parsing, Arrow-batched
-mapInPandas contracts, payload-aware repartitioning. Pixel decode itself is
-a documented stub (no codec libs in this environment)."""
+mapInPandas contracts, payload-aware repartitioning. Pixel decode/resize/
+stats run FOR REAL on uncompressed formats (PPM/BMP, pure numpy); only
+compressed codecs stay gated."""
 
 from __future__ import annotations
 
 import struct
 
+import numpy as np
 import pytest
 
 from etl_bigquery_pipeline_spark.multimodal import binary_ops
+
+
+def _rng_image(h: int, w: int, seed: int = 7) -> np.ndarray:
+    return np.random.RandomState(seed).randint(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+
+
+def _bmp(arr: np.ndarray) -> bytes:
+    """Minimal 24-bit uncompressed BMP encoder (bottom-up, padded rows)."""
+    h, w = arr.shape[:2]
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = b"".join(
+        arr[r, :, ::-1].tobytes() + b"\x00" * pad for r in range(h - 1, -1, -1)
+    )
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    )
+    return header + body
 
 
 def _png(w: int, h: int) -> bytes:
@@ -64,9 +88,65 @@ def test_extract_features_contract(spark):
     assert all(0.0 <= v <= 1.0 for v in feats[1])
 
 
-def test_decode_image_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        binary_ops.decode_image(b"\x89PNG")
+def test_decode_compressed_formats_stay_gated():
+    with pytest.raises(NotImplementedError, match="codec library"):
+        binary_ops.decode_image(_png(4, 4))
+
+
+def test_ppm_roundtrip_and_header():
+    arr = _rng_image(5, 7)
+    payload = binary_ops.encode_ppm(arr)
+    assert binary_ops.parse_image_header(payload)[:3] == ("ppm", 7, 5)
+    assert np.array_equal(binary_ops.decode_image(payload), arr)
+
+
+def test_bmp_decode_matches_source_pixels():
+    arr = _rng_image(6, 5)  # width 5 -> row padding exercised
+    payload = _bmp(arr)
+    assert binary_ops.parse_image_header(payload)[:3] == ("bmp", 5, 6)
+    assert np.array_equal(binary_ops.decode_image(payload), arr)
+
+
+def test_resize_nearest_semantics():
+    arr = _rng_image(8, 8)
+    out = binary_ops.resize_nearest(arr, (4, 4))
+    assert out.shape == (4, 4, 3)
+    # center-sampling: output (0,0) takes source (1,1) for a 2x downscale
+    assert np.array_equal(out[0, 0], arr[1, 1])
+    up = binary_ops.resize_nearest(arr, (16, 16))
+    assert up.shape == (16, 16, 3)
+    assert np.array_equal(up[0, 0], arr[0, 0])
+
+
+def test_resize_images_really_resamples(spark):
+    arr = _rng_image(10, 10)
+    df = spark.createDataFrame(
+        [(1, binary_ops.encode_ppm(arr)), (2, _bmp(arr)), (3, b"\x00" * 50)],
+        "id long, payload binary",
+    )
+    out = {r.id: r for r in binary_ops.resize_images(df, target=(4, 6)).collect()}
+    want = binary_ops.resize_nearest(arr, (4, 6))
+    for i in (1, 2):  # both decodable formats -> identical resampled PPM
+        got = binary_ops.decode_image(bytes(out[i].payload))
+        assert got.shape == (6, 4, 3)
+        assert np.array_equal(got, want)
+    assert bytes(out[3].payload) == b"\x00" * 50  # non-decodable passthrough
+    assert out[3].width == 4 and out[3].height == 6
+
+
+def test_channel_stats_true_pixel_values(spark):
+    arr = _rng_image(9, 4)
+    df = spark.createDataFrame(
+        [(1, binary_ops.encode_ppm(arr)), (2, b"junk")],
+        "id long, payload binary",
+    )
+    out = {r.id: r for r in binary_ops.channel_stats(df).collect()}
+    a = arr.astype(np.float64)
+    assert out[1].mean_r == round(float(a[:, :, 0].mean()), 4)
+    assert out[1].mean_b == round(float(a[:, :, 2].mean()), 4)
+    assert out[1].std_gray == round(float(a.mean(axis=2).std()), 4)
+    assert out[1].width == 4 and out[1].height == 9
+    assert out[2].mean_r is None  # junk -> null stats, batch survives
 
 
 def test_repartition_for_payload(spark):
