@@ -6,15 +6,16 @@ All decode / feature-extract steps are Arrow-batched Pandas iterators via
 ``mapInPandas`` — the payload never crosses the JVM<->Python boundary
 row-at-a-time, and each batch is one contiguous Arrow buffer.
 
-Codec policy: formats that need an external library (PNG/JPEG/GIF/video)
-are gated — header sniffing is real (pure struct reads), pixel decode
-raises with a clear message. Uncompressed raster formats decode FOR REAL
-in pure numpy: PPM (P6) and 24-bit BMP round-trip through
-``decode_image``/``encode_ppm``, ``resize_images`` does actual
-nearest-neighbor resampling on them, and ``channel_stats`` computes true
-per-channel pixel statistics — so the whole decode→transform→feature
-pipeline executes end-to-end in this container, with PIL/ffmpeg needed
-only to widen the codec matrix, not to exercise the path.
+Codec policy: formats that genuinely need an external library (JPEG/GIF/
+video, exotic PNG variants) are gated — header sniffing is real (pure
+struct reads), pixel decode raises with a clear message. Everything else
+decodes FOR REAL with numpy + stdlib: PPM (P6), 24-bit BMP, and 8-bit
+non-interlaced PNG (zlib inflate + scanline-filter inversion).
+``resize_images`` does actual nearest-neighbor resampling on decodable
+payloads and ``channel_stats`` computes true per-channel pixel statistics
+— the whole decode→transform→feature pipeline executes end-to-end in this
+container, with PIL/ffmpeg needed only to widen the codec matrix, not to
+exercise the path.
 
 Scale notes: binary payloads make *row size*, not row count, the planning
 unit. ``repartition_for_payload`` sizes partitions by payload bytes so a
@@ -129,16 +130,106 @@ def _parse_ppm_header(payload: bytes) -> tuple[int, int, int, int]:
     return tokens[0], tokens[1], tokens[2], i + 1  # +1: the single ws byte
 
 
-def decode_image(payload: bytes) -> "object":
-    """Pixel decode to ndarray(h, w, 3) uint8 — pure numpy, no codec libs.
+def _decode_png(payload: bytes) -> "object":
+    """Minimal PNG decode: 8-bit gray/RGB/RGBA, non-interlaced.
 
-    Real for uncompressed formats: PPM (P6) and 24-bit uncompressed BMP
-    (bottom-up or top-down, 4-byte row padding, BGR->RGB). Compressed
-    formats (PNG/JPEG/GIF) raise NotImplementedError with the required
-    library named — the same signature a PIL-backed decode slots into.
+    PNG's compression is plain zlib (stdlib) over filtered scanlines, so
+    no codec library is needed — only the five per-row filters (None/Sub/
+    Up/Average/Paeth) have to be inverted. Up and None invert vectorized;
+    Sub/Average/Paeth are sequential in x by definition (each byte depends
+    on the reconstructed left neighbor), so those rows take a Python loop
+    — fine for the thumbnail/feature-extraction sizes this path serves.
+    Returns RGB (alpha dropped, gray replicated) for a uniform contract.
+    """
+    import zlib
+
+    import numpy as np
+
+    w = h = None
+    depth = color = interlace = None
+    idat = b""
+    pos = 8  # past signature
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if w is None:
+        raise ValueError("no IHDR chunk")
+    if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant not supported without a codec lib (bit_depth="
+            f"{depth}, color_type={color}, interlace={interlace}) — "
+            "8-bit gray/RGB/RGBA non-interlaced decode here"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * ch
+    raw = zlib.decompress(idat)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    i = 0
+    for r in range(h):
+        ft = raw[i]
+        line = np.frombuffer(raw, np.uint8, stride, i + 1).copy()
+        i += 1 + stride
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = line + prev  # uint8 wraparound == mod-256 add
+        elif ft == 1:  # Sub
+            cur = line
+            for x in range(ch, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - ch])) % 256
+        elif ft == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                cur[x] = (int(line[x]) + (left + int(prev[x])) // 2) % 256
+        elif ft == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = cur
+        prev = cur
+    arr = out.reshape(h, w, ch)
+    if ch == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    elif ch == 4:
+        arr = arr[:, :, :3]
+    return arr.copy()
+
+
+def decode_image(payload: bytes) -> "object":
+    """Pixel decode to ndarray(h, w, 3) uint8 — pure numpy/stdlib, no
+    codec libs.
+
+    Real decode paths: PPM (P6), 24-bit uncompressed BMP (bottom-up or
+    top-down, 4-byte row padding, BGR->RGB), and 8-bit non-interlaced PNG
+    (zlib is stdlib; the five scanline filters are inverted here). JPEG/
+    GIF and exotic PNG variants raise NotImplementedError naming the
+    required library — the same signature a PIL-backed decode slots into.
     """
     import numpy as np
 
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     if payload[:2] == b"P6":
         w, h, maxval, off = _parse_ppm_header(payload)
         if maxval > 255:
@@ -166,8 +257,8 @@ def decode_image(payload: bytes) -> "object":
         return rgb.copy()
     fmt = parse_image_header(payload)[0]
     raise NotImplementedError(
-        f"decoding {fmt!r} needs a codec library (PIL/opencv) — only "
-        "uncompressed PPM/BMP decode without one"
+        f"decoding {fmt!r} needs a codec library (PIL/opencv) — "
+        "PPM/BMP/8-bit-PNG decode without one"
     )
 
 

@@ -75,3 +75,60 @@ def with_stable_ids(
     """
     w = Window.orderBy(*order_by)
     return df.withColumn(id_col, F.row_number().over(w).cast("bigint") - 1)
+
+
+def with_stable_ids_distributed(
+    df: DataFrame,
+    order_by: list[str],
+    *,
+    id_col: str = "row_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Dense 0-based ids by a declared total order — the 100 TB path.
+
+    Two-stage instead of one global window: range-partition on the order
+    key (each partition holds a contiguous key range, in order), number
+    rows within each partition, then add per-partition offsets computed
+    from the partition counts. The only driver-side data is one count per
+    partition (bounded by the partition count, not the data); the heavy
+    work is one range shuffle + a per-partition linear scan, fully
+    parallel. Produces the same ids as ``with_stable_ids`` when
+    ``order_by`` is a total order (ties may land in either neighboring
+    partition, so make the key unique — same caveat as any row_number).
+
+    The counts pass executes the ranged frame once before the final plan
+    consumes it again, so the frame is cached; call
+    ``spark.catalog.clearCache()`` after persisting the result.
+    """
+    par = (
+        partitions
+        if partitions is not None
+        else df.sparkSession.sparkContext.defaultParallelism
+    )
+    ranged = (
+        df.repartitionByRange(par, *[F.col(c) for c in order_by])
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    counts = (
+        ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    )
+    acc = 0
+    offsets: dict[int, int] = {}
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = acc
+        acc += r["__n"]
+    mapping = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    return (
+        ranged.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            id_col,
+            (
+                mapping[F.col("__pid")] + F.col("__rn") - 1
+            ).cast("bigint"),
+        )
+        .drop("__pid", "__rn")
+    )

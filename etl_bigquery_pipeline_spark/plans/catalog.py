@@ -2853,3 +2853,67 @@ def salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "c_mktsegment")
     diff = salted.exceptAll(plain).unionAll(plain.exceptAll(salted))
     return diff.agg((F.count(F.lit(1)) == 0).alias("salted_matches"))
+
+
+_ROLLING_ORACLE = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("events_rolling_1h", _ROLLING_ORACLE)
+def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour per-user rolling window (RANGE frame over event
+    time): count + exact decimal sum of value — the feature-engineering
+    shape (trailing activity counts) that tumbling/sliding windows can't
+    express because every event anchors its own frame. One shuffle on
+    user_id, then a linear per-user scan; the frame is bounded by the
+    time range, not row count, so hot users stay O(events-in-window)."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_trailing_1h"),
+    )
+
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(floor(p_retailprice / 10) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(MIN(p_retailprice), 2) AS lo,
+       round(MAX(p_retailprice), 2) AS hi
+FROM part GROUP BY 1
+"""
+
+
+@query("price_histogram", _HISTOGRAM_ORACLE)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of part prices (10-unit buckets): the
+    single-shuffle distribution profile used before choosing join
+    strategies and skew thresholds. Bucket count is bounded by the value
+    range — the groupBy key space stays tiny at any data scale."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy(
+            F.floor(F.col("p_retailprice") / 10).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("p_retailprice"), 2).alias("lo"),
+            F.round(F.max("p_retailprice"), 2).alias("hi"),
+        )
+    )

@@ -88,9 +88,92 @@ def test_extract_features_contract(spark):
     assert all(0.0 <= v <= 1.0 for v in feats[1])
 
 
-def test_decode_compressed_formats_stay_gated():
+def _encode_png(arr: np.ndarray, filters: list[int]) -> bytes:
+    """Real PNG encoder for fixtures: applies the given filter type per
+    row (cycled) so the decoder's inversion of every filter is exercised.
+    Handles 2-d (gray) and 3-d (RGB/RGBA) arrays."""
+    import zlib
+
+    if arr.ndim == 2:
+        ch, color = 1, 0
+        flat = arr
+    else:
+        ch = arr.shape[2]
+        color = {3: 2, 4: 6}[ch]
+        flat = arr.reshape(arr.shape[0], -1)
+    h, stride = flat.shape
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        cur = flat[r].astype(np.int32)
+        ft = filters[r % len(filters)]
+        left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur - left
+        elif ft == 2:
+            enc = cur - prev
+        elif ft == 3:
+            enc = cur - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - ul
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = cur - pred
+        raw.append(ft)
+        raw.extend((enc % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        import zlib as z
+
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", z.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", flat.shape[1] // ch, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_codec_gated_formats():
     with pytest.raises(NotImplementedError, match="codec library"):
-        binary_ops.decode_image(_png(4, 4))
+        binary_ops.decode_image(_jpeg(4, 4))
+    # 16-bit PNG: a real variant this decoder doesn't cover
+    deep = _encode_png(_rng_image(2, 2), [0])
+    deep = deep.replace(struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0),
+                        struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0), 1)
+    with pytest.raises(NotImplementedError, match="PNG variant"):
+        binary_ops.decode_image(deep)
+
+
+def test_png_roundtrip_all_filters():
+    arr = _rng_image(10, 7, seed=3)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        payload = _encode_png(arr, filters)
+        got = binary_ops.decode_image(payload)
+        assert np.array_equal(got, arr), f"filters={filters}"
+
+
+def test_png_gray_and_alpha_variants():
+    gray = np.random.RandomState(5).randint(0, 256, (6, 4), dtype=np.uint8)
+    got = binary_ops.decode_image(_encode_png(gray, [0, 2]))
+    assert got.shape == (6, 4, 3)
+    assert np.array_equal(got[:, :, 0], gray)  # replicated channels
+    rgba = np.random.RandomState(6).randint(0, 256, (5, 5, 4), dtype=np.uint8)
+    got = binary_ops.decode_image(_encode_png(rgba, [4, 1]))
+    assert np.array_equal(got, rgba[:, :, :3])  # alpha dropped
 
 
 def test_ppm_roundtrip_and_header():

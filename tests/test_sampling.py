@@ -54,6 +54,22 @@ def test_with_stable_ids_dense_and_ordered(spark, sf_dir):
     assert ids == list(range(len(out)))  # dense, 0-based, order-aligned
 
 
+def test_with_stable_ids_distributed_matches_single_window(spark, sf_dir):
+    """The two-stage (range-partition + offset) path must assign exactly
+    the ids the single-window version does, while actually running wide."""
+    d = spark.read.parquet(f"{sf_dir}/part.parquet")
+    single = {
+        r.p_partkey: r.rid
+        for r in sampling.with_stable_ids(d, ["p_partkey"], id_col="rid").collect()
+    }
+    dist_df = sampling.with_stable_ids_distributed(
+        d, ["p_partkey"], id_col="rid", partitions=8
+    )
+    dist = {r.p_partkey: r.rid for r in dist_df.collect()}
+    assert dist == single
+    spark.catalog.clearCache()
+
+
 def test_writer_max_records_per_file(spark, tmp_path):
     """Output hygiene: bound file sizes so downstream scans see uniform
     splits (a 100 TB table of 10 GB files is unschedulable)."""
