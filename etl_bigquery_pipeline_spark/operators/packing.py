@@ -28,11 +28,73 @@ def pack_global(
     pack_col: str = "pack_id",
 ) -> DataFrame:
     """Sequential packing over one global order (single-partition window —
-    the oracle-checkable reference semantics)."""
+    the oracle-checkable reference semantics). Identical output at any
+    scale: ``pack_global_distributed`` (range-partitioned two-stage
+    cumulative sums); relaxed semantics at maximum parallelism:
+    ``packed`` (bucket-namespaced ids)."""
     w = Window.orderBy(*order_by).rowsBetween(Window.unboundedPreceding, 0)
     cum = F.sum(size_col).over(w)
     start = cum - F.col(size_col)
     return df.withColumn(pack_col, F.floor(start / budget).cast("bigint"))
+
+
+def pack_global_distributed(
+    df: DataFrame,
+    *,
+    size_col: str,
+    order_by: list[str],
+    budget: int,
+    pack_col: str = "pack_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """EXACT global-packing semantics, computed wide — the 100 TB path
+    for ``pack_global``.
+
+    The running token sum decomposes: range-partition on the order key
+    (contiguous key ranges, in order), take per-partition running sums,
+    and add each partition's cumulative byte offset — one number per
+    partition, collected driver-side (bounded by partition count). The
+    result equals ``pack_global`` row-for-row; the heavy work is one
+    range shuffle plus per-partition linear window scans. Cached because
+    the totals pass and the final plan both consume the ranged frame;
+    clearCache() after persisting.
+    """
+    par = (
+        partitions
+        if partitions is not None
+        else df.sparkSession.sparkContext.defaultParallelism
+    )
+    ranged = (
+        df.repartitionByRange(par, *[F.col(c) for c in order_by])
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    totals = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(size_col).alias("__t"))
+        .collect()
+    )
+    acc = 0
+    offsets: dict[int, int] = {}
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = acc
+        acc += r["__t"]
+    mapping = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local_start = F.sum(size_col).over(w) - F.col(size_col)
+    return (
+        ranged.withColumn(
+            pack_col,
+            F.floor(
+                (mapping[F.col("__pid")] + local_start) / budget
+            ).cast("bigint"),
+        )
+        .drop("__pid")
+    )
 
 
 def packed(

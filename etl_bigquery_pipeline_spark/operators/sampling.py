@@ -69,9 +69,10 @@ def with_stable_ids(
     """Assign dense 0-based ids by a declared total order.
 
     One global sort (single-partition window) — correct and reproducible;
-    meant for ingest-time assignment that is then persisted. For
-    assign-on-read at extreme scale, prefer hash-derived keys
-    (md5 of a natural key) over positional ids.
+    meant for ingest-time assignment that is then persisted.
+    ``with_stable_ids_distributed`` assigns the SAME ids wide (range
+    partitions + offsets); for assign-on-read at extreme scale, prefer
+    hash-derived keys (md5 of a natural key) over positional ids.
     """
     w = Window.orderBy(*order_by)
     return df.withColumn(id_col, F.row_number().over(w).cast("bigint") - 1)

@@ -2917,3 +2917,74 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("p_retailprice"), 2).alias("hi"),
         )
     )
+
+
+_GAPFILL_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1, 2),
+b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+spine AS (
+  SELECT p.prio, CAST(u.day AS DATE) AS day
+  FROM (SELECT DISTINCT prio FROM daily) p
+  CROSS JOIN (
+    SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+                                  INTERVAL 1 DAY)) AS day) u)
+SELECT s.prio, s.day,
+       round(CAST(last_value(d.rev IGNORE NULLS) OVER (
+           PARTITION BY s.prio ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+         AS revenue_filled,
+       CAST(coalesce(d.n, 0) AS BIGINT) AS n_orders,
+       d.rev IS NULL AS gap_filled
+FROM spine s LEFT JOIN daily d ON s.prio = d.prio AND s.day = d.day
+"""
+
+
+@query("daily_revenue_gapfilled", _GAPFILL_ORACLE)
+def daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap filling with forward fill: daily revenue per order
+    priority on a dense calendar, missing days carrying the last observed
+    value — the reporting/feature-store shape (sequence + explode builds
+    the spine; last(ignorenulls) over an ordered window fills).
+
+    Scale shape: the daily aggregate is (priorities x days) rows — tiny at
+    any corpus scale — so the spine cross join and the fill window both
+    run on aggregated data; the only full-data pass is the first groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("__rev"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    bounds = daily.agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    )
+    spine = (
+        daily.select("prio")
+        .distinct()
+        .crossJoin(bounds)  # 1-row bounds: sanctioned scalar cross join
+        .select(
+            "prio",
+            F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["prio", "day"], "left")
+    w = (
+        Window.partitionBy("prio")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "prio",
+        "day",
+        F.round(
+            F.last("__rev", ignorenulls=True).over(w).cast("double"), 4
+        ).alias("revenue_filled"),
+        F.coalesce(F.col("__n"), F.lit(0)).alias("n_orders"),
+        F.col("__rev").isNull().alias("gap_filled"),
+    )

@@ -82,6 +82,34 @@ def test_writer_max_records_per_file(spark, tmp_path):
     assert len(files) == 10
 
 
+def test_pack_global_distributed_matches_single_window(spark, sf_dir):
+    """Two-stage packing (range partitions + offset sums) must reproduce
+    the single-window global packing exactly."""
+    from etl_bigquery_pipeline_spark.operators import packing
+
+    d = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_size"
+    )
+    single = {
+        r.p_partkey: r.pack_id
+        for r in packing.pack_global(
+            d, size_col="p_size", order_by=["p_partkey"], budget=100
+        ).collect()
+    }
+    dist = {
+        r.p_partkey: r.pack_id
+        for r in packing.pack_global_distributed(
+            d,
+            size_col="p_size",
+            order_by=["p_partkey"],
+            budget=100,
+            partitions=8,
+        ).collect()
+    }
+    assert dist == single
+    spark.catalog.clearCache()
+
+
 def test_parallel_packing_fill_rate(spark, sf_dir):
     """Bucketed parallel packing: every pack stays under budget + one doc
     overflow, and fill rate is reasonable."""

@@ -188,6 +188,54 @@ def test_incremental_sink_end_to_end(spark, tmp_path):
     )
 
 
+def test_incremental_sink_batch_replay_is_idempotent(spark, tmp_path):
+    """Exactly-once for real: foreachBatch is at-least-once, so force an
+    actual replay — delete the newest commit marker from the checkpoint
+    (the on-disk state after a crash between write and commit) and
+    restart. Structured Streaming re-runs that batch with the same
+    batch_id; the sink's overwrite of its own batch_id=N directory must
+    leave the output byte-identical instead of appending duplicates."""
+    import glob
+    import os
+
+    from etl_bigquery_pipeline_spark.streaming import incremental
+
+    rows = _event_rows()
+    df = spark.createDataFrame(rows, SCHEMA)
+    src = str(tmp_path / "re_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "re_out")
+    ckpt = str(tmp_path / "re_ckpt")
+
+    def run() -> None:
+        q = incremental.incremental_events_sink(
+            spark.readStream.schema(SCHEMA).parquet(src),
+            out,
+            ckpt,
+            watermark="10 hours",
+        )
+        q.awaitTermination()
+
+    run()
+    first = sorted(
+        (r.event_id, str(r.ts)) for r in spark.read.parquet(out).collect()
+    )
+    commits = sorted(glob.glob(os.path.join(ckpt, "commits", "[0-9]*")))
+    assert commits, "checkpoint must have committed batches"
+    os.remove(commits[-1])  # crash window: batch written, commit lost
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):  # local FS keeps a checksum sidecar
+        os.remove(crc)
+
+    run()  # restart replays the uncommitted batch with the SAME batch_id
+    again = sorted(
+        (r.event_id, str(r.ts)) for r in spark.read.parquet(out).collect()
+    )
+    assert again == first  # overwrite-by-batch-id absorbed the replay
+
+
 def test_stateful_user_totals_accumulate_across_batches(spark, tmp_path):
     """applyInPandasWithState: per-user lifetime totals must carry state
     across micro-batches AND across query restarts (checkpoint-restored
