@@ -66,6 +66,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators cache intermediates (documented); clear between queries
+        # so each timing is self-contained and caches don't accumulate
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

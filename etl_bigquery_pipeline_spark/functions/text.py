@@ -86,11 +86,33 @@ def content_hash(col: Column | str) -> Column:
     return F.md5(F.array_join(tokens(c), " "))
 
 
-def ngrams(col: Column | str, n: int = 3) -> Column:
-    """Word n-grams in order, with multiplicity -> array<string>."""
-    toks = tokens(col)
+def ngrams_of(toks: Column, n: int = 3) -> Column:
+    """Word n-grams from an already-materialized token-array column.
+
+    Hot-path form: higher-order-function lambdas are INTERPRETED, so any
+    subexpression inside the lambda body re-evaluates per element. Passing
+    a raw-text ``tokens()`` expression here would re-tokenize the document
+    once per n-gram — O(len²) per document (measured 3-4x the whole
+    MinHash pipeline at sf0.1). Project the tokens into their own column
+    first and pass that column in.
+    """
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+
+
+def ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-grams in order, with multiplicity -> array<string>.
+
+    Convenience form over raw text — fine for single-use projections, but
+    in hot paths prefer ``ngrams_of`` on a pre-projected token column
+    (see its docstring for the per-element re-evaluation hazard)."""
+    return ngrams_of(tokens(col), n)
+
+
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Shingle set from a materialized token-array column (hot-path form,
+    see ngrams_of)."""
+    return F.array_distinct(ngrams_of(toks, n))
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:

@@ -41,7 +41,29 @@ from etl_bigquery_pipeline_spark.operators.similarity import (
 _META_SUFFIX = "__meta"
 
 
+def _reset_table(spark: SparkSession, table: str) -> None:
+    """Drop the catalog entry AND any orphaned warehouse directory.
+
+    With the default in-memory catalog, table registrations die with the
+    session while their files persist in spark.sql.warehouse.dir — a
+    rebuild in a fresh session would then fail with
+    LOCATION_ALREADY_EXISTS. The Hadoop FS API handles any filesystem
+    (local, HDFS, object stores)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if not wh:
+        return
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(
+        wh.rstrip("/") + "/" + table.lower()
+    )
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 def _write_meta(spark: SparkSession, table: str, meta: dict) -> None:
+    _reset_table(spark, table + _META_SUFFIX)
     spark.createDataFrame([(json.dumps(meta),)], "meta string").write.mode(
         "overwrite"
     ).saveAsTable(table + _META_SUFFIX)
@@ -70,6 +92,7 @@ def build_lsh_index(
     over every future probe).
     """
     spark = corpus.sparkSession
+    _reset_table(spark, table)
     n_buckets = buckets or min(2**bits, 64)
     indexed = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -168,6 +191,7 @@ def build_ivf_index(
     each vector to its nearest cell, persist bucketed-by(cell). Centroids
     land in the meta table so probes reuse them without retraining."""
     spark = corpus.sparkSession
+    _reset_table(spark, table)
     centroids = train_centroids(
         corpus,
         vec_col=vec_col,

@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_bigquery_pipeline_spark.functions.text import content_hash, shingles, tokens
+from etl_bigquery_pipeline_spark.functions.text import (
+    content_hash,
+    shingles,
+    shingles_of,
+    tokens,
+)
 from etl_bigquery_pipeline_spark.operators.partitioning import widen_if_narrow
 
 # ---------------------------------------------------------------- exact ---
@@ -115,9 +120,14 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, signature array<string>) — narrow projections, no shuffle."""
+    """(id, signature array<string>) — narrow projections, no shuffle.
+    Tokens land in their own projection before shingling: a tokens()
+    subtree inside the n-gram lambda re-evaluates per gram (interpreted
+    higher-order functions), O(len²) per document."""
     sh_df = df.select(
-        F.col(id_col), shingles(text_col, shingle_n).alias("__sh")
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).select(
+        F.col(id_col), shingles_of(F.col("__toks"), shingle_n).alias("__sh")
     )
     return _signatures_from_shingles(sh_df, id_col, "__sh", num_hashes).select(
         id_col, "signature"
@@ -238,7 +248,10 @@ def minhash_near_dup_pairs(
     # the operator itself cannot know when the frame is consumed).
     sh_df = (
         widen_if_narrow(df, id_col)
-        .select(F.col(id_col), shingles(text_col, shingle_n).alias("__sh"))
+        .select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col), shingles_of(F.col("__toks"), shingle_n).alias("__sh")
+        )
         .cache()
     )
     sig = _signatures_from_shingles(sh_df, id_col, "__sh", num_hashes).select(
@@ -328,11 +341,13 @@ def ngram_jaccard_pairs(
     # Long-lived sessions should clearCache() between operator runs.
     sh = (
         widen_if_narrow(df, id_col)
+        .select(F.col(id_col), tokens(text_col).alias("__toks"))
         .select(
             F.col(id_col),
             F.array_distinct(
                 F.transform(
-                    shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+                    shingles_of(F.col("__toks"), shingle_n),
+                    lambda s: F.xxhash64(s),
                 )
             ).alias("__sh"),
         )

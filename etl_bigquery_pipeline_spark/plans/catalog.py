@@ -1785,12 +1785,12 @@ def top_bigrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     window rank. The heavy groupBy key is (lang, gram) — partial
     aggregation absorbs the explosion map-side."""
     d = _t(spark, sf_dir, "documents")
-    # widen the one-split scan before the ngram projection (no-op at scale)
-    grams = widen_if_narrow(d, "doc_id").select(
-        "lang",
-        F.explode(
-            TX.ngrams(F.lower(F.col("text")), 2)
-        ).alias("gram"),
+    # widen the one-split scan before the ngram projection (no-op at
+    # scale); tokens materialize first — see decontamination's note
+    grams = (
+        widen_if_narrow(d, "doc_id")
+        .select("lang", TX.tokens(F.lower(F.col("text"))).alias("__toks"))
+        .select("lang", F.explode(TX.ngrams_of(F.col("__toks"), 2)).alias("gram"))
     )
     counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("gram").asc())
@@ -2515,17 +2515,22 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction held by the most frequent bigram — the standard
     boilerplate/spam signals for corpus filtering."""
     d = _t(spark, sf_dir, "documents")
-    toks = TX.tokens(F.lower(F.col("text")))
-    bigrams = TX.ngrams(F.lower(F.col("text")), 2)
+    toks = F.col("__toks")
     # widen the one-split scan before the token/bigram projection (no-op
-    # on wide at-scale inputs) and cache — the max-bigram branch and the
-    # final join both consume it
-    base = widen_if_narrow(d, "doc_id").select(
-        "doc_id",
-        F.size(toks).alias("n_tok"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
-        bigrams.alias("__bg"),
-    ).cache()
+    # on wide at-scale inputs); tokens materialize in their own projection
+    # (a tokens() subtree inside the bigram lambda re-evaluates per gram);
+    # cache — the max-bigram branch and the final join both consume it
+    base = (
+        widen_if_narrow(d, "doc_id")
+        .select("doc_id", TX.tokens(F.lower(F.col("text"))).alias("__toks"))
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tok"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+            TX.ngrams_of(toks, 2).alias("__bg"),
+        )
+        .cache()
+    )
     # linear formulation: explode -> per-(doc,bigram) counts -> per-doc max
     # (an in-array nested count would be quadratic in document length)
     max_bigram = (
@@ -2600,24 +2605,35 @@ def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint window — both on keys that partition evenly (doc_id, fp).
     """
     d = _t(spark, sf_dir, "documents")
-    toks = TX.tokens(F.lower(F.col("text")))
-    bigrams = TX.ngrams(F.lower(F.col("text")), 2)
+    toks = F.col("__toks")
+    bigrams = TX.ngrams_of(toks, 2)
     # Widen before the heavy projection (one-split small inputs would run
-    # it single-task; wide at-scale inputs pass through untouched) and
-    # cache: the bigram-count branch and the scored branch both consume it.
-    base = widen_if_narrow(d, "doc_id").select(
-        "doc_id",
-        TX.quality_score("text", "en").alias("quality"),
-        TX.fingerprint("text").alias("fp"),
-        F.size(toks).alias("n_tok"),
-        F.round(
-            F.size(F.array_distinct(toks))
-            / F.greatest(F.size(toks), F.lit(1)),
-            6,
-        ).alias("dtr"),
-        F.size(bigrams).alias("n_bigrams"),
-        bigrams.alias("__bg"),
-    ).cache()
+    # it single-task; wide at-scale inputs pass through untouched);
+    # lowercased tokens materialize first so the bigram lambda reads a
+    # bound array instead of re-tokenizing per gram; cache: the
+    # bigram-count branch and the scored branch both consume it.
+    base = (
+        widen_if_narrow(d, "doc_id")
+        .select(
+            "doc_id",
+            F.col("text"),
+            TX.tokens(F.lower(F.col("text"))).alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            TX.quality_score("text", "en").alias("quality"),
+            TX.fingerprint("text").alias("fp"),
+            F.size(toks).alias("n_tok"),
+            F.round(
+                F.size(F.array_distinct(toks))
+                / F.greatest(F.size(toks), F.lit(1)),
+                6,
+            ).alias("dtr"),
+            F.size(bigrams).alias("n_bigrams"),
+            bigrams.alias("__bg"),
+        )
+        .cache()
+    )
     max_bigram = (
         base.select("doc_id", F.explode("__bg").alias("b"))
         .groupBy("doc_id", "b")
@@ -2691,11 +2707,13 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned once with no corpus-side shuffle except the per-doc count.
     """
     d = _t(spark, sf_dir, "documents")
+    # tokens in their own projection: a tokens() subtree inside the n-gram
+    # lambda re-evaluates per gram (interpreted HOFs) — O(len²)/doc
     grams = d.select(
+        "doc_id", TX.tokens(F.lower(F.col("text"))).alias("__toks")
+    ).select(
         "doc_id",
-        F.array_distinct(
-            TX.ngrams(F.lower(F.col("text")), 4)
-        ).alias("__grams"),
+        F.array_distinct(TX.ngrams_of(F.col("__toks"), 4)).alias("__grams"),
     )
     ev = (
         grams.filter(F.col("doc_id") % 100 == 0)
