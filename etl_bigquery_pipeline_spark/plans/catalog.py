@@ -3006,3 +3006,88 @@ def daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("__n"), F.lit(0)).alias("n_orders"),
         F.col("__rev").isNull().alias("gap_filled"),
     )
+
+
+@query("approx_percentile_error", "SELECT true AS error_ok")
+def approx_percentile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-enforceable t-digest gate: approx_percentile (the mergeable
+    one-pass sketch that replaces exact per-group sorts at 100 TB) must
+    land within 1% of the exact interpolated median. Completes the
+    approx-family gates next to approx_distinct_error and the ANN recall
+    checks."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("__exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias(
+            "__approx"
+        ),
+    )
+    return agg.select(
+        (
+            F.abs(F.col("__approx") - F.col("__exact"))
+            <= 0.01 * F.abs(F.col("__exact"))
+        ).alias("error_ok")
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, ts AS buy_ts FROM events WHERE event_type = 'purchase'),
+conv AS (
+  SELECT c.user_id, c.click_ts, min(p.buy_ts) AS first_buy_ts
+  FROM clicks c JOIN purchases p
+    ON c.user_id = p.user_id
+   AND p.buy_ts > c.click_ts
+   AND p.buy_ts <= c.click_ts + INTERVAL 1 HOUR
+  GROUP BY c.user_id, c.click_ts)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_converting_clicks,
+       round(avg(epoch_us(first_buy_ts - click_ts) / 1000000.0), 4)
+         AS avg_secs_to_buy
+FROM conv GROUP BY user_id
+"""
+
+
+@query("funnel_click_to_purchase", _FUNNEL_ORACLE)
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel: per user, clicks that convert to a purchase
+    within 1 hour, with the mean time-to-convert. The range join plans as
+    an equi join on user_id plus a time-band residual filter — never a
+    product — and the min-per-click aggregate absorbs multiple purchases
+    in the window. The standard behavioral-analytics shape (A-then-B
+    within T) that windowed aggregates can't express."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("__bu"), F.col("ts").alias("buy_ts")
+    )
+    conv = (
+        clicks.join(
+            buys,
+            (F.col("user_id") == F.col("__bu"))
+            & (F.col("buy_ts") > F.col("click_ts"))
+            & (
+                F.col("buy_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .groupBy("user_id", "click_ts")
+        .agg(F.min("buy_ts").alias("first_buy_ts"))
+    )
+    return conv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_converting_clicks"),
+        F.round(
+            F.avg(
+                (
+                    F.unix_micros("first_buy_ts")
+                    - F.unix_micros("click_ts")
+                )
+                / 1_000_000.0
+            ),
+            4,
+        ).alias("avg_secs_to_buy"),
+    )

@@ -76,6 +76,14 @@ def test_curation_decisions_no_product_joins(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_funnel_joins_on_user_not_product(spark, sf_dir):
+    """The A-then-B funnel's time-band condition must ride on the user_id
+    equi join as a residual filter, never degenerate to a product."""
+    plan = _plan(spark, "funnel_click_to_purchase", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_widen_if_narrow_adds_no_exchange_on_wide_input(spark, sf_dir):
     """SCALE.md's 'the body never shuffles' invariant: an input already at
     or above defaultParallelism passes through widen_if_narrow untouched
