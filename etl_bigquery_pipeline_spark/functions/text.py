@@ -149,21 +149,15 @@ def lang_guess(col: Column | str) -> Column:
     return best["lang"]
 
 
-def token_chunks(
-    col: Column | str, *, chunk_tokens: int = 64, overlap: int = 16
+def token_chunks_of(
+    toks: Column, *, chunk_tokens: int = 64, overlap: int = 16
 ) -> Column:
-    """Split a document into overlapping fixed-token-window chunks ->
-    array<struct<chunk_idx int, chunk string, n_tokens int>>.
-
-    Stride = chunk_tokens - overlap; the final chunk may be short. The
-    chunking a training/RAG pipeline runs before tokenization — pure
-    JVM higher-order functions, exploded downstream into one row per
-    chunk.
-    """
+    """Chunking over an already-materialized token-array column (hot-path
+    form — a tokens() subtree here would re-tokenize per chunk inside the
+    interpreted lambda; see ngrams_of)."""
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = tokens(col)
     n = F.size(toks)
     # starts: 0, stride, 2*stride ... while start < n (at least one chunk)
     n_chunks = F.greatest(
@@ -181,4 +175,21 @@ def token_chunks(
             .cast("int")
             .alias("n_tokens"),
         ),
+    )
+
+
+def token_chunks(
+    col: Column | str, *, chunk_tokens: int = 64, overlap: int = 16
+) -> Column:
+    """Split a document into overlapping fixed-token-window chunks ->
+    array<struct<chunk_idx int, chunk string, n_tokens int>>.
+
+    Stride = chunk_tokens - overlap; the final chunk may be short. The
+    chunking a training/RAG pipeline runs before tokenization — pure JVM
+    higher-order functions, exploded downstream into one row per chunk.
+    Convenience form over raw text; hot paths should pre-project tokens
+    and call ``token_chunks_of``.
+    """
+    return token_chunks_of(
+        tokens(col), chunk_tokens=chunk_tokens, overlap=overlap
     )

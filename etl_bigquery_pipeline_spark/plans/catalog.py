@@ -2406,8 +2406,10 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stride 48) — one output row per chunk. The pre-tokenization step of
     a training/RAG pipeline; pure projection + explode, no shuffle."""
     d = _t(spark, sf_dir, "documents")
-    chunks = TX.token_chunks("text", chunk_tokens=64, overlap=16)
-    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+    chunks = TX.token_chunks_of(F.col("__toks"), chunk_tokens=64, overlap=16)
+    return d.select(
+        "doc_id", TX.tokens("text").alias("__toks")
+    ).select("doc_id", F.explode(chunks).alias("c")).select(
         "doc_id",
         F.col("c.chunk_idx").alias("chunk_idx"),
         F.col("c.chunk").alias("chunk"),
