@@ -74,6 +74,36 @@ class ParquetWarehouse(WarehouseSink):
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self._path(table))
 
+    def upsert(self, updates: DataFrame, table: str, keys: list[str]) -> None:
+        """Merge-by-rewrite upsert: rows matching an update key are
+        replaced, new keys are inserted (MERGE WHEN MATCHED UPDATE /
+        NOT MATCHED INSERT over a format without transaction logs).
+
+        Plan: target LEFT ANTI updates on the keys (drop stale versions)
+        UNION the updates, write to a staging path, atomically swap
+        directories. At warehouse scale this is the compaction-style
+        merge every rewrite-based lakehouse runs under the hood; a real
+        deployment partitions the table and rewrites only partitions
+        containing update keys (partition_by in write_parquet + a key →
+        partition pruning filter). The anti join broadcasts the update
+        side when small — the common CDC-batch case.
+        """
+        import shutil
+
+        path = self._path(table)
+        spark = updates.sparkSession
+        if not os.path.exists(path):
+            write_parquet(updates, path, mode="overwrite")
+            return
+        target = spark.read.parquet(path)
+        merged = target.join(updates, keys, "left_anti").unionByName(updates)
+        staging = path + ".__staging"
+        write_parquet(merged, staging, mode="overwrite")
+        old = path + ".__old"
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old)
+
 
 @dataclass
 class BigQueryWarehouse(WarehouseSink):

@@ -161,6 +161,27 @@ def test_read_excel_stdlib_parser_types_and_sheets(tmp_path):
         readers._read_xlsx_stdlib(str(p), "nope")
 
 
+def test_parquet_warehouse_upsert(spark, tmp_path):
+    """Merge-by-rewrite: matched keys replaced, new keys inserted, the
+    untouched rows intact — and the target stays readable (atomic dir
+    swap, no partial state at the final path)."""
+    wh = sinks.ParquetWarehouse(str(tmp_path))
+    wh.create_namespace("ns")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id bigint, v string, n bigint"
+    )
+    wh.overwrite(base, "ns.t")
+    updates = spark.createDataFrame(
+        [(2, "B", 200), (4, "d", 40)], "id bigint, v string, n bigint"
+    )
+    wh.upsert(updates, "ns.t", ["id"])
+    got = {r.id: (r.v, r.n) for r in wh.read(spark, "ns.t").collect()}
+    assert got == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30), 4: ("d", 40)}
+    # upsert into a missing table == plain write
+    wh.upsert(updates, "ns.fresh", ["id"])
+    assert wh.read(spark, "ns.fresh").count() == 2
+
+
 def test_load_tables_registers_views(spark, sf_dir):
     out = readers.load_tables(spark, sf_dir, ("region", "nation"))
     assert set(out) == {"region", "nation"}
