@@ -3093,3 +3093,45 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_secs_to_buy"),
     )
+
+
+@query("sketch_gates", "SELECT true AS bloom_ok, true AS freq_ok")
+def sketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gates for the two remaining sketch primitives.
+
+    Bloom filter (df.stat.bloomFilter — the structure behind runtime
+    bloom-filter join pruning at scale): must show ZERO false negatives
+    over known keys and a false-positive rate within ~5x the configured
+    fpp over guaranteed-absent keys. Frequent items (df.stat.freqItems,
+    Misra-Gries family): the true modal value must appear in the sketch's
+    candidate set at a support below its actual frequency. Both are
+    verified with bounded driver-side probes (the sketches themselves are
+    driver objects, like any trained model artifact) and emitted as one
+    boolean row with a trivial oracle.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n_keys = c.count()
+    # PySpark doesn't surface Dataset.stat.bloomFilter — reach the JVM
+    # implementation (the same structure runtime bloom joins build)
+    jbf = c._jdf.stat().bloomFilter(
+        "c_custkey", int(max(n_keys, 1000)), 0.01
+    )
+    probe = [r.c_custkey for r in c.select("c_custkey").limit(2000).collect()]
+    max_key = c.agg(F.max("c_custkey")).first()[0]
+    absent = [max_key + i for i in range(1, 2001)]
+    false_neg = sum(0 if jbf.mightContainLong(k) else 1 for k in probe)
+    false_pos = sum(1 if jbf.mightContainLong(k) else 0 for k in absent)
+    bloom_ok = false_neg == 0 and false_pos <= 0.05 * len(absent)
+
+    freq = o.stat.freqItems(["o_orderpriority"], support=0.15).first()[0]
+    top = (
+        o.groupBy("o_orderpriority")
+        .count()
+        .orderBy(F.desc("count"), "o_orderpriority")
+        .first()[0]
+    )
+    return spark.createDataFrame(
+        [(bool(bloom_ok), bool(top in freq))],
+        "bloom_ok boolean, freq_ok boolean",
+    )
