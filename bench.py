@@ -15,6 +15,7 @@ import json
 import os
 import time
 
+from etl_bigquery_pipeline_spark.operators.caching import cache_scope
 from etl_bigquery_pipeline_spark.plans import catalog
 from etl_bigquery_pipeline_spark.session import get_session
 
@@ -49,6 +50,15 @@ BENCH_QUERIES = [
     "repetition_stats",
     "tfidf_keywords",
     "top_bigrams_by_lang",
+    # round-2 breadth tier — visible round-over-round so regressions in
+    # the newest operators show up in BENCH diffs
+    "percentile_lineitem",
+    "price_histogram",
+    "daily_revenue_gapfilled",
+    "funnel_click_to_purchase",
+    "token_budget_packing",
+    "train_val_test_split",
+    "window_ntile_firstvalue",
 ]
 
 
@@ -64,11 +74,11 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = catalog.QUERIES[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        # cache_scope releases the operator-internal caches this query
+        # created as soon as it finishes, so each timing is self-contained
+        with cache_scope():
+            fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
-        # operators cache intermediates (documented); clear between queries
-        # so each timing is self-contained and caches don't accumulate
-        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_bigquery_pipeline_spark.operators.caching import scoped_cache
+
 from etl_bigquery_pipeline_spark.functions.text import (
     content_hash,
     shingles,
@@ -33,6 +35,14 @@ from etl_bigquery_pipeline_spark.functions.text import (
     tokens,
 )
 from etl_bigquery_pipeline_spark.operators.partitioning import widen_if_narrow
+
+# Production default for the hot-bucket guard on the banded near-dup
+# operators: a band bucket holding more documents than this is a
+# boilerplate cluster whose candidate pairs grow quadratically (1000 docs
+# in one bucket is already ~500k pairs). Opting OUT is the explicit act
+# (max_band_bucket=None) — the oracle parity queries do so for exact
+# recall against their SQL replays.
+_DEFAULT_MAX_BAND_BUCKET = 1000
 
 # ---------------------------------------------------------------- exact ---
 
@@ -219,7 +229,7 @@ def minhash_near_dup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.7,
-    max_band_bucket: int | None = None,
+    max_band_bucket: int | None = _DEFAULT_MAX_BAND_BUCKET,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -231,7 +241,13 @@ def minhash_near_dup_pairs(
     This is the scale path: the only shuffles are the band-key join and the
     candidate-pair distinct; no all-pairs product ever materializes.
 
-    ``max_band_bucket`` is the hot-bucket guard for boilerplate corpora:
+    ``max_band_bucket`` is the hot-bucket guard for boilerplate corpora
+    and DEFAULTS ON (1000): a band bucket holding >1000 documents is a
+    near-identical boilerplate cluster whose pairs would blow up
+    quadratically (1000 docs in one bucket is already ~500k candidate
+    pairs); production corpora always want the cap, so opting OUT is the
+    explicit act (``max_band_bucket=None`` — the exact-recall setting the
+    oracle parity queries use).
     band buckets holding more than that many documents are excluded from
     candidate generation (quadratic pair blowup — see _drop_hot_buckets).
     Run exact dedup first/alongside to collapse the boilerplate clusters
@@ -252,7 +268,7 @@ def minhash_near_dup_pairs(
         .select(
             F.col(id_col), shingles_of(F.col("__toks"), shingle_n).alias("__sh")
         )
-        .cache()
+        .transform(scoped_cache)
     )
     sig = _signatures_from_shingles(sh_df, id_col, "__sh", num_hashes).select(
         id_col, "signature"
@@ -351,7 +367,7 @@ def ngram_jaccard_pairs(
                 )
             ).alias("__sh"),
         )
-        .cache()
+        .transform(scoped_cache)
     )
     if block is not None or threshold <= 0:
         a = sh.select(
@@ -545,7 +561,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 8,
     nibbles: int = 15,
     band_nibbles: int = 4,
-    max_band_bucket: int | None = None,
+    max_band_bucket: int | None = _DEFAULT_MAX_BAND_BUCKET,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on hex-prefix bands (any shared
     ``band_nibbles``-wide slice), verify by full Hamming distance.

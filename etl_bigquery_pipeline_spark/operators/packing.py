@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_bigquery_pipeline_spark.operators.caching import scoped_cache
+
 
 def pack_global(
     df: DataFrame,
@@ -67,7 +69,7 @@ def pack_global_distributed(
     ranged = (
         df.repartitionByRange(par, *[F.col(c) for c in order_by])
         .withColumn("__pid", F.spark_partition_id())
-        .cache()
+        .transform(scoped_cache)
     )
     totals = (
         ranged.groupBy("__pid")

@@ -13,15 +13,50 @@ invariant (SCALE.md).
 ``widen_if_narrow`` keeps both regimes correct: it repartitions only when
 the actual scan width is below the session's parallelism, so the small
 local input gets spread across executors while the at-scale plan keeps
-zero body shuffles. The check reads the compiled physical partitioning
-(``df.rdd.getNumPartitions()``) — for a parquet scan that is the file
-split count, which is exactly the signal we want; no job runs.
+zero body shuffles.
+
+Width is probed WITHOUT touching ``df.rdd``: under AQE, ``.rdd`` on a
+plan containing shuffles materializes the upstream query stages (runs
+real jobs) at call time, and that work is not reused by the later action.
+Instead the probe builds the *non-adaptive* physical plan
+(``queryExecution().sparkPlan()``) — for a shuffle-free plan,
+``execute()`` on it is a lazy RDD-DAG construction, no job. Plans that
+DO contain a shuffle (join/aggregate/repartition upstream) are treated as
+already wide and passed through untouched: their output width is decided
+by ``spark.sql.shuffle.partitions`` / AQE, and adding another exchange on
+top would be pure overhead at scale.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Physical nodes whose presence means the frame's width is set by a
+# shuffle (or by a cached plan), not by file splits. Probing .execute()
+# through these could trigger work (broadcast futures, AQE stages), and
+# widening them is unnecessary anyway — bail out as "wide".
+_SHUFFLE_MARKERS = (
+    "Exchange",
+    "Join",
+    "Aggregate",
+    "Window",
+    "InMemoryTableScan",
+    "AdaptiveSparkPlan",
+)
+
+
+def _scan_width(df: DataFrame) -> int | None:
+    """Split count of a shuffle-free plan; ``None`` when the plan contains
+    a shuffle-inducing node (treat as already wide). Runs no jobs."""
+    plan = df._jdf.queryExecution().sparkPlan()
+    rendered = plan.toString()
+    if any(marker in rendered for marker in _SHUFFLE_MARKERS):
+        return None
+    # lazy RDD construction on a scan/project/filter-only plan: for a
+    # parquet scan this is the file split count — exactly the signal we
+    # want — and no action runs.
+    return plan.execute().getNumPartitions()
 
 
 def widen_if_narrow(
@@ -31,8 +66,10 @@ def widen_if_narrow(
 ) -> DataFrame:
     """Repartition ``df`` to ``min_partitions`` (default: the session's
     ``defaultParallelism``) hash-partitioned on ``key_cols`` — but ONLY
-    when the input is narrower than that. Returns ``df`` unchanged (no
-    added Exchange) when it is already at least that wide.
+    when the input is a scan narrower than that. Returns ``df`` unchanged
+    (no added Exchange) when it is already at least that wide, or when its
+    width is shuffle-determined (post-join/agg/repartition frames pass
+    through untouched).
 
     Use this, not a bare ``repartition``, in front of every expensive
     text/vector projection: the explicit partition count stops AQE from
@@ -44,7 +81,8 @@ def widen_if_narrow(
         if min_partitions is not None
         else df.sparkSession.sparkContext.defaultParallelism
     )
-    if df.rdd.getNumPartitions() >= par:
+    width = _scan_width(df)
+    if width is None or width >= par:
         return df
     if key_cols:
         cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]

@@ -12,8 +12,93 @@ Spark formulation via F.window(slide=...).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from etl_bigquery_pipeline_spark.operators.caching import scoped_cache
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    *,
+    rn_col: str = "__rn",
+    partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """1-based global row numbers over a total order — without the
+    single-partition ``Window.orderBy`` plan.
+
+    A bare ``Window.orderBy(...)`` (no partitionBy) moves the whole table
+    through one task; fine at toy scale, a scale-killer at 100 TB. This is
+    the two-stage alternative (same technique as
+    ``sampling.with_stable_ids_distributed``): range-partition on the
+    order key so each partition holds a contiguous slice of the global
+    order, number rows within each partition with an ordinary partitioned
+    window, then add per-partition offsets derived from the partition
+    counts. The only driver-side data is one count per partition; the
+    heavy work is one range shuffle + a parallel per-partition scan.
+
+    ``order_by`` must be a *unique* total order (add a unique key as the
+    last tie-break — ties may otherwise straddle a partition boundary in
+    either direction, same caveat as any row_number). Descending orders
+    are supported via ``F.col(c).desc()`` — ``repartitionByRange`` ranges
+    then run high-to-low so partition ids still increase along the order.
+
+    Returns ``(frame_with_rn, total_rows)`` — the total falls out of the
+    counts pass for free, so callers needing N (ntile, cume_dist) don't
+    pay a second action. The ranged frame is cached because the counts
+    pass and the final plan both consume it; callers should
+    ``clearCache()`` (or unpersist via the returned plan's lineage) after
+    materializing the result.
+    """
+    spark = df.sparkSession
+    par = (
+        partitions
+        if partitions is not None
+        else spark.sparkContext.defaultParallelism
+    )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    ranged = (
+        df.repartitionByRange(par, *cols)
+        .withColumn("__gpid", F.spark_partition_id())
+        .transform(scoped_cache)
+    )
+    counts = (
+        ranged.groupBy("__gpid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    )
+    acc = 0
+    offsets: dict[int, int] = {}
+    for r in sorted(counts, key=lambda r: r["__gpid"]):
+        offsets[r["__gpid"]] = acc
+        acc += r["__n"]
+    mapping = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+    w = Window.partitionBy("__gpid").orderBy(*cols)
+    out = (
+        ranged.withColumn("__lrn", F.row_number().over(w))
+        .withColumn(
+            rn_col,
+            (mapping[F.col("__gpid")] + F.col("__lrn")).cast("bigint"),
+        )
+        .drop("__gpid", "__lrn")
+    )
+    return out, acc
+
+
+def ntile_from_row_number(rn: Column, total: int, buckets: int) -> Column:
+    """Closed-form NTILE(buckets) from a 1-based global row number.
+
+    Standard SQL NTILE: the first ``total % buckets`` tiles get
+    ``total // buckets + 1`` rows, the rest ``total // buckets``. Pure
+    arithmetic on the distributed row number — no window, no shuffle.
+    """
+    base = total // buckets
+    rem = total % buckets
+    boundary = rem * (base + 1)
+    big = F.floor((rn - 1) / F.lit(base + 1)) + 1
+    small = F.lit(rem) + F.floor((rn - F.lit(boundary) - 1) / F.lit(max(base, 1))) + 1
+    return F.when(rn <= boundary, big).otherwise(small).cast("bigint")
 
 
 def tumbling_agg(

@@ -200,3 +200,31 @@ def test_quality_score_bounds(spark):
     )
     scores = [r.q for r in df.select(quality_score("t").alias("q")).collect()]
     assert 0.0 <= scores[1] < scores[0] <= 1.0
+
+
+def test_operator_caches_are_bounded_and_scoped(spark):
+    """Round-2 verdict item: operator-internal caches must have an owner.
+    Repeated invocation in one session must not grow cached partitions
+    (bounded registry), and cache_scope() must release deterministically."""
+    from etl_bigquery_pipeline_spark.operators import caching
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i}") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+
+    def n_persistent() -> int:
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    counts = []
+    for _ in range(caching.MAX_LIVE_CACHES + 4):
+        dedup.minhash_near_dup_pairs(docs, "doc_id", "text").collect()
+        counts.append(n_persistent())
+    # plateau, not linear growth: the last iterations add nothing
+    assert counts[-1] <= caching.MAX_LIVE_CACHES
+    assert counts[-1] == counts[-2] == counts[-3]
+
+    before = n_persistent()
+    with caching.cache_scope():
+        dedup.minhash_near_dup_pairs(docs, "doc_id", "text").collect()
+    assert n_persistent() <= before  # scope released its caches

@@ -104,3 +104,40 @@ def test_widen_if_narrow_adds_no_exchange_on_wide_input(spark, sf_dir):
     widened = widen_if_narrow(narrow, "doc_id")
     assert widened is not narrow
     assert widened.rdd.getNumPartitions() == par
+
+
+def test_ntile_firstvalue_has_no_global_window(spark, sf_dir):
+    """The round-2 scale-killer: ntile/cume_dist as bare Window.orderBy
+    planned a single-partition WindowExec. The rewrite derives both from
+    distributed global row numbers, so no window in the plan may run
+    unpartitioned (SinglePartition Exchange feeding a Window)."""
+    df = catalog.QUERIES["window_ntile_firstvalue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan  # first_value is still a (partitioned) window
+    # a global window plans Exchange SinglePartition directly under it
+    assert "SinglePartition" not in plan
+
+
+def test_tfidf_builds_lazily_in_one_job(spark, sf_dir):
+    """tfidf_keywords used to run a separate toks.count() action at plan
+    build time (an extra full tokenization scan). n_docs is now a 1-row
+    aggregate cross-joined in, so constructing the DataFrame launches no
+    jobs and the whole query executes as a single action."""
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    df = catalog.QUERIES["tfidf_keywords"](spark, sf_dir)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    # spark.read.parquet runs a 1-task footer/schema job per read — pure
+    # metadata, fine. What must NOT appear is a compute action (the old
+    # code ran toks.count() here — a full tokenization pass).
+    for job_id in after - before:
+        info = tracker.getJobInfo(job_id)
+        for stage_id in info.stageIds:
+            stage = tracker.getStageInfo(stage_id)
+            if stage is None:
+                continue
+            assert "parquet at" in stage.name, (
+                f"non-metadata job at plan build: {stage.name}"
+            )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # df-counts join stays broadcast

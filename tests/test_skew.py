@@ -64,7 +64,7 @@ def test_minhash_hot_band_bucket_cap(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
 
     uncapped = dedup.minhash_near_dup_pairs(
-        docs, threshold=0.3, bands=16
+        docs, threshold=0.3, bands=16, max_band_bucket=None
     ).collect()
     boiler_pairs = [r for r in uncapped if r.id_a < 30 and r.id_b < 30]
     assert len(boiler_pairs) == 30 * 29 // 2  # the quadratic blowup
@@ -90,3 +90,28 @@ def test_deterministic_salt_spreads_hot_key(spark):
         .count()
     )
     assert spread == 8  # hot key occupies all salt buckets
+
+
+def test_default_cap_keeps_boilerplate_subquadratic(spark):
+    """Round-2 verdict item #8: the hot-bucket cap must default ON, so a
+    production caller who never heard of max_band_bucket doesn't get a
+    quadratic pair blowup from a boilerplate cluster. The cluster here is
+    wider than the default cap; the genuine near-dup pair is not."""
+    from etl_bigquery_pipeline_spark.operators import dedup as dd
+
+    boiler = "all rights reserved contact us terms of service apply here"
+    rows = [(i, boiler) for i in range(dd._DEFAULT_MAX_BAND_BUCKET + 200)]
+    rows += [
+        (10_000_000, "spark engines process data with distributed execution today"),
+        (10_000_001, "spark engines process data with distributed execution now"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    pairs = {(r.id_a, r.id_b)
+             for r in dd.minhash_near_dup_pairs(docs, threshold=0.3).collect()}
+    assert not any(a < 10_000_000 and b < 10_000_000 for a, b in pairs)
+    assert (10_000_000, 10_000_001) in pairs
+
+    sim = {(r.id_a, r.id_b)
+           for r in dd.simhash_near_dup_pairs(docs, max_hamming=8).collect()}
+    assert not any(a < 10_000_000 and b < 10_000_000 for a, b in sim)
