@@ -308,7 +308,9 @@ def repartition_for_payload(
     return df.repartition(n)
 
 
-RESIZE_SCHEMA = "id long, payload binary, width int, height int"
+RESIZE_SCHEMA = (
+    "id long, payload binary, width int, height int, resized boolean"
+)
 
 
 def resize_nearest(arr: "object", target: tuple[int, int]) -> "object":
@@ -335,28 +337,39 @@ def resize_images(
     """Resize step: (id, payload, width, height) out, Arrow-batched.
 
     Decodable payloads (PPM/BMP) are REALLY resampled (vectorized
-    nearest-neighbor) and re-encoded as PPM; codec-gated formats pass
-    through with their dimensions recorded, so a mixed-format corpus
-    flows without failure — swap the inner body for PIL to widen the
-    matrix. The plan shape (Arrow batches, payload-sized partitions) is
-    identical either way.
+    nearest-neighbor), re-encoded as PPM, and emitted with the target
+    dimensions and ``resized=true``. Codec-gated formats pass through
+    UNCHANGED — with their *parsed source* dimensions (header probe; null
+    when even the header is unreadable) and ``resized=false``, so
+    downstream consumers can distinguish resized rows from pass-throughs
+    instead of trusting dimensions the operator never produced. Swap the
+    inner body for PIL to widen the matrix; the plan shape (Arrow
+    batches, payload-sized partitions) is identical either way.
     """
 
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         w, h = target
         for pdf in batches:
-            payloads = []
+            payloads, widths, heights, resized = [], [], [], []
             for p in pdf[binary_col]:
                 try:
                     payloads.append(encode_ppm(resize_nearest(decode_image(p), (w, h))))
+                    widths.append(w)
+                    heights.append(h)
+                    resized.append(True)
                 except (NotImplementedError, ValueError, TypeError):
                     payloads.append(p)  # codec-gated format: pass through
+                    _, src_w, src_h, _ = parse_image_header(p)
+                    widths.append(src_w)
+                    heights.append(src_h)
+                    resized.append(False)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
                     "payload": payloads,
-                    "width": w,
-                    "height": h,
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "resized": resized,
                 }
             )
 

@@ -41,6 +41,20 @@ from etl_bigquery_pipeline_spark.operators.similarity import (
 _META_SUFFIX = "__meta"
 
 
+def _looks_like_table_dir(fs: "object", path: "object") -> bool:
+    """True when the directory carries Spark table artifacts (a _SUCCESS
+    commit marker or part-* data files) — the only shape _reset_table is
+    allowed to delete. An unrelated directory that merely shares the
+    table's name never matches."""
+    if fs.getFileStatus(path).isFile():
+        return False
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if name == "_SUCCESS" or name.startswith("part-"):
+            return True
+    return False
+
+
 def _reset_table(spark: SparkSession, table: str) -> None:
     """Drop the catalog entry AND any orphaned warehouse directory.
 
@@ -48,8 +62,18 @@ def _reset_table(spark: SparkSession, table: str) -> None:
     session while their files persist in spark.sql.warehouse.dir — a
     rebuild in a fresh session would then fail with
     LOCATION_ALREADY_EXISTS. The Hadoop FS API handles any filesystem
-    (local, HDFS, object stores)."""
+    (local, HDFS, object stores).
+
+    Deletion is guarded two ways: only the *stale-orphan* case touches the
+    filesystem (a directory left behind when no catalog entry existed —
+    if the catalog knew the table, DROP TABLE already owned its managed
+    location), and the directory must actually look like a Spark table
+    (commit marker / part files), so a colliding unrelated directory or an
+    external-location table is never destroyed."""
+    existed_in_catalog = spark.catalog.tableExists(table)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if existed_in_catalog:
+        return  # managed location handled by DROP; external data is not ours
     wh = spark.conf.get("spark.sql.warehouse.dir", "")
     if not wh:
         return
@@ -58,7 +82,7 @@ def _reset_table(spark: SparkSession, table: str) -> None:
         wh.rstrip("/") + "/" + table.lower()
     )
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(path):
+    if fs.exists(path) and _looks_like_table_dir(fs, path):
         fs.delete(path, True)
 
 

@@ -127,6 +127,56 @@ def _xlsx_col_index(cell_ref: str) -> int:
     return idx - 1
 
 
+# Built-in OOXML number formats that render as dates/times (ECMA-376
+# §18.8.30); custom formats are classified by their format code.
+_XLSX_BUILTIN_DATE_FMTS = frozenset(
+    list(range(14, 23)) + list(range(27, 37)) + list(range(45, 48)) + list(range(50, 59))
+)
+
+
+def _xlsx_fmt_is_date(code: str) -> bool:
+    """True when a custom number-format code renders as a date/time: it
+    contains y/m/d/h/s tokens outside quoted literals and [] sections."""
+    import re
+
+    stripped = re.sub(r'"[^"]*"|\[[^\]]*\]|\\.', "", code)
+    return bool(re.search(r"[ymdhs]", stripped, re.IGNORECASE))
+
+
+def _xlsx_date_styles(z: "object") -> frozenset[int]:
+    """Style (xf) indexes whose number format is a date/time, from
+    xl/styles.xml — the ``s`` attribute on a numeric cell points here."""
+    import xml.etree.ElementTree as ET
+
+    if "xl/styles.xml" not in z.namelist():
+        return frozenset()
+    M = _XLSX_MAIN_NS
+    root = ET.fromstring(z.read("xl/styles.xml"))
+    custom_date = {
+        int(nf.get("numFmtId"))
+        for nfs in root.findall(f"{M}numFmts")
+        for nf in nfs.findall(f"{M}numFmt")
+        if _xlsx_fmt_is_date(nf.get("formatCode", ""))
+    }
+    date_fmt_ids = _XLSX_BUILTIN_DATE_FMTS | custom_date
+    xfs = root.find(f"{M}cellXfs")
+    if xfs is None:
+        return frozenset()
+    return frozenset(
+        i
+        for i, xf in enumerate(xfs.findall(f"{M}xf"))
+        if int(xf.get("numFmtId", "0")) in date_fmt_ids
+    )
+
+
+def _xlsx_serial_to_datetime(serial: float) -> "object":
+    """Excel day serial -> datetime (1899-12-30 epoch, the convention
+    openpyxl/pandas use for post-Feb-1900 dates)."""
+    import datetime as dt
+
+    return dt.datetime(1899, 12, 30) + dt.timedelta(days=serial)
+
+
 def _read_xlsx_stdlib(
     path: str, sheet_name: int | str = 0
 ) -> tuple[list[str], list[list]]:
@@ -167,11 +217,18 @@ def _read_xlsx_stdlib(
         }[sheet.get(_XLSX_DOCREL)]
         sheet_part = target if target.startswith("xl/") else f"xl/{target}"
 
+        date_styles = _xlsx_date_styles(z)
         grid: list[list] = []
         for row in ET.fromstring(z.read(sheet_part)).iter(f"{M}row"):
             cells: dict[int, object] = {}
+            prev_ci = -1
             for c in row.findall(f"{M}c"):
-                ci = _xlsx_col_index(c.get("r", ""))
+                ref = c.get("r")
+                # a missing r attribute is legal OOXML: the cell's
+                # position is then implied sequential after the previous
+                # cell in the row
+                ci = _xlsx_col_index(ref) if ref else prev_ci + 1
+                prev_ci = ci
                 ctype = c.get("t", "n")
                 if ctype == "inlineStr":
                     is_el = c.find(f"{M}is")
@@ -193,7 +250,12 @@ def _read_xlsx_stdlib(
                         val = raw
                     else:  # numeric
                         f = float(raw)
-                        val = int(f) if f.is_integer() else f
+                        if int(c.get("s", "-1")) in date_styles:
+                            # date-styled serial -> datetime, matching
+                            # what the openpyxl engine would return
+                            val = _xlsx_serial_to_datetime(f)
+                        else:
+                            val = int(f) if f.is_integer() else f
                 cells[ci] = val
             width = max(cells) + 1 if cells else 0
             grid.append([cells.get(i) for i in range(width)])

@@ -58,20 +58,51 @@ class WarehouseSink:
 
 @dataclass
 class ParquetWarehouse(WarehouseSink):
-    """Filesystem-backed warehouse used by tests and local pipelines."""
+    """Filesystem-backed warehouse used by tests and local pipelines.
+
+    The upsert swap uses ``os.rename`` and therefore assumes ``root`` is a
+    LOCAL filesystem path (the same assumption as writing through Spark's
+    ``file://`` scheme on one machine). Object-store or HDFS roots are
+    rejected at construction — a rewrite-based upsert there belongs to a
+    table format with a transaction log, not directory renames.
+    """
 
     root: str
 
+    def __post_init__(self) -> None:
+        if "://" in self.root and not self.root.startswith("file://"):
+            raise ValueError(
+                "ParquetWarehouse requires a local filesystem root; got "
+                f"{self.root!r}. Use a transactional table format for "
+                "object stores."
+            )
+
     def _path(self, table: str) -> str:
         return os.path.join(self.root, *table.split("."))
+
+    def _heal(self, path: str) -> None:
+        """Recover from a crash mid-swap: if only the ``.__old`` directory
+        exists the previous swap died between its two renames — restore
+        it; if both exist the swap completed but cleanup didn't — drop the
+        leftover."""
+        import shutil
+
+        old = path + ".__old"
+        if os.path.exists(old):
+            if os.path.exists(path):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, path)
 
     def create_namespace(self, name: str) -> None:
         os.makedirs(os.path.join(self.root, name), exist_ok=True)
 
     def overwrite(self, df: DataFrame, table: str) -> None:
+        self._heal(self._path(table))
         write_parquet(df, self._path(table), mode="overwrite")
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
+        self._heal(self._path(table))
         return spark.read.parquet(self._path(table))
 
     def upsert(self, updates: DataFrame, table: str, keys: list[str]) -> None:
@@ -80,17 +111,28 @@ class ParquetWarehouse(WarehouseSink):
         NOT MATCHED INSERT over a format without transaction logs).
 
         Plan: target LEFT ANTI updates on the keys (drop stale versions)
-        UNION the updates, write to a staging path, atomically swap
-        directories. At warehouse scale this is the compaction-style
-        merge every rewrite-based lakehouse runs under the hood; a real
-        deployment partitions the table and rewrites only partitions
-        containing update keys (partition_by in write_parquet + a key →
-        partition pruning filter). The anti join broadcasts the update
-        side when small — the common CDC-batch case.
+        UNION the updates, write to a staging path, swap directories. At
+        warehouse scale this is the compaction-style merge every
+        rewrite-based lakehouse runs under the hood; a real deployment
+        partitions the table and rewrites only partitions containing
+        update keys (partition_by in write_parquet + a key → partition
+        pruning filter). The anti join broadcasts the update side when
+        small — the common CDC-batch case.
+
+        Crash safety: two ``os.rename`` calls cannot be one atomic
+        directory exchange on POSIX, so instead of pretending, the swap is
+        made *recoverable*: the previous table is parked at ``.__old`` and
+        deleted only after the new directory is verified in place, and
+        every entry point first runs ``_heal`` — a crash between the
+        renames restores the parked table on the next call. A concurrent
+        reader can still observe the brief missing-directory window;
+        single-writer local use (what this class is for) is documented
+        above.
         """
         import shutil
 
         path = self._path(table)
+        self._heal(path)
         spark = updates.sparkSession
         if not os.path.exists(path):
             write_parquet(updates, path, mode="overwrite")
@@ -102,7 +144,17 @@ class ParquetWarehouse(WarehouseSink):
         old = path + ".__old"
         os.rename(path, old)
         os.rename(staging, path)
-        shutil.rmtree(old)
+        # only drop the parked previous version once the new directory is
+        # verifiably the live table (parquet commit marker present)
+        if os.path.isdir(path) and os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
+            shutil.rmtree(old)
+        else:  # pragma: no cover - swap verification failed; keep .__old
+            raise RuntimeError(
+                f"upsert swap for {table!r} left no verified table at "
+                f"{path}; previous version preserved at {old}"
+            )
 
 
 @dataclass
@@ -119,6 +171,46 @@ class BigQueryWarehouse(WarehouseSink):
     project: str
     dataset: str
     location: str = "us-central1"
+    write_method: str = "indirect"
+
+    FORMAT = "bigquery"
+    # the reference's load_table_from_dataframe uses WRITE_TRUNCATE
+    # (/root/reference/dags/etl_pipeline.py:209) — Spark's save-mode
+    # equivalents, mapped once so both directions are testable offline
+    _DISPOSITION_TO_MODE = {
+        "WRITE_TRUNCATE": "overwrite",
+        "WRITE_APPEND": "append",
+        "WRITE_EMPTY": "errorifexists",
+    }
+
+    def table_id(self, table: str) -> str:
+        return f"{self.project}.{self.dataset}.{table}"
+
+    def write_options(self, table: str) -> dict[str, str]:
+        """Connector options for the write path, offline-assertable.
+
+        ``writeMethod=indirect`` stages parquet to GCS then issues one
+        load job — the truncate-reload shape the reference performs;
+        ``direct`` streams via the Storage Write API (no staging bucket,
+        appends only)."""
+        return {
+            "table": self.table_id(table),
+            "writeMethod": self.write_method,
+        }
+
+    def read_options(self, table: str) -> dict[str, str]:
+        return {"table": self.table_id(table)}
+
+    @classmethod
+    def mode_for_disposition(cls, disposition: str) -> str:
+        """BigQuery write disposition -> Spark save mode."""
+        try:
+            return cls._DISPOSITION_TO_MODE[disposition]
+        except KeyError:
+            raise ValueError(
+                f"unknown BigQuery write disposition {disposition!r}; "
+                f"expected one of {sorted(cls._DISPOSITION_TO_MODE)}"
+            ) from None
 
     def create_namespace(self, name: str) -> None:
         from google.cloud import bigquery  # pragma: no cover - needs network
@@ -128,18 +220,16 @@ class BigQueryWarehouse(WarehouseSink):
         ds.location = self.location  # pragma: no cover
         client.create_dataset(ds, exists_ok=True)  # pragma: no cover
 
-    def overwrite(self, df: DataFrame, table: str) -> None:  # pragma: no cover
-        (
-            df.write.format("bigquery")
-            .option("table", f"{self.project}.{self.dataset}.{table}")
-            .option("writeMethod", "indirect")
-            .mode("overwrite")
-            .save()
+    def overwrite(self, df: DataFrame, table: str) -> None:
+        writer = df.write.format(self.FORMAT).mode(
+            self.mode_for_disposition("WRITE_TRUNCATE")
         )
+        for k, v in self.write_options(table).items():
+            writer = writer.option(k, v)
+        writer.save()  # pragma: no cover - needs connector jar + network
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame:  # pragma: no cover
-        return (
-            spark.read.format("bigquery")
-            .option("table", f"{self.project}.{self.dataset}.{table}")
-            .load()
-        )
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        reader = spark.read.format(self.FORMAT)
+        for k, v in self.read_options(table).items():
+            reader = reader.option(k, v)
+        return reader.load()  # pragma: no cover - needs connector + network

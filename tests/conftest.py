@@ -2,6 +2,12 @@ from __future__ import annotations
 
 import pytest
 
+# must run before any SparkSession exists: workers inherit PYTHONPATH at
+# JVM launch (see tests/proto_compat.py — protobuf shim for the TWS test)
+from tests.proto_compat import ensure_protobuf
+
+ensure_protobuf()
+
 from etl_bigquery_pipeline_spark.session import get_session
 
 SF0001 = "/root/testdata/sf0.001"

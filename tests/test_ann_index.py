@@ -76,3 +76,35 @@ def test_lsh_probe_plan_prunes_buckets_and_never_shuffles_corpus(
     finally:
         spark.sql("DROP TABLE IF EXISTS ann_lsh_plan_t")
         spark.sql("DROP TABLE IF EXISTS ann_lsh_plan_t__meta")
+
+
+def test_reset_table_spares_unrelated_directory(spark, tmp_path):
+    """_reset_table must only delete stale ORPHANED TABLE directories — a
+    warehouse directory that merely shares the table's name (no _SUCCESS,
+    no part files) survives an index build's reset."""
+    import os
+
+    from etl_bigquery_pipeline_spark.operators.ann_index import _reset_table
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    victim = os.path.join(wh, "not_a_table_dir")
+    os.makedirs(victim, exist_ok=True)
+    marker = os.path.join(victim, "precious.txt")
+    with open(marker, "w") as f:
+        f.write("user data, not a spark table")
+
+    _reset_table(spark, "not_a_table_dir")
+    assert os.path.exists(marker), "unrelated directory was destroyed"
+
+    # the stale-orphan case still self-heals: a real table dir whose
+    # catalog entry is gone gets cleaned so the rebuild can proceed
+    spark.createDataFrame([(1,)], "x int").write.mode("overwrite").saveAsTable(
+        "orphan_t"
+    )
+    loc = os.path.join(wh, "orphan_t")
+    spark.sql("DROP TABLE orphan_t")  # drop deletes managed data...
+    os.makedirs(loc, exist_ok=True)   # ...simulate files left behind
+    with open(os.path.join(loc, "_SUCCESS"), "w"):
+        pass
+    _reset_table(spark, "orphan_t")
+    assert not os.path.exists(loc)

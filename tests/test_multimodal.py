@@ -213,8 +213,13 @@ def test_resize_images_really_resamples(spark):
         got = binary_ops.decode_image(bytes(out[i].payload))
         assert got.shape == (6, 4, 3)
         assert np.array_equal(got, want)
-    assert bytes(out[3].payload) == b"\x00" * 50  # non-decodable passthrough
-    assert out[3].width == 4 and out[3].height == 6
+    # non-decodable passthrough: unchanged bytes, honest metadata — the
+    # recorded dims are the parsed SOURCE dims (null here: junk bytes have
+    # no readable header), never the target the operator didn't apply
+    assert bytes(out[3].payload) == b"\x00" * 50
+    assert out[3].width is None and out[3].height is None
+    assert out[3].resized is False
+    assert out[1].resized is True and out[1].width == 4 and out[1].height == 6
 
 
 def test_channel_stats_true_pixel_values(spark):
@@ -247,7 +252,9 @@ def test_resize_contract(spark):
         [(1, b"\x00" * 100), (2, b"\xff" * 50)], "id long, payload binary"
     )
     out = binary_ops.resize_images(df, target=(64, 64)).collect()
-    assert all(r.width == 64 and r.height == 64 for r in out)
+    # junk payloads pass through unresized: null dims, resized=false
+    assert all(r.width is None and r.height is None for r in out)
+    assert all(r.resized is False for r in out)
     assert {r.id for r in out} == {1, 2}
 
 

@@ -259,3 +259,136 @@ def test_python_datasource_synthetic_docs(spark):
     from etl_bigquery_pipeline_spark.operators import dedup
 
     assert dedup.dedup_exact_text(df, "doc_id", "text").count() <= 500
+
+
+def test_parquet_warehouse_rejects_remote_root():
+    with pytest.raises(ValueError, match="local filesystem root"):
+        sinks.ParquetWarehouse("s3://bucket/warehouse")
+    sinks.ParquetWarehouse("file:///tmp/ok")  # explicit local scheme fine
+
+
+def test_upsert_swap_is_crash_recoverable(spark, tmp_path):
+    """A crash between the two swap renames leaves the table parked at
+    .__old; the next entry point restores it instead of reporting a
+    missing table, and a crash after the swap (leftover .__old) is
+    cleaned without touching the live table."""
+    import os
+    import shutil
+
+    wh = sinks.ParquetWarehouse(str(tmp_path))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    wh.overwrite(df, "t")
+    path = wh._path("t")
+
+    # simulate dying between rename(path, old) and rename(staging, path)
+    os.rename(path, path + ".__old")
+    assert not os.path.exists(path)
+    restored = wh.read(spark, "t")
+    assert {tuple(r) for r in restored.collect()} == {(1, "a"), (2, "b")}
+
+    # simulate dying after the swap but before cleanup
+    shutil.copytree(path, path + ".__old")
+    wh.upsert(
+        spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"),
+        "t",
+        ["k"],
+    )
+    assert not os.path.exists(path + ".__old")
+    out = {tuple(r) for r in wh.read(spark, "t").collect()}
+    assert out == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_bigquery_sink_option_construction():
+    """The production sink's plan construction (format, table id, write
+    method, disposition->mode mapping) is asserted offline — the network
+    call itself is the only uncovered line."""
+    wh = sinks.BigQueryWarehouse(project="p", dataset="d")
+    assert wh.FORMAT == "bigquery"
+    assert wh.table_id("orders") == "p.d.orders"
+    assert wh.write_options("orders") == {
+        "table": "p.d.orders",
+        "writeMethod": "indirect",
+    }
+    assert wh.read_options("orders") == {"table": "p.d.orders"}
+    assert wh.mode_for_disposition("WRITE_TRUNCATE") == "overwrite"
+    assert wh.mode_for_disposition("WRITE_APPEND") == "append"
+    assert wh.mode_for_disposition("WRITE_EMPTY") == "errorifexists"
+    with pytest.raises(ValueError, match="disposition"):
+        wh.mode_for_disposition("WRITE_WHENEVER")
+    direct = sinks.BigQueryWarehouse(project="p", dataset="d", write_method="direct")
+    assert direct.write_options("t")["writeMethod"] == "direct"
+
+
+def test_xlsx_stdlib_implicit_cells_and_date_styles(tmp_path):
+    """Legal OOXML the parser must not corrupt: cells with no r attribute
+    occupy the next sequential column, and numeric cells whose style
+    resolves to a date number format come back as datetimes (matching the
+    openpyxl engine), not raw day serials."""
+    import datetime as dt
+
+    M = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    P = "http://schemas.openxmlformats.org/package/2006/relationships"
+    CT = "http://schemas.openxmlformats.org/package/2006/content-types"
+    # style 0 -> General (fmt 0); style 1 -> builtin date fmt 14
+    # (mm-dd-yy); style 2 -> custom fmt 164 "yyyy-mm-dd hh:mm"
+    styles = (
+        f'<styleSheet xmlns="{M}">'
+        '<numFmts count="1">'
+        '<numFmt numFmtId="164" formatCode="yyyy-mm-dd hh:mm"/></numFmts>'
+        '<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14"/>'
+        '<xf numFmtId="164"/></cellXfs></styleSheet>'
+    )
+    # row 1: header via inline strings, WITHOUT r attributes
+    # row 2: serial 45292 = 2024-01-01; 45292.5 = noon; bare 45292 with
+    #        General style must stay an int
+    body = (
+        '<row r="1">'
+        '<c t="inlineStr"><is><t>d</t></is></c>'
+        '<c t="inlineStr"><is><t>ts</t></is></c>'
+        '<c t="inlineStr"><is><t>n</t></is></c>'
+        "</row>"
+        '<row r="2">'
+        '<c s="1"><v>45292</v></c>'
+        '<c s="2"><v>45292.5</v></c>'
+        '<c s="0"><v>45292</v></c>'
+        "</row>"
+    )
+    parts = {
+        "[Content_Types].xml": (
+            f'<Types xmlns="{CT}">'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/'
+            'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            "</Types>"
+        ),
+        "_rels/.rels": (
+            f'<Relationships xmlns="{P}">'
+            f'<Relationship Id="rId1" Type="{R}/officeDocument" '
+            'Target="xl/workbook.xml"/></Relationships>'
+        ),
+        "xl/workbook.xml": (
+            f'<workbook xmlns="{M}" xmlns:r="{R}"><sheets>'
+            '<sheet name="s" sheetId="1" r:id="rId1"/>'
+            "</sheets></workbook>"
+        ),
+        "xl/_rels/workbook.xml.rels": (
+            f'<Relationships xmlns="{P}">'
+            f'<Relationship Id="rId1" Type="{R}/worksheet" '
+            'Target="worksheets/sheet1.xml"/></Relationships>'
+        ),
+        "xl/styles.xml": styles,
+        "xl/worksheets/sheet1.xml": (
+            f'<worksheet xmlns="{M}"><sheetData>{body}</sheetData></worksheet>'
+        ),
+    }
+    p = tmp_path / "dates.xlsx"
+    with zipfile.ZipFile(p, "w") as z:
+        for name, content in parts.items():
+            z.writestr(name, content)
+
+    header, rows = readers._read_xlsx_stdlib(str(p))
+    assert header == ["d", "ts", "n"]  # implicit columns didn't collide
+    assert rows == [
+        [dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 1, 12, 0), 45292]
+    ]
