@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "token_budget_packing",
     "train_val_test_split",
     "window_ntile_firstvalue",
+    # round-3 additions
+    "minhash_cluster_canonicals",
+    "scd2_customer_history",
 ]
 
 

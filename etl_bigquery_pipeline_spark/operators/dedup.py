@@ -620,3 +620,114 @@ def simhash_near_dup_pairs(
             "hamming"
         ),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# -------------------------------------------- near-dup cluster closure ---
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    *,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (node, cluster_id) where
+    ``cluster_id`` is the minimum id in the node's component.
+
+    This is the step that actually consumes LSH output in a production
+    dedup pipeline: pairwise matches chain (A~B, B~C => {A,B,C}), and the
+    keep-one decision must be made per CLUSTER, not per pair — otherwise
+    both B and C survive because neither directly matched the kept A.
+
+    Algorithm: iterative minimum-label propagation with per-round
+    pointer-doubling. Each round every node takes the smallest label
+    among itself and its neighbors (one hop), then shortcuts to its
+    label's label (halving remaining chain length) — convergence in
+    O(log diameter) rounds, so the 20-round default covers components a
+    million hops across. Near-dup graphs are overwhelmingly tiny
+    star/clique components anyway (boilerplate clusters are capped
+    upstream by ``max_band_bucket``); 2-3 rounds are typical. Per round
+    the work is two equi-joins on (id, label) longs with map-side
+    combining mins — document content never shuffles. The label table is
+    ``localCheckpoint``-ed each round to stop lineage growth (the
+    standard Spark iterative-algorithm device); the convergence probe is
+    a bounded scalar count.
+    """
+    edges = (
+        pairs.select(
+            F.col(left_col).alias("src"), F.col(right_col).alias("dst")
+        )
+        .union(
+            pairs.select(
+                F.col(right_col).alias("src"), F.col(left_col).alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("label")
+    ).withColumnRenamed("src", "node").localCheckpoint()
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "node")
+        )
+        hop = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", "label")
+            ).alias("label"),
+        )
+        # pointer-doubling shortcut: follow label -> label(label), so a
+        # chain of length L halves every round instead of shrinking by 1
+        parent = hop.select(
+            F.col("node").alias("label"), F.col("label").alias("plabel")
+        )
+        new_labels = (
+            hop.join(parent, "label", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("plabel", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node"), F.col("label").alias("cluster_id")
+    )
+
+
+def canonical_per_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Keep exactly one document per near-dup cluster (the minimum id —
+    deterministic), passing through every document that joined no
+    cluster. The clusters side is pair-derived and therefore tiny
+    relative to the corpus, so the join broadcasts; the corpus itself
+    never shuffles."""
+    drop = clusters.filter(F.col(node_col) != F.col(cluster_col)).select(
+        F.col(node_col).alias(id_col)
+    )
+    return df.join(F.broadcast(drop), id_col, "left_anti")

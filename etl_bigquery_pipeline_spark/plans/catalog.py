@@ -42,6 +42,7 @@ from etl_bigquery_pipeline_spark.functions.coercion import (
 from etl_bigquery_pipeline_spark.operators import (
     cleaning,
     dedup,
+    scd,
     schema_ops,
     sessionize,
     similarity,
@@ -3181,6 +3182,118 @@ def sketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(bool(bloom_ok), bool(top in freq))],
         "bloom_ok boolean, freq_ok boolean",
+    )
+
+
+# ---- near-dup cluster closure: pairs -> components -> canonicals ----
+
+# The oracle reuses the minhash pair replay verbatim and closes it
+# transitively with a recursive CTE: reach(node, label) holds every label
+# reachable from node over the (symmetric) edge set, so MIN(label) per
+# node is the component minimum — exactly near_dup_clusters' output.
+_CLUSTERS_ORACLE = (
+    _MINHASH_ORACLE.replace("WITH docs AS", "WITH RECURSIVE docs AS").replace(
+        "SELECT id_a, id_b, jaccard_sim FROM scored WHERE jaccard_sim >= 0.6",
+        """pairs AS (
+  SELECT id_a, id_b FROM scored WHERE jaccard_sim >= 0.6),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
+SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node""",
+    ).replace("FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id)",
+              "FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id),")
+)
+
+
+@query("minhash_cluster_canonicals", _CLUSTERS_ORACLE)
+def minhash_cluster_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: minhash LSH pairs closed into
+    connected components (iterative min-label propagation —
+    dedup.near_dup_clusters), the decision layer a production dedup
+    pipeline needs because pairwise matches chain (A~B~C must keep ONE
+    document, even though A and C never matched directly)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
+    )
+    corpus = d.unionAll(planted)
+    pairs = dedup.minhash_near_dup_pairs(
+        corpus, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_n=3, threshold=0.6,
+        max_band_bucket=None,  # exact-recall parity with the SQL replay
+    )
+    return dedup.near_dup_clusters(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+# ---- SCD2 dimension history over the customer dimension ----
+
+_SCD2_ORACLE = """
+WITH dim AS (
+  SELECT *, DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+         true AS is_current
+  FROM customer),
+upd AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name || ' (new)', c_nationkey, c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey < 10),
+versioned AS (SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0)
+SELECT c_custkey, c_name, c_acctbal, valid_from, valid_to, is_current FROM (
+  SELECT c_custkey, c_name, c_acctbal, valid_from, valid_to, is_current
+  FROM dim WHERE c_custkey NOT IN (SELECT c_custkey FROM versioned)
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal, valid_from,
+         DATE '2024-06-01' AS valid_to, false AS is_current
+  FROM dim WHERE c_custkey IN (SELECT c_custkey FROM versioned)
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal, DATE '2024-06-01', CAST(NULL AS DATE), true
+  FROM upd WHERE c_custkey IN (SELECT c_custkey FROM versioned)
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal, DATE '2024-06-01', CAST(NULL AS DATE), true
+  FROM upd WHERE c_custkey >= 1000000)
+"""
+
+
+@query("scd2_customer_history", _SCD2_ORACLE)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge (operators/scd.py) on the customer dimension: a CDC
+    batch that changes acctbal for keys %7 (old version closed at the
+    effective date + new version opened), repeats current values for keys
+    %11 (must be a NO-OP — no version churn), and inserts 10 brand-new
+    keys. The reference only truncate-reloads its warehouse
+    (/root/reference/dags/etl_pipeline.py:202-218); this is the history-
+    keeping upgrade of that load path."""
+    c = _t(spark, sf_dir, "customer")
+    dim = scd.scd2_init(c, valid_from="2024-01-01")
+    changed = c.withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100
+        ).otherwise(F.col("c_acctbal")),
+    ).filter((F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 11 == 0))
+    inserts = c.filter(F.col("c_custkey") < 10).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.col("c_name"), F.lit(" (new)")).alias("c_name"),
+        *[F.col(x) for x in ("c_nationkey", "c_acctbal", "c_mktsegment")],
+    )
+    updates = changed.unionByName(inserts)
+    merged = scd.scd2_apply(
+        dim, updates, ["c_custkey"], effective_date="2024-06-01"
+    )
+    return merged.select(
+        "c_custkey", "c_name", "c_acctbal", "valid_from", "valid_to", "is_current"
     )
 
 

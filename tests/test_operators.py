@@ -228,3 +228,91 @@ def test_operator_caches_are_bounded_and_scoped(spark):
     with caching.cache_scope():
         dedup.minhash_near_dup_pairs(docs, "doc_id", "text").collect()
     assert n_persistent() <= before  # scope released its caches
+
+
+def test_near_dup_clusters_close_transitively(spark):
+    """A~B and B~C must land A,B,C in ONE cluster (pairwise dedup alone
+    would keep both B and C); canonical_per_cluster keeps exactly the
+    minimum id per component and passes unpaired docs through."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a bigint, id_b bigint",
+    )
+    clusters = {
+        r.node: r.cluster_id for r in dedup.near_dup_clusters(pairs).collect()
+    }
+    assert clusters == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                        20: 20, 21: 20, 22: 20, 23: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 10, 11, 50)],
+        "doc_id bigint, text string",
+    )
+    kept = dedup.canonical_per_cluster(
+        docs, dedup.near_dup_clusters(pairs)
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 10, 50]
+
+
+def test_near_dup_clusters_long_chain_converges(spark):
+    """A path graph exercises multi-round propagation (diameter > 1)."""
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint"
+    )
+    out = dedup.near_dup_clusters(pairs).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert len(out) == n + 1
+
+
+def test_scd2_apply_versions_changes_only(spark):
+    """Changed attributes close + reopen; identical updates are no-ops
+    (no version churn); new keys insert; closed history passes through."""
+    import datetime as dt
+
+    from etl_bigquery_pipeline_spark.operators import scd
+
+    dim = scd.scd2_init(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k bigint, name string, bal double",
+        ),
+        valid_from="2024-01-01",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "a", 99.0),   # changed -> close + reopen
+            (2, "b", 20.0),   # identical -> NO-OP
+            (9, "z", 1.0),    # new key -> insert
+        ],
+        "k bigint, name string, bal double",
+    )
+    out = scd.scd2_apply(dim, updates, ["k"], effective_date="2024-06-01")
+    rows = sorted(
+        (tuple(r) for r in out.collect()), key=lambda t: (t[0], str(t[3]))
+    )
+    d = dt.date
+    assert rows == [
+        (1, "a", 10.0, d(2024, 1, 1), d(2024, 6, 1), False),
+        (1, "a", 99.0, d(2024, 6, 1), None, True),
+        (2, "b", 20.0, d(2024, 1, 1), None, True),
+        (3, "c", 30.0, d(2024, 1, 1), None, True),
+        (9, "z", 1.0, d(2024, 6, 1), None, True),
+    ]
+
+    # a second batch over the merged state must not disturb closed rows
+    out2 = scd.scd2_apply(
+        out,
+        spark.createDataFrame([(1, "a", 100.0)], "k bigint, name string, bal double"),
+        ["k"],
+        effective_date="2024-09-01",
+    )
+    one = sorted(
+        (tuple(r) for r in out2.filter("k = 1").collect()),
+        key=lambda t: str(t[3]),
+    )
+    assert one == [
+        (1, "a", 10.0, d(2024, 1, 1), d(2024, 6, 1), False),
+        (1, "a", 99.0, d(2024, 6, 1), d(2024, 9, 1), False),
+        (1, "a", 100.0, d(2024, 9, 1), None, True),
+    ]
