@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     # round-3 additions
     "minhash_cluster_canonicals",
     "scd2_customer_history",
+    "zorder_lineitem_keys",
 ]
 
 

@@ -42,6 +42,8 @@ from etl_bigquery_pipeline_spark.functions.coercion import (
 from etl_bigquery_pipeline_spark.operators import (
     cleaning,
     dedup,
+    layout,
+    pq,
     scd,
     schema_ops,
     sessionize,
@@ -2034,9 +2036,15 @@ def window_ntile_firstvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition offsets) and the window function is recovered in closed
     form: the orderings are made unique by the ``o_orderkey`` tie-break,
     so ``cume_dist == rn / N`` exactly and NTILE(4) is pure arithmetic on
-    ``(rn, N)``. Two orderings need two passes — the desc and asc orders
-    differ in tie-break direction, so one is not the reverse of the other
-    under price ties. ``first_value`` stays an ordinary partitioned window.
+    ``(rn, N)``. One range shuffle serves BOTH orderings: the descending
+    rank over (price desc, key asc) follows from the ascending one via a
+    price-partitioned window — for a row in price tie-group g,
+    ``rn_desc = N - max(rn_asc in g) + (rn_asc - min(rn_asc in g)) + 1``
+    (rows pricier than g, then position within g by key asc). The naive
+    alternative (a second range shuffle on the desc order) is wrong to
+    pay for: the tie-group window shuffles the same columns once and
+    reuses the first pass. ``first_value`` stays an ordinary partitioned
+    window.
     """
     o = _t(spark, sf_dir, "orders")
     w_cust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -2046,15 +2054,19 @@ def window_ntile_firstvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.first("o_orderkey").over(w_cust).alias("first_order"),
     )
-    with_desc, n_rows = windows.with_global_row_number(
+    with_asc, n_rows = windows.with_global_row_number(
         base,
-        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
-        rn_col="__rn_price",
-    )
-    with_both, _ = windows.with_global_row_number(
-        with_desc,
         ["o_totalprice", "o_orderkey"],
         rn_col="__rn_cume",
+    )
+    w_tie = Window.partitionBy("o_totalprice")
+    with_both = with_asc.withColumn(
+        "__rn_price",
+        F.lit(n_rows)
+        - F.max("__rn_cume").over(w_tie)
+        + F.col("__rn_cume")
+        - F.min("__rn_cume").over(w_tie)
+        + 1,
     )
     return with_both.select(
         "o_orderkey",
@@ -3294,6 +3306,84 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.select(
         "c_custkey", "c_name", "c_acctbal", "valid_from", "valid_to", "is_current"
+    )
+
+
+# ---- Z-order layout key over the fact table ----
+
+_ZORDER_ORACLE = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         CAST(l_partkey AS BIGINT) & 65535 AS a0,
+         CAST(l_suppkey AS BIGINT) & 65535 AS b0
+  FROM lineitem),
+r1 AS (SELECT *, (a0 | (a0 << 8)) & 16711935 AS a1,
+                 (b0 | (b0 << 8)) & 16711935 AS b1 FROM base),
+r2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2,
+                 (b1 | (b1 << 4)) & 252645135 AS b2 FROM r1),
+r3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3,
+                 (b2 | (b2 << 2)) & 858993459 AS b3 FROM r2),
+r4 AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4,
+                 (b3 | (b3 << 1)) & 1431655765 AS b4 FROM r3)
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       a4 | (b4 << 1) AS zkey
+FROM r4
+"""
+
+
+@query("zorder_lineitem_keys", _ZORDER_ORACLE)
+def zorder_lineitem_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) layout key over (l_partkey, l_suppkey) — the
+    clustering device that makes parquet min-max statistics prune on BOTH
+    columns at once (operators/layout.py; what Delta/Iceberg OPTIMIZE
+    ZORDER BY computes). Pure JVM bit arithmetic, replayed bit-for-bit by
+    the oracle's magic-number CTE chain; the pruning effect itself is
+    asserted on real parquet footers in tests/test_operators.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        layout.zorder_key("l_partkey", "l_suppkey"),
+    )
+
+
+# ---- product quantization: compressed-code ANN + recall gate ----
+
+
+@query("pq_cosine_topk")
+def pq_cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): vectors compressed to
+    8 four-bit codes, ADC scan over the codes, exact-cosine rerank of the
+    top-50 approximate candidates. The memory-bandwidth member of the ANN
+    family (LSH prunes by bucket, IVF by trained cell, PQ shrinks the
+    bytes every scanned row costs ~30x). Rows-only: k-means codebooks are
+    not SQL-replicable; recall is gated by pq_recall_vs_exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    out = pq.pq_topk(
+        emb, queries_df, k=5, rerank=50, id_col="vec_id",
+        vec_col="embedding", query_id_col="query_id", m=8, codebook_k=16,
+        seed=42,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("bigint").alias("rnk")
+    )
+
+
+@query("pq_recall_vs_exact", "SELECT true AS recall_ok")
+def pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality gate: with a 50-candidate exact rerank, the compressed
+    scan must recover >= 0.7 of the exact top-5 (ADC over 16-centroid
+    nibbles is a much finer approximation than cell/bucket pruning, so
+    the bar sits above the IVF gate's 0.3)."""
+    exact = QUERIES["similarity_topk"](spark, sf_dir)
+    approx = QUERIES["pq_cosine_topk"](spark, sf_dir)
+    return _recall_ok(
+        exact,
+        approx.select("query_id", "neighbor_id"),
+        0.7,
     )
 
 

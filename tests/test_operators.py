@@ -316,3 +316,87 @@ def test_scd2_apply_versions_changes_only(spark):
         (1, "a", 99.0, d(2024, 6, 1), d(2024, 9, 1), False),
         (1, "a", 100.0, d(2024, 9, 1), None, True),
     ]
+
+
+def test_zorder_layout_shrinks_file_bounding_boxes(spark, sf_dir, tmp_path):
+    """The point of Z-ordering is visible in parquet footers: after
+    zorder_repartition each file's min-max range must be narrow on BOTH
+    interleaved columns (so filters on either prune most files), whereas
+    a single-column sort leaves the other column's per-file range at
+    full width."""
+    import pyarrow.parquet as pq
+
+    from etl_bigquery_pipeline_spark.operators import layout
+    from etl_bigquery_pipeline_spark.sources.readers import read_table
+
+    # two balanced 8-bit dimensions (z-order needs comparable key widths
+    # to interleave usefully — a 10-value column can't be subdivided by
+    # top-bit range cuts, same as in any real z-order deployment)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("x"),
+        (F.col("l_orderkey") % 256).alias("y"),
+    )
+    n_files = 16
+
+    by_x = str(tmp_path / "by_x")
+    (
+        li.repartitionByRange(n_files, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(by_x)
+    )
+    zordered = str(tmp_path / "zordered")
+    layout.zorder_repartition(
+        li, "x", "y", num_files=n_files
+    ).write.parquet(zordered)
+
+    def avg_range(path: str, col: str) -> float:
+        import glob
+        import os
+
+        widths = []
+        for f in glob.glob(os.path.join(path, "part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(
+                    [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+                ).statistics
+                lo = stats.min if lo is None else min(lo, stats.min)
+                hi = stats.max if hi is None else max(hi, stats.max)
+            widths.append(hi - lo)
+        return sum(widths) / len(widths)
+
+    # the x-sort leaves y at ~full width per file; z-order must shrink
+    # the bounding box on BOTH dimensions at once
+    full_y = avg_range(by_x, "y")
+    z_x = avg_range(zordered, "x")
+    z_y = avg_range(zordered, "y")
+    assert full_y > 200  # sanity: single-column sort doesn't cluster y
+    assert z_x < 100, z_x
+    assert z_y < 100, z_y
+
+
+def test_global_row_number_and_ntile_match_sql_semantics(spark):
+    """with_global_row_number must equal ROW_NUMBER() over the same total
+    order, and ntile_from_row_number must equal SQL NTILE(k) — including
+    the uneven-bucket remainder rule — for sizes around the bucket count."""
+    from etl_bigquery_pipeline_spark.operators import windows as W
+
+    for n in (1, 3, 4, 7, 10, 13):
+        df = spark.createDataFrame(
+            [(i, (i * 37) % n) for i in range(n)], "id bigint, v bigint"
+        )
+        got, total = W.with_global_row_number(df, ["v", "id"], rn_col="rn")
+        assert total == n
+        rows = got.select(
+            "id", "rn", W.ntile_from_row_number(F.col("rn"), n, 4).alias("q")
+        )
+        expect = df.selectExpr(
+            "id",
+            "row_number() over (order by v, id) as rn",
+            "ntile(4) over (order by v, id) as q",
+        )
+        assert {tuple(r) for r in rows.collect()} == {
+            tuple(r) for r in expect.collect()
+        }
+    spark.catalog.clearCache()

@@ -54,3 +54,45 @@ def test_embedding_near_dup_finds_planted_pair(spark):
     found = {(r.id_a, r.id_b) for r in pairs}
     assert (1, 5) in found
     assert (1, 3) not in found  # orthogonal never passes threshold
+
+
+def test_pq_encode_shape_and_determinism(spark, sf_dir):
+    from etl_bigquery_pipeline_spark.operators import pq
+    from etl_bigquery_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = pq.train_pq(emb, m=8, k=16, seed=42)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert len(books[0][0]) == 8  # 64 dims / 8 subspaces
+    # deterministic: same seed -> identical codebooks
+    assert books == pq.train_pq(emb, m=8, k=16, seed=42)
+
+    coded = pq.pq_encode(emb, books).collect()
+    n = emb.count()
+    assert len(coded) == n
+    for r in coded[:20]:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+        assert r.vnorm > 0
+
+
+def test_pq_topk_beats_code_scan_floor(spark, sf_dir):
+    """Recall of PQ + exact rerank against brute force at small scale:
+    the rerank makes returned scores exact, so every returned (query,
+    neighbor) either matches the exact list or is a near-tie miss."""
+    from etl_bigquery_pipeline_spark.operators import pq, similarity
+    from etl_bigquery_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id % 50 = 0")
+    exact = similarity.cosine_topk(
+        emb, queries, k=5, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id",
+    )
+    approx = pq.pq_topk(
+        emb, queries, k=5, rerank=50, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id", m=8, codebook_k=16, seed=42,
+    )
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(ap & ex) / len(ex) >= 0.6
