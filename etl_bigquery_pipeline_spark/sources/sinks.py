@@ -139,8 +139,23 @@ class ParquetWarehouse(WarehouseSink):
             return
         target = spark.read.parquet(path)
         merged = target.join(updates, keys, "left_anti").unionByName(updates)
+        self.rewrite(merged, table)
+
+    def rewrite(self, df: DataFrame, table: str) -> None:
+        """Replace ``table`` with ``df`` where ``df``'s plan may READ the
+        table being replaced (merge/SCD folds): the plan materializes into
+        a staging directory first, then the directories swap — never an
+        in-place overwrite of files a running plan is scanning. Same
+        crash-recovery discipline as upsert (see the class docstring)."""
+        import shutil
+
+        path = self._path(table)
+        self._heal(path)
+        if not os.path.exists(path):
+            write_parquet(df, path, mode="overwrite")
+            return
         staging = path + ".__staging"
-        write_parquet(merged, staging, mode="overwrite")
+        write_parquet(df, staging, mode="overwrite")
         old = path + ".__old"
         os.rename(path, old)
         os.rename(staging, path)
@@ -152,7 +167,7 @@ class ParquetWarehouse(WarehouseSink):
             shutil.rmtree(old)
         else:  # pragma: no cover - swap verification failed; keep .__old
             raise RuntimeError(
-                f"upsert swap for {table!r} left no verified table at "
+                f"rewrite swap for {table!r} left no verified table at "
                 f"{path}; previous version preserved at {old}"
             )
 

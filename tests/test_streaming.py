@@ -443,3 +443,57 @@ def test_tws_user_totals_accumulate_across_batches(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_scd2_stream_folds_cdc_batches(spark, tmp_path):
+    """Streaming SCD2: two CDC micro-batches fold into a dimension table
+    with correct history — batch 1 bootstraps, batch 2 closes the changed
+    key at its effective date, no-ops the unchanged key, inserts the new
+    key, and within-batch multiple changes per key compact to the latest."""
+    import datetime as dt
+
+    from etl_bigquery_pipeline_spark.sources.sinks import ParquetWarehouse
+    from etl_bigquery_pipeline_spark.streaming import scd_stream
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    src = str(tmp_path / "cdc_src")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = "k bigint, name string, bal double, change_ts timestamp"
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = scd_stream.scd2_stream_sink(
+            spark.readStream.schema(schema).parquet(src),
+            wh,
+            "dim",
+            ckpt,
+            keys=["k"],
+        )
+        q.awaitTermination()
+
+    t1 = dt.datetime(2024, 1, 1, 10)
+    run([(1, "a", 10.0, t1), (2, "b", 20.0, t1)])
+    d = dt.date
+    state1 = {tuple(r) for r in wh.read(spark, "dim").collect()}
+    assert state1 == {
+        (1, "a", 10.0, d(2024, 1, 1), None, True),
+        (2, "b", 20.0, d(2024, 1, 1), None, True),
+    }
+
+    t2a = dt.datetime(2024, 6, 1, 8)
+    t2b = dt.datetime(2024, 6, 1, 9)
+    run([
+        (1, "a", 50.0, t2a),   # superseded within the batch...
+        (1, "a", 99.0, t2b),   # ...by this latest change
+        (2, "b", 20.0, t2b),   # identical -> no-op
+        (3, "c", 30.0, t2b),   # new key
+    ])
+    state2 = {tuple(r) for r in wh.read(spark, "dim").collect()}
+    assert state2 == {
+        (1, "a", 10.0, d(2024, 1, 1), d(2024, 6, 1), False),
+        (1, "a", 99.0, d(2024, 6, 1), None, True),
+        (2, "b", 20.0, d(2024, 1, 1), None, True),
+        (3, "c", 30.0, d(2024, 6, 1), None, True),
+    }
