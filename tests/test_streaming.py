@@ -497,3 +497,80 @@ def test_scd2_stream_folds_cdc_batches(spark, tmp_path):
         (2, "b", 20.0, d(2024, 1, 1), None, True),
         (3, "c", 30.0, d(2024, 6, 1), None, True),
     }
+
+
+def test_rollup_stream_matches_batch_recompute(spark, tmp_path):
+    """Incremental rollup maintenance: two micro-batches of events merge
+    into per-day aggregates identical to a from-scratch batch groupBy,
+    and a forced batch replay (deleted commit marker) changes nothing."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from etl_bigquery_pipeline_spark.streaming import rollup_stream
+
+    rows = _event_rows()
+    half = len(rows) // 2
+    src = str(tmp_path / "ru_src")
+    out = str(tmp_path / "ru_out")
+    ckpt = str(tmp_path / "ru_ckpt")
+
+    def run(batch):
+        spark.createDataFrame(batch, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = rollup_stream.rollup_merge_sink(
+            spark.readStream.schema(SCHEMA).parquet(src), out, ckpt
+        )
+        q.awaitTermination()
+
+    run(rows[:half])
+    run(rows[half:])
+
+    got = {
+        (r.day, r.event_type): (r.n_events, r.value_sum, r.value_min, r.value_max)
+        for r in rollup_stream.read_rollup(spark, out).collect()
+    }
+    want = {
+        (r.day, r.event_type): (r.n_events, r.value_sum, r.value_min, r.value_max)
+        for r in (
+            spark.createDataFrame(rows, SCHEMA)
+            .withColumn("day", F.col("ts").cast("date"))
+            .groupBy("day", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("value_sum"),
+                F.min("value").alias("value_min"),
+                F.max("value").alias("value_max"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+    # force a replay of the newest batch: drop its commit marker and
+    # restart — the overwritten batch_id partition must leave the rollup
+    # unchanged (no double counting)
+    commits = sorted(
+        glob.glob(os.path.join(ckpt, "commits", "*")),
+        key=lambda p: os.path.basename(p),
+    )
+    newest = [p for p in commits if not p.endswith(".crc")][-1]
+    os.remove(newest)
+    crc = os.path.join(
+        os.path.dirname(newest), f".{os.path.basename(newest)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    q = rollup_stream.rollup_merge_sink(
+        spark.readStream.schema(SCHEMA).parquet(src), out, ckpt
+    )
+    q.awaitTermination()
+    replayed = {
+        (r.day, r.event_type): (r.n_events, r.value_sum, r.value_min, r.value_max)
+        for r in rollup_stream.read_rollup(spark, out).collect()
+    }
+    assert replayed == want
