@@ -731,3 +731,193 @@ def canonical_per_cluster(
         F.col(node_col).alias(id_col)
     )
     return df.join(F.broadcast(drop), id_col, "left_anti")
+
+
+# ------------------------------------------------- incremental (vs corpus) ---
+
+
+def dedup_exact_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: batch rows surviving against an existing
+    corpus AND within the batch itself (lowest id per content hash wins).
+
+    The ingestion-time shape of exact dedup: the corpus is the already-
+    accepted 100 TB store, the batch is today's crawl. Neither side's
+    document body ever shuffles — both sides reduce to their 32-char
+    content hash, the corpus side to *distinct* hashes only (its id/text
+    payload is dropped before the join), and the anti-join is the only
+    cross-side exchange. Per-hash min-id then collapses within-batch
+    duplicates exactly as dedup_exact_text does.
+    """
+    h = content_hash(text_col).alias("__h")
+    batch_h = batch.select(F.col(id_col), h)
+    corpus_h = corpus.select(h).distinct()
+    fresh = batch_h.join(corpus_h, "__h", "left_anti")
+    return (
+        fresh.groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+def _shingles_and_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(shingle frame, band-key frame) for one side of a cross-corpus
+    near-dup join — the same shingle -> signature -> band pipeline the
+    self-join operator uses, shared so both sides hash identically."""
+    sh_df = (
+        widen_if_narrow(df, id_col)
+        .select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col), shingles_of(F.col("__toks"), shingle_n).alias("__sh")
+        )
+        .transform(scoped_cache)
+    )
+    sig = _signatures_from_shingles(sh_df, id_col, "__sh", num_hashes).select(
+        id_col, "signature"
+    )
+    return sh_df, minhash_band_keys(sig, id_col, bands=bands)
+
+
+def near_dup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    max_band_bucket: int | None = _DEFAULT_MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Incremental MinHash-LSH near-dup: batch documents whose LSH band
+    buckets collide with the existing corpus, verified by exact Jaccard.
+
+    Returns (batch_id, corpus_id, jaccard_sim) for every verified pair at
+    >= threshold; anti-join the batch against the distinct batch_ids to
+    keep only novel documents. Candidates come ONLY from band-bucket
+    equality between the two sides (batch x corpus — never corpus x
+    corpus, which the self-join operator already covers), so the corpus
+    side contributes one shuffle of its band keys per refresh and the
+    pair product stays bounded by real collisions. ``max_band_bucket``
+    drops boilerplate buckets on BOTH sides (see _drop_hot_buckets).
+    """
+    sh_b, bk_b = _shingles_and_bands(
+        batch, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    sh_c, bk_c = _shingles_and_bands(
+        corpus, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    if max_band_bucket is not None:
+        bk_b = _drop_hot_buckets(bk_b, ["band", "band_key"], max_band_bucket)
+        bk_c = _drop_hot_buckets(bk_c, ["band", "band_key"], max_band_bucket)
+    cands = (
+        bk_b.alias("l")
+        .join(
+            bk_c.alias("r"),
+            (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.band") == F.col("r.band")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("batch_id"),
+            F.col(f"r.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    a = sh_b.select(F.col(id_col).alias("batch_id"), F.col("__sh").alias("__sh_a"))
+    b = sh_c.select(F.col(id_col).alias("corpus_id"), F.col("__sh").alias("__sh_b"))
+    return (
+        cands.join(a, "batch_id")
+        .join(b, "corpus_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6).alias(
+                "jaccard_sim"
+            ),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# ------------------------------------------------------------ boilerplate ---
+
+
+def boilerplate_shingle_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+    df_frac: float = 0.05,
+    max_ratio: float = 0.5,
+) -> DataFrame:
+    """Per-document boilerplate profile: the fraction of a document's
+    shingles that are corpus-wide boilerplate (document frequency >=
+    ``df_frac`` of all documents).
+
+    C4-style template detection as pure DataFrame algebra: one explode +
+    groupBy computes shingle document frequencies (shingle sets are
+    per-document distinct, so COUNT(*) *is* the document frequency); the
+    boilerplate set is broadcast back (its size is bounded by
+    total-shingle-occurrences / (df_frac * n_docs) ~ shingles-per-doc /
+    df_frac, a constant independent of corpus size); n_docs itself is a
+    1-row aggregate cross-joined in, never a driver-side count. Returns
+    (id, n_shingles, n_boiler, boiler_ratio, keep).
+    """
+    sh_df = (
+        widen_if_narrow(df, id_col)
+        .select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col), shingles_of(F.col("__toks"), shingle_n).alias("__sh")
+        )
+        .transform(scoped_cache)
+    )
+    exploded = sh_df.select(
+        F.col(id_col), F.explode(F.col("__sh")).alias("__s")
+    )
+    n_docs = sh_df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    doc_freq = exploded.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    boiler = (
+        doc_freq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("__df") >= F.col("__n_docs") * F.lit(df_frac))
+        .select("__s")
+    )
+    per_doc_boiler = (
+        exploded.join(F.broadcast(boiler), "__s", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        sh_df.select(F.col(id_col), F.size("__sh").cast("bigint").alias("n_shingles"))
+        .join(per_doc_boiler, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("bigint").alias("n_boiler"),
+            F.round(
+                F.coalesce(F.col("n_boiler"), F.lit(0))
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("boiler_ratio"),
+            (
+                F.coalesce(F.col("n_boiler"), F.lit(0))
+                / F.col("n_shingles").cast("double")
+                <= F.lit(max_ratio)
+            ).alias("keep"),
+        )
+    )

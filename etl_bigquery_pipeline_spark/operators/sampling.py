@@ -135,3 +135,48 @@ def with_stable_ids_distributed(
         )
         .drop("__pid", "__rn")
     )
+
+
+def resample_to_mixture(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    *,
+    default: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic domain-mixture resampling: keep each row with its
+    stratum's target fraction, decided by md5(salt:key) — NOT an RNG.
+
+    This is how a training-data pipeline downweights over-represented
+    sources (e.g. keep 25% of common-crawl, 100% of books): unlike
+    ``sampleBy`` the decision is a pure function of the row key, so the
+    sample is identical on any cluster, any partitioning, any engine with
+    md5 — re-runs and incremental refreshes select the SAME rows, and an
+    external SQL engine can replay membership exactly. One narrow filter,
+    no shuffle, fully pushdown-compatible.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    cut = None
+    for name, frac in fractions.items():
+        th = F.lit(int(round(frac * 10000)))
+        cond = F.col(stratum_col) == F.lit(name)
+        cut = F.when(cond, th) if cut is None else cut.when(cond, th)
+    cut = (
+        cut.otherwise(F.lit(int(round(default * 10000))))
+        if cut is not None
+        else F.lit(int(round(default * 10000)))
+    )
+    return df.filter(bucket < cut)

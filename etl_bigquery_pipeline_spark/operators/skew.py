@@ -65,3 +65,43 @@ def salted_join(
     b = with_salt(big, buckets, deterministic_by=key0 if deterministic else None)
     s = explode_salt(small, buckets)
     return b.join(s, on + [SALT_COL], how).drop(SALT_COL)
+
+
+def heavy_hitters(
+    df: DataFrame, key_cols: list[str], *, k: int = 20
+) -> DataFrame:
+    """Exact top-k heavy hitters for a (join/groupBy) key, with share and
+    cumulative share of total rows — the skew diagnosis that decides
+    whether a join needs salting or AQE skew-split.
+
+    One groupBy shuffle produces the per-key counts; top-k is
+    orderBy+limit (TakeOrdered: each partition keeps k rows, the driver
+    merges k*partitions — never a global sort). Total row count joins in
+    as a broadcast 1-row aggregate, and the cumulative-share window runs
+    over the k surviving rows only. Ties break on the key ascending, so
+    the result is deterministic. For streaming/sketched alternatives see
+    the frequent-items sketch gate (plans/catalog.sketch_gates).
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(c) for c in key_cols]
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    order = [F.col("n").desc(), *[F.col(c).asc() for c in key_cols]]
+    topk = counts.orderBy(*order).limit(k)
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    w = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            F.col("n").cast("bigint").alias("n"),
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.sum("n").over(w) / F.col("__total"), 6
+            ).alias("cum_share"),
+        )
+    )

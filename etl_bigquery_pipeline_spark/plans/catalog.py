@@ -3388,6 +3388,269 @@ def pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Tier — incremental curation: cross-corpus dedup, mixture resampling,
+# boilerplate profiling, skew diagnosis, anomaly detection
+# ===================================================================
+
+
+def _hex8_to_int(h: str) -> str:
+    """DuckDB SQL turning an 8-hex-char column ``h`` into its integer
+    value (DuckDB has no conv()): sum of nibble * 16^position."""
+    hexs = "0123456789abcdef"
+    return " + ".join(
+        f"(strpos('{hexs}', substring({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+_MIXTURE_ORACLE = f"""
+WITH b AS (
+  SELECT source,
+         substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+  FROM documents),
+v AS (SELECT source, ({_hex8_to_int('h')}) % 10000 AS bucket FROM b),
+s AS (
+  SELECT source FROM v
+  WHERE bucket < CASE WHEN CAST(substring(source, 4, 10) AS INT) % 2 = 0
+                      THEN 10000 ELSE 2500 END)
+SELECT source, COUNT(*) AS n_docs FROM s GROUP BY source
+"""
+
+
+@query("mixture_resample_counts", _MIXTURE_ORACLE)
+def mixture_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: even-numbered sources keep 100%, odd
+    keep 25%, membership decided by md5(doc_id) (operators/
+    sampling.resample_to_mixture) so the sample is identical on any
+    cluster/partitioning and the oracle replays it exactly. The fraction
+    table is config-sized (distinct sources — a production pipeline
+    passes it in; here it is derived from the dimension itself)."""
+    from etl_bigquery_pipeline_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    srcs = [r["source"] for r in d.select("source").distinct().collect()]
+    fractions = {s: (1.0 if int(s[3:]) % 2 == 0 else 0.25) for s in srcs}
+    out = sampling.resample_to_mixture(
+        d, "source", fractions, "doc_id", salt="mix"
+    )
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_TOKJOIN_SQL = (
+    "md5(array_to_string(list_filter(regexp_split_to_array(text, '\\s+'),"
+    " x -> x <> ''), ' '))"
+)
+
+_INC_EXACT_ORACLE = f"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+batch AS (
+  SELECT doc_id, text FROM docs WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM docs WHERE doc_id % 5 = 1 AND doc_id < 125),
+corpus AS (SELECT doc_id, text FROM docs WHERE doc_id % 5 <> 0),
+bh AS (SELECT doc_id, {_TOKJOIN_SQL} AS h FROM batch),
+ch AS (SELECT DISTINCT {_TOKJOIN_SQL} AS h FROM corpus)
+SELECT MIN(bh.doc_id) AS doc_id
+FROM bh LEFT JOIN ch ON bh.h = ch.h
+WHERE ch.h IS NULL
+GROUP BY bh.h
+"""
+
+
+@query("incremental_exact_dedup", _INC_EXACT_ORACLE)
+def incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time exact dedup: a new batch (every 5th doc, plus 25
+    planted copies of existing corpus documents) deduped against the
+    already-accepted corpus and within itself
+    (operators/dedup.dedup_exact_against_corpus). The planted copies must
+    all be dropped; survivors are the batch's genuinely novel hashes."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter((F.col("doc_id") % 5 == 1) & (F.col("doc_id") < 125)).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0).unionAll(planted)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return dedup.dedup_exact_against_corpus(batch, corpus, "doc_id", "text")
+
+
+_INC_MINHASH_ORACLE = """
+WITH docs AS (SELECT doc_id, text FROM documents),
+sides AS (
+  SELECT 'b' AS side, doc_id, text FROM docs WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT 'b', doc_id + 3000000, text || ' qqq tail'
+  FROM docs WHERE doc_id % 5 = 1 AND doc_id < 125
+  UNION ALL
+  SELECT 'c', doc_id, text FROM docs WHERE doc_id % 5 <> 0),
+toks AS (
+  SELECT side, doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM sides),
+sh AS (
+  SELECT side, doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(t) - 2, 1))]) AS s
+  FROM toks),
+sig AS (
+  SELECT side, doc_id, s,
+         [list_min([substring(md5(CAST(k // 4 AS VARCHAR) || ':' || x),
+                              (k % 4) * 8 + 1, 8) for x in s])
+          for k in generate_series(0, 15)] AS sg
+  FROM sh),
+bands AS (
+  SELECT side, doc_id, gs.b AS band,
+         md5(CAST(gs.b AS VARCHAR) || '|' || array_to_string(sg[gs.b*4+1 : gs.b*4+4], ',')) AS band_key
+  FROM sig CROSS JOIN generate_series(0, 3) AS gs(b)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS batch_id, r.doc_id AS corpus_id
+  FROM bands l JOIN bands r
+    ON l.band_key = r.band_key AND l.band = r.band
+  WHERE l.side = 'b' AND r.side = 'c'),
+scored AS (
+  SELECT batch_id, corpus_id,
+         round(len(list_intersect(a.s, b.s)) /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard_sim
+  FROM cand
+  JOIN sh a ON cand.batch_id = a.doc_id AND a.side = 'b'
+  JOIN sh b ON cand.corpus_id = b.doc_id AND b.side = 'c')
+SELECT batch_id, corpus_id, jaccard_sim FROM scored WHERE jaccard_sim >= 0.6
+"""
+
+
+@query("incremental_minhash_dedup", _INC_MINHASH_ORACLE)
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time near-dup: the new batch (every 5th doc, plus 25
+    planted near-copies of corpus documents with a 2-token suffix) LSH-
+    joined against the existing corpus only — batch x corpus band-bucket
+    collisions, exact-Jaccard verified at >= 0.6
+    (operators/dedup.near_dup_against_corpus). The oracle replays the
+    identical md5 minhash pipeline on both sides."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter((F.col("doc_id") % 5 == 1) & (F.col("doc_id") < 125)).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qqq tail")).alias("text"),
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0).unionAll(planted)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return dedup.near_dup_against_corpus(
+        batch, corpus, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_n=3, threshold=0.6,
+        # exact-recall parity with the SQL replay (production default: 1000)
+        max_band_bucket=None,
+    )
+
+
+_BOILER_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+1], ' ')
+                        for i in generate_series(1, greatest(len(t) - 1, 1))]) AS s
+  FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+nd AS (SELECT COUNT(*) AS n_docs FROM sh),
+dfq AS (SELECT sg, COUNT(*) AS dfc FROM ex GROUP BY sg),
+boiler AS (SELECT sg FROM dfq, nd WHERE dfc >= n_docs * 0.05),
+pb AS (
+  SELECT doc_id, COUNT(*) AS n_boiler FROM ex
+  WHERE sg IN (SELECT sg FROM boiler)
+  GROUP BY doc_id),
+base AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_shingles FROM sh)
+SELECT base.doc_id, n_shingles,
+       CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boiler,
+       round(COALESCE(n_boiler, 0) / CAST(n_shingles AS DOUBLE), 6) AS boiler_ratio,
+       COALESCE(n_boiler, 0) / CAST(n_shingles AS DOUBLE) <= 0.5 AS keep
+FROM base LEFT JOIN pb ON base.doc_id = pb.doc_id
+"""
+
+
+@query("boilerplate_shingle_ratio", _BOILER_ORACLE)
+def boilerplate_shingle_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate profile: per-document fraction of word-2-gram
+    shingles whose corpus document-frequency is >= 5% of all documents
+    (operators/dedup.boilerplate_shingle_stats). The boilerplate set is
+    bounded by shingles-per-doc / df_frac — a constant — so it broadcasts
+    at any corpus size; n_docs is a 1-row aggregate, never a driver
+    count."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.boilerplate_shingle_stats(
+        d, "doc_id", "text", shingle_n=2, df_frac=0.05, max_ratio=0.5
+    )
+
+
+_HEAVY_ORACLE = """
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+t AS (SELECT COUNT(*) AS total FROM events),
+k AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT 20)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS rnk,
+       round(n / CAST(total AS DOUBLE), 6) AS share,
+       round(SUM(n) OVER (ORDER BY n DESC, user_id ROWS UNBOUNDED PRECEDING)
+             / CAST(total AS DOUBLE), 6) AS cum_share
+FROM k, t
+"""
+
+
+@query("heavy_hitter_users", _HEAVY_ORACLE)
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis: exact top-20 users by event count with share and
+    cumulative share (operators/skew.heavy_hitters). Top-k is
+    orderBy+limit (TakeOrdered — per-partition k, no global sort); the
+    window runs over the 20 survivors only. This is the profile that
+    decides salting/broadcast strategy before a user_id join."""
+    from etl_bigquery_pipeline_spark.operators import skew
+
+    e = _t(spark, sf_dir, "events")
+    return skew.heavy_hitters(e, ["user_id"], k=20)
+
+
+_ANOMALY_ORACLE = """
+WITH d AS (
+  SELECT o_orderdate AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1),
+w AS (
+  SELECT day, rev,
+         AVG(rev) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS mu,
+         STDDEV_SAMP(rev) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sd
+  FROM d)
+SELECT day, round(rev, 2) AS revenue,
+       round((rev - mu) / NULLIF(sd, 0), 4) AS zscore,
+       COALESCE(abs((rev - mu) / NULLIF(sd, 0)) > 2.5, false) AS is_anomaly
+FROM w
+"""
+
+
+@query("daily_revenue_anomalies", _ANOMALY_ORACLE)
+def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each day's revenue z-scored
+    against the mean/stddev of the prior 7 days. The window is global but
+    runs over the DAILY AGGREGATE — one row per distinct date, a few
+    thousand rows for any business horizon regardless of raw-event scale,
+    so the single-partition frame is bounded by the calendar, not the
+    data. The raw-table groupBy before it is the only real shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    mu = F.avg("rev").over(w)
+    sd = F.stddev_samp("rev").over(w)
+    z = F.try_divide(F.col("rev") - mu, F.nullif(sd, F.lit(0.0)))
+    return daily.select(
+        "day",
+        F.round("rev", 2).alias("revenue"),
+        F.round(z, 4).alias("zscore"),
+        F.coalesce(F.abs(z) > 2.5, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order

@@ -57,6 +57,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in ns_cols:
         if isinstance(df.schema[c].dataType, T.LongType):
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    # Parquet writers vary in whether they mark timestamps adjusted-to-UTC;
+    # unmarked ones arrive as TIMESTAMP_NTZ, which half the timestamp
+    # builtins (unix_micros, to_utc_timestamp, ...) reject. The session
+    # timezone is pinned to UTC, so casting NTZ -> TIMESTAMP is a pure
+    # type-level normalization: same wall-clock instant, one column type
+    # for every downstream operator regardless of which writer produced
+    # the file.
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 

@@ -27,7 +27,12 @@ def test_query_matches_oracle(spark, con, name):
 
 # Approximate operators (engine-specific sketches / probabilistic candidate
 # sets) are rows-only by design; their bounds are asserted in test_approx.py
-ROWS_ONLY = {"approx_distinct_orders", "lsh_cosine_topk", "ivf_cosine_topk"}
+ROWS_ONLY = {
+    "approx_distinct_orders",
+    "lsh_cosine_topk",
+    "ivf_cosine_topk",
+    "pq_cosine_topk",
+}
 
 
 def test_all_queries_have_oracle_or_reason():
