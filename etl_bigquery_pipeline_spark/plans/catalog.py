@@ -3651,6 +3651,187 @@ def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Tier — grouped robust statistics & ordered aggregation
+# ===================================================================
+
+_MEDIAN_MODE_ORACLE = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2),
+m AS (
+  SELECT o_orderstatus, o_orderpriority,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY n DESC, o_orderpriority) AS rn
+  FROM c),
+md AS (
+  SELECT o_orderstatus, round(median(o_totalprice), 2) AS median_price,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT md.o_orderstatus, md.median_price, md.n_orders,
+       m.o_orderpriority AS mode_priority
+FROM md JOIN m ON md.o_orderstatus = m.o_orderstatus AND m.rn = 1
+"""
+
+
+@query("median_mode_by_status", _MEDIAN_MODE_ORACLE)
+def median_mode_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped robust statistics: exact interpolated median price and the
+    modal order priority per status. Spark's mode() breaks frequency ties
+    arbitrarily, so the mode is computed deterministically instead: count
+    per (status, priority) — a tiny key space — then rank by (count desc,
+    value asc). Two narrow shuffles over low-cardinality keys."""
+    o = _t(spark, sf_dir, "orders")
+    md = o.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 2).alias("median_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    mode = (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
+    )
+    return md.join(mode, "o_orderstatus")
+
+
+_LISTAGG_ORACLE = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM region JOIN nation ON r_regionkey = n_regionkey
+GROUP BY r_name
+"""
+
+
+@query("region_nations_listagg", _LISTAGG_ORACLE)
+def region_nations_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG): nations per
+    region, comma-joined in name order. collect_list has no intra-group
+    order guarantee, so the order is imposed with array_sort before the
+    join — deterministic under any partitioning. Group count is
+    dimension-sized; the payload per group is bounded."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        r.join(n, r["r_regionkey"] == n["n_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+_WCD_ORACLE = """
+WITH o AS (
+  SELECT event_id, user_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS occ
+  FROM events)
+SELECT event_id, user_id,
+       CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS distinct_types_so_far
+FROM o
+"""
+
+
+@query("windowed_count_distinct", _WCD_ORACLE)
+def windowed_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — which no engine supports
+    directly — via the first-occurrence trick: row_number marks each
+    (user, type)'s first event, and a running sum of those markers is the
+    distinct count so far. Two windows, both partitioned by user_id (one
+    sub-partitioned by type): shuffles on the user key only, per-user
+    linear scans."""
+    e = _t(spark, sf_dir, "events")
+    occ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("occ", F.row_number().over(occ))
+        .select(
+            "event_id",
+            "user_id",
+            F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+            .over(run)
+            .cast("bigint")
+            .alias("distinct_types_so_far"),
+        )
+    )
+
+
+_SHARE_ORACLE = """
+WITH rev AS (
+  SELECT r_name,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+              AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name)
+SELECT r_name, round(revenue, 2) AS revenue,
+       round(revenue / SUM(revenue) OVER (), 6) AS share_of_total
+FROM rev
+"""
+
+
+@query("revenue_share_by_region", _SHARE_ORACLE)
+def revenue_share_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total: regional revenue share via an unpartitioned
+    window over the AGGREGATED frame (one row per region — bounded by the
+    dimension, not the fact table). lineitem joins orders on their shared
+    orderkey (a co-partitionable fact-fact shuffle — bucket both on
+    orderkey to eliminate it); the customer->nation->region chain folds
+    into one broadcast map, so the fact rows shuffle once."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = F.broadcast(
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey", "r_name")
+    )
+    rev = (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(dim, F.col("o_custkey") == dim["c_custkey"])
+        .groupBy("r_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+            "share_of_total"
+        ),
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
