@@ -63,6 +63,16 @@ BENCH_QUERIES = [
     "minhash_cluster_canonicals",
     "scd2_customer_history",
     "zorder_lineitem_keys",
+    # incremental-curation tier: cross-corpus dedup is the scale-critical
+    # one (batch x corpus LSH); the rest guard the new shuffle shapes
+    "incremental_minhash_dedup",
+    "incremental_exact_dedup",
+    "boilerplate_shingle_ratio",
+    "mixture_resample_counts",
+    "heavy_hitter_users",
+    "revenue_share_by_region",
+    "windowed_count_distinct",
+    "snapshot_reconciliation",
 ]
 
 

@@ -3831,6 +3831,53 @@ def revenue_share_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECON_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey AS k, o_totalprice AS v FROM orders WHERE o_orderkey % 7 <> 0),
+b AS (
+  SELECT o_orderkey AS k,
+         o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS v
+  FROM orders WHERE o_orderkey % 3 <> 0),
+j AS (
+  SELECT COALESCE(a.k, b.k) AS k, a.v AS va, b.v AS vb,
+         CASE WHEN a.k IS NULL THEN 'only_right'
+              WHEN b.k IS NULL THEN 'only_left'
+              WHEN a.v = b.v THEN 'matched_equal'
+              ELSE 'matched_changed' END AS status
+  FROM a FULL OUTER JOIN b ON a.k = b.k)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY status
+"""
+
+
+@query("snapshot_reconciliation", _RECON_ORACLE)
+def snapshot_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation via FULL OUTER join: two overlapping order
+    snapshots (one missing every 7th key, the other missing every 3rd and
+    perturbing every 5th price) classified into matched_equal /
+    matched_changed / only_left / only_right. The canonical CDC-audit /
+    migration-verification shape: one key shuffle, map-side classify,
+    tiny grouped output."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("va")
+    )
+    b = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 5 == 0, 1).otherwise(0)
+        ).alias("vb"),
+    )
+    j = a.join(b, "k", "full_outer").select(
+        F.when(F.col("va").isNull(), F.lit("only_right"))
+        .when(F.col("vb").isNull(), F.lit("only_left"))
+        .when(F.col("va") == F.col("vb"), F.lit("matched_equal"))
+        .otherwise(F.lit("matched_changed"))
+        .alias("status")
+    )
+    return j.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
