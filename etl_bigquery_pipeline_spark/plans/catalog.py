@@ -3878,6 +3878,72 @@ def snapshot_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
 
 
+_E2E_CURATION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tok,
+         {_TOKJOIN_SQL} AS h
+  FROM documents),
+d AS (SELECT h, MIN(doc_id) AS doc_id FROM t GROUP BY h),
+kept AS (
+  SELECT t.doc_id, t.source, t.n_tok
+  FROM t JOIN d ON t.doc_id = d.doc_id
+  WHERE t.n_tok >= 20),
+hx AS (
+  SELECT doc_id, source, n_tok,
+         substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hm,
+         substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hs
+  FROM kept),
+mixed AS (
+  SELECT source, n_tok, ({_hex8_to_int('hs')}) % 10000 AS sb
+  FROM hx
+  WHERE ({_hex8_to_int('hm')}) % 10000
+        < CASE WHEN CAST(substring(source, 4, 10) AS INT) % 2 = 0
+               THEN 10000 ELSE 2500 END),
+s AS (
+  SELECT source, n_tok,
+         CASE WHEN sb < 8000 THEN 'train'
+              WHEN sb < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM mixed)
+SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+FROM s GROUP BY split, source
+"""
+
+
+@query("corpus_curation_pipeline", _E2E_CURATION_ORACLE)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation as ONE lazy lineage: exact dedup (min-id
+    per content hash) -> token-count quality floor -> deterministic
+    domain-mixture resampling -> reproducible train/val/test split ->
+    per-(split, source) doc and token counts. Every stage is the already-
+    oracled operator (dedup.dedup_exact_text, sampling.resample_to_mixture,
+    sampling.hash_split) composed declaratively, so Catalyst sees the whole
+    pipeline at once — filters and the md5 sampling predicates all run in
+    the same scan stage before the two key shuffles (content-hash groupBy,
+    final group-agg). The oracle replays the full chain in SQL."""
+    from etl_bigquery_pipeline_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    deduped = dedup.dedup_exact_text(d, "doc_id", "text")
+    kept = deduped.withColumn("n_tok", TX.token_count("text")).filter(
+        F.col("n_tok") >= 20
+    )
+    srcs = [r["source"] for r in d.select("source").distinct().collect()]
+    fractions = {s: (1.0 if int(s[3:]) % 2 == 0 else 0.25) for s in srcs}
+    mixed = sampling.resample_to_mixture(
+        kept, "source", fractions, "doc_id", salt="mix"
+    )
+    split = sampling.hash_split(
+        mixed, "doc_id", weights={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================

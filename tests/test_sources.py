@@ -392,3 +392,36 @@ def test_xlsx_stdlib_implicit_cells_and_date_styles(tmp_path):
     assert rows == [
         [dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 1, 12, 0), 45292]
     ]
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """partition_by is the scale lever write_parquet documents: a filter
+    on the partition column must reach the scan as a PartitionFilter and
+    read only the matching directories."""
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.sources.sinks import write_parquet
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    dest = str(tmp_path / "events_by_date")
+    write_parquet(e, dest, partition_by=("event_date",))
+
+    n_dates = e.select("event_date").distinct().count()
+    assert n_dates > 1  # pruning needs something to prune
+
+    one_day = e.select(F.max("event_date")).first()[0]
+    back = spark.read.parquet(dest)
+    q = back.filter(F.col("event_date") == F.lit(one_day))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1][:200]
+    # correctness of the pruned read
+    expected = e.filter(F.col("event_date") == F.lit(one_day)).count()
+    assert q.count() == expected
+    # the pruned scan must touch fewer files than the full table holds
+    import glob
+
+    all_parts = glob.glob(f"{dest}/event_date=*")
+    assert len(all_parts) == n_dates
