@@ -3944,6 +3944,231 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("cms_heavy_hitter_gate", "SELECT true AS cms_ok")
+def cms_heavy_hitter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch gate: the streaming-friendly heavy-hitter
+    estimate must never under-count (CMS guarantee) and must land within
+    5% over the exact counts for the true top-5 users. The sketch is a
+    fixed-size mergeable aggregate (the 100 TB path: one pass, map-side
+    partial sketches, bytes-sized shuffle); the exact side reuses
+    skew.heavy_hitters. Probing the collected sketch is a bounded
+    driver-side read of a model-artifact-sized object."""
+    from etl_bigquery_pipeline_spark.operators import skew
+
+    e = _t(spark, sf_dir, "events")
+    exact = {
+        r.user_id: r.n for r in skew.heavy_hitters(e, ["user_id"], k=5).collect()
+    }
+    sk_bytes = bytes(
+        e.select(
+            F.count_min_sketch(
+                F.col("user_id"), F.lit(0.001), F.lit(0.99), F.lit(42)
+            ).alias("sk")
+        ).first()["sk"]
+    )
+    jvm = spark.sparkContext._jvm
+    bais = jvm.java.io.ByteArrayInputStream(sk_bytes)
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bais)
+    ok = all(
+        n <= cms.estimateCount(int(uid)) <= n * 1.05
+        for uid, n in exact.items()
+    )
+    return spark.createDataFrame([(bool(ok),)], "cms_ok boolean")
+
+
+_UNIFORM_SAMPLE_ORACLE = """
+SELECT doc_id, source
+FROM documents
+ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id
+LIMIT 50
+"""
+
+
+@query("uniform_doc_sample", _UNIFORM_SAMPLE_ORACLE)
+def uniform_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-sample: order by md5(key) and take k —
+    a reproducible simple random sample (the md5 is the random tape), the
+    eval-set / human-review draw that must come out identical on every
+    engine and cluster. Executes as TakeOrdered: each partition keeps its
+    k smallest hashes, the driver merges k x partitions rows — no global
+    sort, no shuffle of the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "source", h.alias("__h"))
+        .orderBy("__h", "doc_id")
+        .limit(50)
+        .select("doc_id", "source")
+    )
+
+
+_EQUIDEPTH_ORACLE = """
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.50) AS q2,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders),
+bucketed AS (
+  SELECT CASE WHEN o_totalprice <= q1 THEN 0
+              WHEN o_totalprice <= q2 THEN 1
+              WHEN o_totalprice <= q3 THEN 2
+              ELSE 3 END AS bucket,
+         o_totalprice
+  FROM orders, b)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       round(MIN(o_totalprice), 2) AS lo,
+       round(MAX(o_totalprice), 2) AS hi
+FROM bucketed GROUP BY bucket
+"""
+
+
+@query("equidepth_price_histogram", _EQUIDEPTH_ORACLE)
+def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile) histogram via the two-phase scalar pattern:
+    exact interpolated quartiles as a 1-row aggregate, cross-joined
+    (broadcast) into a second scan that buckets every row — two passes,
+    zero driver collects, no global sort. The fixed-width variant
+    (price_histogram) needs one pass; equi-depth costs the extra scan in
+    exchange for balanced buckets."""
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    qs = o.agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.50)).alias("q2"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") <= F.col("q1"), 0)
+        .when(F.col("o_totalprice") <= F.col("q2"), 1)
+        .when(F.col("o_totalprice") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        o.crossJoin(F.broadcast(qs))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+_Q3_ORACLE = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@query("shipping_priority_top10", _Q3_ORACLE)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers
+    broadcast into orders, date-filtered both sides so the pushed
+    predicates prune at the scans, one orderkey shuffle for the grouped
+    revenue, TakeOrdered for the top-10. The deterministic tie-break
+    (orderdate, orderkey) keeps the limit stable across engines."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1996-03-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q5_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+@query("local_supplier_volume", _Q5_ORACLE)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): six-way join where the
+    customer/supplier nations must MATCH — the classic star join with a
+    cross-dimension equality. Region/nation/supplier/customer all
+    broadcast (dimension-sized); the only big shuffle is lineitem-orders
+    on orderkey. No date filter so the whole-year scan exercises the agg
+    path."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    nr = F.broadcast(
+        n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(nr, s["s_nationkey"] == nr["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
