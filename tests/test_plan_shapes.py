@@ -141,3 +141,61 @@ def test_tfidf_builds_lazily_in_one_job(spark, sf_dir):
             )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # df-counts join stays broadcast
+
+
+def test_q3_q5_broadcast_dims_and_push_dates(spark, sf_dir):
+    plan = _plan(spark, "shipping_priority_top10", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrdered" in plan  # top-10 is per-partition k, not a sort
+    # the date predicates must reach the parquet scans
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+    plan5 = _plan(spark, "local_supplier_volume", sf_dir)
+    assert "BroadcastHashJoin" in plan5
+    assert "CartesianProduct" not in plan5
+
+
+def test_uniform_sample_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, "uniform_doc_sample", sf_dir)
+    assert "TakeOrdered" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_heavy_hitters_take_ordered_and_broadcast_total(spark, sf_dir):
+    plan = _plan(spark, "heavy_hitter_users", sf_dir)
+    assert "TakeOrdered" in plan
+    # total joins in as a broadcast 1-row aggregate, not a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_incremental_dedup_no_product_join(spark, sf_dir):
+    for name in ("incremental_exact_dedup", "incremental_minhash_dedup"):
+        plan = _plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+    # exact path: the corpus side reduces to its hash before the anti join
+    plan = _plan(spark, "incremental_exact_dedup", sf_dir)
+    assert "LeftAnti" in plan
+
+
+def test_boilerplate_broadcasts_boiler_set(spark, sf_dir):
+    plan = _plan(spark, "boilerplate_shingle_ratio", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_resample_is_pure_filter(spark, sf_dir):
+    from etl_bigquery_pipeline_spark.operators import sampling
+    from etl_bigquery_pipeline_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    out = sampling.resample_to_mixture(
+        d, "source", {"src0": 0.5}, "doc_id", default=0.25
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow: filter over the scan, nothing else
+
+
+def test_equidepth_broadcasts_quartiles(spark, sf_dir):
+    plan = _plan(spark, "equidepth_price_histogram", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan  # sanctioned 1-row scalar join
+    assert plan.count("FileScan") == 2  # boundary pass + bucketing pass
