@@ -74,3 +74,62 @@ def zorder_repartition(
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
     )
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    order_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_file_bytes`` (the OPTIMIZE/bin-packing maintenance op).
+
+    Small files are the silent scan killer at 100 TB — a million 1 MB
+    files cost a million open/footer-read round trips and defeat row-group
+    pruning. The rewrite sizes the file count from the directory's actual
+    bytes, repartitions to exactly that many partitions (range-partitioned
+    on ``order_by`` when given, so clustering — e.g. a prior Z-order — is
+    preserved; round-robin otherwise), and swaps the result in via a
+    staging directory + os.replace, with the previous generation parked
+    until the swap lands (same crash posture as ParquetWarehouse.upsert).
+    Local-filesystem paths only, like every rename-based op in this repo;
+    on object stores this belongs to a table format's OPTIMIZE.
+
+    Returns {"files_before", "files_after", "bytes"} for observability.
+    """
+    import math
+    import os
+    import shutil
+
+    def _parts(p: str) -> list[str]:
+        return [
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+
+    before = _parts(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if order_by:
+        df = df.repartitionByRange(n_files, *[F.col(c) for c in order_by])
+    else:
+        df = df.repartition(n_files)
+    staging = path.rstrip("/") + ".__compact"
+    old = path.rstrip("/") + ".__old"
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    after = _parts(path)
+    assert after, "compacted directory lost its data files"
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "files_before": len(before),
+        "files_after": len(after),
+        "bytes": total,
+    }

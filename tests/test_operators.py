@@ -400,3 +400,26 @@ def test_global_row_number_and_ntile_match_sql_semantics(spark):
             tuple(r) for r in expect.collect()
         }
     spark.catalog.clearCache()
+
+
+def test_compact_small_files(spark, tmp_path):
+    from etl_bigquery_pipeline_spark.operators.layout import compact_small_files
+
+    src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    dest = str(tmp_path / "li_small")
+    src.repartition(16).write.parquet(dest)  # 16 tiny files
+
+    before = src.count()
+    stats = compact_small_files(spark, dest, target_file_bytes=1 << 30)
+    assert stats["files_before"] == 16
+    assert stats["files_after"] == 1  # everything fits one target file
+    back = spark.read.parquet(dest)
+    assert back.count() == before
+    assert set(back.columns) == set(src.columns)
+
+    # clustered compaction preserves a sort column's file-level locality
+    stats2 = compact_small_files(
+        spark, dest, target_file_bytes=1, order_by=["l_orderkey"]
+    )
+    assert stats2["files_after"] >= 2
+    assert spark.read.parquet(dest).count() == before
