@@ -82,13 +82,23 @@ def heavy_hitters(
     the result is deterministic. For streaming/sketched alternatives see
     the frequent-items sketch gate (plans/catalog.sketch_gates).
     """
-    from pyspark.sql import Window
-
     keys = [F.col(c) for c in key_cols]
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
-    order = [F.col("n").desc(), *[F.col(c).asc() for c in key_cols]]
+    return heavy_hitters_from_counts(counts, key_cols, "n", k=k)
+
+
+def heavy_hitters_from_counts(
+    counts: DataFrame, key_cols: list[str], n_col: str = "n", *, k: int = 20
+) -> DataFrame:
+    """Heavy hitters from an already-aggregated (key, count) frame — the
+    serving path for maintained count tables (streaming top-k views,
+    incremental rollups). Same contract as ``heavy_hitters``; the total
+    comes from summing the counts, so no second scan of the raw data."""
+    from pyspark.sql import Window
+
+    order = [F.col(n_col).desc(), *[F.col(c).asc() for c in key_cols]]
     topk = counts.orderBy(*order).limit(k)
-    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    total = counts.agg(F.sum(n_col).alias("__total"))
     w = (
         Window.orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -97,11 +107,11 @@ def heavy_hitters(
         topk.crossJoin(F.broadcast(total))
         .select(
             *key_cols,
-            F.col("n").cast("bigint").alias("n"),
+            F.col(n_col).cast("bigint").alias("n"),
             F.row_number().over(w).cast("bigint").alias("rnk"),
-            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+            F.round(F.col(n_col) / F.col("__total"), 6).alias("share"),
             F.round(
-                F.sum("n").over(w) / F.col("__total"), 6
+                F.sum(n_col).over(w) / F.col("__total"), 6
             ).alias("cum_share"),
         )
     )

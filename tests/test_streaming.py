@@ -574,3 +574,39 @@ def test_rollup_stream_matches_batch_recompute(spark, tmp_path):
         for r in rollup_stream.read_rollup(spark, out).collect()
     }
     assert replayed == want
+
+
+def test_streaming_topk_matches_batch_heavy_hitters(spark, tmp_path):
+    """The maintained-counts top-k view must agree exactly with the batch
+    heavy-hitters operator over the same drained events, and a replayed
+    batch must not double-count."""
+    from etl_bigquery_pipeline_spark.operators import skew
+    from etl_bigquery_pipeline_spark.streaming import topk_stream
+
+    src, batch_df = _write_stream_source(spark, tmp_path)
+    out = str(tmp_path / "topk_out")
+    ckpt = str(tmp_path / "topk_ckpt")
+    q = topk_stream.key_counts_sink(
+        spark.readStream.schema(SCHEMA).parquet(src), out, ckpt
+    )
+    q.awaitTermination()
+
+    served = topk_stream.read_top_k(spark, out, k=3).collect()
+    exact = skew.heavy_hitters(batch_df, ["user_id"], k=3).collect()
+    as_tuples = lambda rows: [
+        (r.user_id, r.n, r.rnk, r.share, r.cum_share) for r in rows
+    ]
+    assert as_tuples(served) == as_tuples(exact)
+
+    # replay idempotency: re-writing batch 0's partials changes nothing
+    import glob
+    import os
+
+    bdir = sorted(glob.glob(os.path.join(out, "batch_id=*")))[0]
+    bid = int(bdir.rsplit("=", 1)[1])
+    first = spark.createDataFrame(_event_rows(), SCHEMA)
+    first.groupBy("user_id").count().withColumnRenamed("count", "n").write.mode(
+        "overwrite"
+    ).parquet(bdir)
+    replayed = topk_stream.read_top_k(spark, out, k=3).collect()
+    assert as_tuples(replayed) == as_tuples(exact)
