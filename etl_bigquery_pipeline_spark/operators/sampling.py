@@ -180,3 +180,32 @@ def resample_to_mixture(
         else F.lit(int(round(default * 10000)))
     )
     return df.filter(bucket < cut)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    key_col: str,
+    *,
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Per-row weighted Bernoulli sampling, deterministic: keep a row iff
+    md5(salt:key) mod 10000 < weight * 10000, where ``weight_col`` is any
+    expression in [0, 1] (importance weights, quality-derived keep
+    probabilities). Like resample_to_mixture this is a pure filter — no
+    shuffle, engine-replayable, identical draw on every cluster — but the
+    probability varies row-by-row instead of per stratum."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    return df.filter(bucket < w * 10000)

@@ -4169,6 +4169,113 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RETENTION_ORACLE = """
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1),
+a AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS offset_days
+  FROM events e JOIN f ON e.user_id = f.user_id)
+SELECT cohort, offset_days, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a GROUP BY cohort, offset_days
+"""
+
+
+@query("retention_cohorts", _RETENTION_ORACLE)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen day, counted
+    on each later activity-day offset. First-seen is one groupBy on
+    user_id; the activity join re-shuffles on the same key, so AQE can
+    reuse the exchange / plan a co-located join, and the distinct before
+    the final count keeps a user to one row per (cohort, offset)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    return (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.datediff(F.col("day"), F.col("cohort")).alias("offset_days"),
+        )
+        .distinct()
+        .groupBy("cohort", "offset_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_TRANSITION_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events)
+SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n,
+       round(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type)
+                             AS DOUBLE), 6) AS p
+FROM s WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
+@query("event_transition_matrix", _TRANSITION_ORACLE)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event transition matrix (Markov counts + row-normalized
+    probabilities): LEAD over each user's time-ordered events, grouped on
+    the (from, to) pair. One user_id shuffle for the sequence window, one
+    tiny grouped output (|event types|^2 rows) whose normalizing window is
+    negligible."""
+    e = _t(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("next_type", F.lead("event_type").over(seq))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(norm), 6).alias("p"),
+    )
+
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         least(1.0, n_chars / 300.0) AS wt,
+         substring(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+  FROM documents),
+kept AS (
+  SELECT source, n_chars FROM w
+  WHERE ({_hex8_to_int('h')}) % 10000 < wt * 10000)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(AVG(n_chars), 4) AS avg_chars
+FROM kept GROUP BY source
+"""
+
+
+@query("weighted_doc_sample", _WEIGHTED_SAMPLE_ORACLE)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted sampling (operators/sampling.weighted_sample):
+    keep probability proportional to document length (capped at 1), drawn
+    from md5(doc_id) so the sample is deterministic and SQL-replayable.
+    Longer documents survive more often — the avg_chars per source shifts
+    up accordingly. Pure filter: no shuffle before the reporting agg."""
+    from etl_bigquery_pipeline_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    wt = F.least(F.lit(1.0), F.col("n_chars") / 300.0)
+    kept = sampling.weighted_sample(d, wt, "doc_id", salt="wsamp")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
