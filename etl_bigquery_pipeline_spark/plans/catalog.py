@@ -4276,6 +4276,108 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASSIGN_ORACLE = f"""
+WITH u AS (
+  SELECT label, i AS pos,
+         round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+  FROM embeddings, generate_series(1, {_DIM}) AS g(i)
+  GROUP BY label, i),
+c AS (SELECT label, list(v ORDER BY pos) AS cv FROM u GROUP BY label),
+d AS (
+  SELECT e.vec_id, c.label,
+         list_sum([(CAST(e.embedding[i] AS DOUBLE) - cv[i])
+                   * (CAST(e.embedding[i] AS DOUBLE) - cv[i])
+                   for i in generate_series(1, {_DIM})]) AS d2
+  FROM embeddings e CROSS JOIN c),
+a AS (
+  SELECT vec_id, label, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+  FROM d)
+SELECT vec_id, label AS assigned_label, round(d2, 6) AS dist2
+FROM a WHERE rn = 1
+"""
+
+
+def _centroids(e: DataFrame, label_col: str = "label") -> DataFrame:
+    """(label, cv array<double>) — elementwise mean per label, rounded to
+    6 places so the values are bit-identical across engines (summation
+    order differs between Spark partials and a serial fold)."""
+    return (
+        e.select(label_col, F.posexplode("embedding").alias("pos", "v"))
+        .groupBy(label_col, "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+        .groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("s"))
+        .select(label_col, F.transform("s", lambda x: x["cv"]).alias("cv"))
+    )
+
+
+def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, assigned_label, d2): nearest centroid by squared L2.
+    K centroids broadcast; per-vector argmin via min(struct) — ties break
+    on the smaller label, deterministically."""
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "cv",
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", F.col("label"), d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "label")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.label").alias("assigned_label"),
+            F.col("m.d2").alias("d2"),
+        )
+    )
+
+
+@query("centroid_assignment", _ASSIGN_ORACLE)
+def centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means E-step as pure DataFrame algebra: per-label centroids
+    (posexplode mean, 6-decimal-rounded for cross-engine determinism)
+    broadcast against every vector, squared-L2 via zip_with/aggregate —
+    all JVM-side, no UDF — argmin via min(struct(d2, label)). The corpus
+    never shuffles: K centroid rows broadcast, one groupBy on vec_id."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = _assign(e, _centroids(e))
+    return out.select(
+        "vec_id", "assigned_label", F.round("d2", 6).alias("dist2")
+    )
+
+
+@query("kmeans_inertia_gate", "SELECT true AS inertia_monotone")
+def kmeans_inertia_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's algorithm on DataFrames — the iterative-algorithm pattern:
+    3 iterations of assign (broadcast centroids, zip_with distance) ->
+    re-center (posexplode mean over the new assignment). The driver sees
+    only one inertia scalar per iteration; all heavy work is distributed
+    and each iteration is one lazy plan. Gate: inertia must be
+    non-increasing (Lloyd guarantee — violated only if the steps are
+    miswired), checked with a tolerance for float merge order."""
+    e = _t(spark, sf_dir, "embeddings")
+    cent = _centroids(e)
+    inertias = []
+    for _ in range(3):
+        assigned = _assign(e, cent)
+        inertias.append(assigned.agg(F.sum("d2")).first()[0])
+        cent = _centroids(
+            e.join(assigned.select("vec_id", "assigned_label"), "vec_id")
+            .select(F.col("assigned_label").alias("label"), "embedding"),
+        )
+    ok = all(
+        b <= a * (1 + 1e-9) for a, b in zip(inertias, inertias[1:])
+    )
+    return spark.createDataFrame([(bool(ok),)], "inertia_monotone boolean")
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
