@@ -73,6 +73,15 @@ BENCH_QUERIES = [
     "revenue_share_by_region",
     "windowed_count_distinct",
     "snapshot_reconciliation",
+    # round-3 wave 2: e2e curation, product analytics, TPC-H shapes,
+    # vector assignment
+    "corpus_curation_pipeline",
+    "retention_cohorts",
+    "event_transition_matrix",
+    "shipping_priority_top10",
+    "local_supplier_volume",
+    "equidepth_price_histogram",
+    "centroid_assignment",
 ]
 
 

@@ -4410,7 +4410,10 @@ _DRIVER_COVERED_R02 = [
 
 def _reorder_for_sweep() -> None:
     covered = [n for n in _DRIVER_COVERED_R02 if n in QUERIES]
-    uncovered = [n for n in QUERIES if n not in set(covered)]
+    # newest-registered first: the driver's sweep is budget-bounded, so
+    # the queries with the least prior verification (this round's
+    # additions register last) must land earliest in the walk
+    uncovered = [n for n in reversed(QUERIES) if n not in set(covered)]
     ordered = uncovered + covered
     for mapping in (QUERIES, ORACLE):
         snapshot = {n: mapping[n] for n in ordered if n in mapping}
