@@ -921,3 +921,136 @@ def boilerplate_shingle_stats(
             ).alias("keep"),
         )
     )
+
+
+# ------------------------------------------------ persisted band index ---
+
+
+def build_band_index(
+    corpus: DataFrame,
+    table: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """Persist the corpus side of incremental near-dup as a bucketed
+    table: (id, band, band_key, signature), bucketed by band_key.
+
+    This is the 100 TB refresh path SCALE.md prescribes: the corpus
+    shingle/signature pass runs ONCE at build time; every subsequent
+    batch probe joins its (tiny, broadcast) band keys against the
+    bucketed layout — the corpus never re-tokenizes, never re-hashes,
+    never shuffles. The signature rides along (x bands duplication,
+    num_hashes x 8 hex chars) so probes can estimate Jaccard from lane
+    agreement without access to corpus text. Metadata persists alongside
+    so probes can't be run with mismatched hash parameters.
+    """
+    from etl_bigquery_pipeline_spark.operators import ann_index
+
+    spark = corpus.sparkSession
+    ann_index._reset_table(spark, table)
+    sig = minhash_signatures(
+        corpus, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    bk = minhash_band_keys(sig, id_col, bands=bands)
+    n_buckets = 64
+    (
+        bk.join(sig, id_col)
+        .write.bucketBy(n_buckets, "band_key")
+        .sortBy("band_key")
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    ann_index._write_meta(
+        spark,
+        table,
+        {
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_n": shingle_n,
+            "id_col": id_col,
+        },
+    )
+
+
+def near_dup_candidates_from_index(
+    spark: "SparkSession",
+    batch: DataFrame,
+    table: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_band_bucket: int | None = _DEFAULT_MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Band-collision candidates of ``batch`` against a persisted band
+    index: (batch_id, corpus_id, est_jaccard), where est_jaccard is the
+    minhash lane-agreement estimate (matching lanes / num_hashes) —
+    computed purely from signatures, no corpus text needed.
+
+    The batch side's band keys broadcast; the index side is read through
+    its bucketed layout, so the only work proportional to the corpus is
+    the pruned bucket scan. Hash parameters come from the persisted
+    metadata — a probe can't silently disagree with the build.
+    """
+    from pyspark.sql import SparkSession  # noqa: F401 (typing only)
+
+    from etl_bigquery_pipeline_spark.operators import ann_index
+
+    meta = ann_index._read_meta(spark, table)
+    sig_b = minhash_signatures(
+        batch,
+        id_col,
+        text_col,
+        num_hashes=meta["num_hashes"],
+        shingle_n=meta["shingle_n"],
+    )
+    bk_b = minhash_band_keys(sig_b, id_col, bands=meta["bands"])
+    idx = spark.table(table)
+    if max_band_bucket is not None:
+        idx = _drop_hot_buckets(idx, ["band", "band_key"], max_band_bucket)
+    cands = (
+        idx.alias("c")
+        .join(
+            F.broadcast(bk_b.alias("b")),
+            (F.col("c.band_key") == F.col("b.band_key"))
+            & (F.col("c.band") == F.col("b.band")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias("batch_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    sig_c = idx.groupBy(F.col(id_col).alias("corpus_id")).agg(
+        F.first("signature").alias("__sig_c")
+    )
+    lanes = F.aggregate(
+        F.zip_with(
+            "__sig_b", "__sig_c",
+            lambda a, b: F.when(a == b, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.join(
+            F.broadcast(
+                sig_b.select(
+                    F.col(id_col).alias("batch_id"),
+                    F.col("signature").alias("__sig_b"),
+                )
+            ),
+            "batch_id",
+        )
+        .join(sig_c, "corpus_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            F.round(
+                lanes / F.lit(float(meta["num_hashes"])), 6
+            ).alias("est_jaccard"),
+        )
+    )

@@ -4378,6 +4378,61 @@ def kmeans_inertia_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(bool(ok),)], "inertia_monotone boolean")
 
 
+@query("band_index_probe_matches", "SELECT true AS band_probe_matches")
+def band_index_probe_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-band-index gate: build the bucketed minhash band index
+    over the corpus once (operators/dedup.build_band_index), probe it
+    with a batch containing planted near-copies, and require the
+    candidate pair set to EQUAL the direct operator's band collisions
+    (same md5 pipeline ⇒ identical band keys ⇒ identical candidates; the
+    persisted path only changes WHERE the corpus signatures come from).
+    Also requires every exact-verified near-dup pair to appear among the
+    index candidates. One boolean row, trivial oracle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter((F.col("doc_id") % 5 == 1) & (F.col("doc_id") < 125)).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qqq tail")).alias("text"),
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0).unionAll(planted)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+
+    dedup.build_band_index(corpus, "band_idx_catalog")
+    probe = dedup.near_dup_candidates_from_index(
+        spark, batch, "band_idx_catalog", max_band_bucket=None
+    )
+    direct = dedup.near_dup_against_corpus(
+        batch, corpus, threshold=0.6, max_band_bucket=None
+    )
+    got = probe.select("batch_id", "corpus_id")
+    # direct candidates: rebuild the collision set without the verify cut
+    sh_b, bk_b = dedup._shingles_and_bands(
+        batch, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3
+    )
+    sh_c, bk_c = dedup._shingles_and_bands(
+        corpus, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3
+    )
+    want = (
+        bk_b.alias("l")
+        .join(
+            bk_c.alias("r"),
+            (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.band") == F.col("r.band")),
+        )
+        .select(
+            F.col("l.doc_id").alias("batch_id"),
+            F.col("r.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    cand_diff = got.exceptAll(want).unionAll(want.exceptAll(got))
+    verified_missing = direct.select("batch_id", "corpus_id").exceptAll(got)
+    return cand_diff.agg(
+        (F.count(F.lit(1)) == 0).alias("__c")
+    ).crossJoin(
+        verified_missing.agg((F.count(F.lit(1)) == 0).alias("__v"))
+    ).select((F.col("__c") & F.col("__v")).alias("band_probe_matches"))
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================

@@ -108,3 +108,35 @@ def test_reset_table_spares_unrelated_directory(spark, tmp_path):
         pass
     _reset_table(spark, "orphan_t")
     assert not os.path.exists(loc)
+
+
+def test_band_index_probe_candidates_and_plan(spark, sf_dir):
+    """The persisted minhash band index must return the same candidate
+    pairs as the direct cross-corpus operator, estimate Jaccard high for
+    planted near-copies, and keep the corpus side shuffle-free (batch
+    band keys broadcast into the bucketed scan)."""
+    from etl_bigquery_pipeline_spark.operators import dedup
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 1)
+    planted = corpus.limit(5).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat("text", F.lit(" tail token")).alias("text"),
+    )
+    dedup.build_band_index(corpus, "band_idx_t")
+    probe = dedup.near_dup_candidates_from_index(
+        spark, planted, "band_idx_t", max_band_bucket=None
+    )
+    rows = probe.collect()
+    matched = {r.batch_id - 10_000 for r in rows}
+    assert {r.doc_id for r in corpus.limit(5).collect()} <= matched
+    # planted near-copies agree on most minhash lanes
+    own = [r for r in rows if r.corpus_id == r.batch_id - 10_000]
+    assert own and all(r.est_jaccard >= 0.5 for r in own)
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # batch side broadcasts
+    assert "CartesianProduct" not in plan
+
+    spark.sql("DROP TABLE IF EXISTS band_idx_t")
+    spark.sql("DROP TABLE IF EXISTS band_idx_t__meta")
