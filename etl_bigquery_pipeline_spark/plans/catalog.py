@@ -4433,6 +4433,116 @@ def band_index_probe_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select((F.col("__c") & F.col("__v")).alias("band_probe_matches"))
 
 
+_FUZZY_ORACLE = """
+WITH n AS (SELECT DISTINCT p_name FROM part),
+t AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM n),
+p AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b,
+         levenshtein(a.p_name, b.p_name) AS dist
+  FROM t a JOIN t b ON a.blk = b.blk AND a.p_name < b.p_name)
+SELECT name_a, name_b, CAST(dist AS BIGINT) AS dist
+FROM p WHERE dist <= 2
+"""
+
+
+@query("fuzzy_name_pairs", _FUZZY_ORACLE)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string-similarity join: distinct part names blocked on their
+    first token, Levenshtein-verified at distance <= 2. The blocking
+    predicate is what makes edit-distance joins survive scale — candidate
+    pairs exist only within a block (same device as the n-gram Jaccard
+    blocked join), and the distinct-names projection collapses the input
+    to its name vocabulary before any pairing."""
+    p = _t(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    t = names.select(
+        "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("bigint")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+
+
+_PSI_ORACLE = """
+WITH a AS (
+  SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS n
+  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+b AS (
+  SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS n
+  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1),
+ta AS (SELECT SUM(n) AS t FROM a),
+tb AS (SELECT SUM(n) AS t FROM b),
+j AS (
+  SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+         COALESCE(a.n, 0) / CAST(ta.t AS DOUBLE) + 1e-6 AS pa,
+         COALESCE(b.n, 0) / CAST(tb.t AS DOUBLE) + 1e-6 AS pb
+  FROM a FULL OUTER JOIN b ON a.bucket = b.bucket, ta, tb)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       round(SUM((pa - pb) * ln(pa / pb)), 6) AS psi,
+       SUM((pa - pb) * ln(pa / pb)) > 0.1 AS drifted
+FROM j
+"""
+
+
+@query("distribution_drift_psi", _PSI_ORACLE)
+def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between two order snapshots (even/odd
+    keys): fixed-width price buckets, smoothed proportions, PSI =
+    sum((pa-pb)*ln(pa/pb)). The drift monitor that guards a training-data
+    refresh: two grouped scans over a bounded bucket space, a full-outer
+    join on the tiny bucket dim, one scalar out. Buckets are value-range
+    bounded, so the plan is the same at any row count."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket")
+
+    def side(parity: int) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderkey") % 2 == parity)
+            .groupBy(bucket)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    a, b = side(0), side(1)
+    ta = a.agg(F.sum("n").alias("ta"))
+    tb = b.agg(F.sum("n").alias("tb"))
+    j = (
+        a.withColumnRenamed("n", "na")
+        .join(b.withColumnRenamed("n", "nb"), "bucket", "full_outer")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "bucket",
+            (
+                F.coalesce(F.col("na"), F.lit(0)) / F.col("ta").cast("double")
+                + 1e-6
+            ).alias("pa"),
+            (
+                F.coalesce(F.col("nb"), F.lit(0)) / F.col("tb").cast("double")
+                + 1e-6
+            ).alias("pb"),
+        )
+    )
+    term = (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.sum(term), 6).alias("psi"),
+        (F.sum(term) > 0.1).alias("drifted"),
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
