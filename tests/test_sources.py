@@ -425,3 +425,26 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
 
     all_parts = glob.glob(f"{dest}/event_date=*")
     assert len(all_parts) == n_dates
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Appended batches may add columns; mergeSchema reconciles them and
+    old rows surface nulls — the ingest-evolution contract at scale
+    (schema lives in footers; merging reads them, not the data)."""
+    from pyspark.sql import functions as F
+
+    dest = str(tmp_path / "evolving")
+    spark.range(5).select(
+        F.col("id"), F.lit("a").alias("v1")
+    ).write.parquet(dest)
+    spark.range(5, 8).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2")
+    ).write.mode("append").parquet(dest)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(dest)
+    assert set(merged.columns) == {"id", "v1", "v2"}
+    assert merged.count() == 8
+    old = merged.filter(F.col("id") < 5)
+    assert old.filter(F.col("v2").isNull()).count() == 5
+    new = merged.filter(F.col("id") >= 5)
+    assert new.filter(F.col("v2") == 1.5).count() == 3
