@@ -90,8 +90,17 @@ def main() -> None:
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # one warm-up action so JVM/codegen startup doesn't pollute q1
+    # warm-up actions so JVM/codegen startup doesn't pollute q1: a scan
+    # plus a bounded pass through the md5/explode/shuffle machinery the
+    # heavy text queries lean on (timings then reflect steady state)
     catalog.QUERIES["table_row_counts"](spark, sf_dir).collect()
+    from etl_bigquery_pipeline_spark.operators import dedup as _dedup
+    from etl_bigquery_pipeline_spark.sources.readers import read_table as _rt
+
+    with cache_scope():
+        _dedup.minhash_near_dup_pairs(
+            _rt(spark, sf_dir, "documents").limit(64), threshold=0.99
+        ).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -4543,6 +4543,62 @@ def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EWMA_ORACLE = """
+WITH RECURSIVE d AS (
+  SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS rn
+  FROM (
+    SELECT o_orderdate AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+    FROM orders GROUP BY 1)),
+e AS (
+  SELECT rn, day, rev, rev AS ewma FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.rn, d.day, d.rev, 0.9 * e.ewma + 0.1 * d.rev
+  FROM d JOIN e ON d.rn = e.rn + 1)
+SELECT day, round(rev, 2) AS revenue, round(ewma, 4) AS ewma
+FROM e
+"""
+
+
+@query("ewma_daily_revenue", _EWMA_ORACLE)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over daily revenue — the
+    inherently-sequential recurrence (ewma_t = 0.9*ewma_{t-1} + 0.1*x_t)
+    no built-in window expresses. Computed with an Arrow-batched
+    applyInPandas over the DAILY aggregate: like the anomaly query, the
+    sequential series is one row per distinct date — calendar-bounded at
+    any raw scale — while the raw-table groupBy before it is the only
+    real shuffle. pandas ewm(adjust=False) IS this recurrence in float64,
+    which the oracle replays with a recursive CTE."""
+    import pandas as pd
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("rev")
+    )
+
+    schema = "day timestamp, revenue double, ewma double"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        ew = pdf["rev"].ewm(alpha=0.1, adjust=False).mean()
+        return pd.DataFrame(
+            {
+                "day": pdf["day"],
+                "revenue": pdf["rev"].round(2),
+                "ewma": ew.round(4),
+            }
+        )
+
+    return (
+        daily.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(fold, schema)
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
