@@ -4599,6 +4599,71 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_DEDUP_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+n AS (
+  SELECT doc_id, toks, len(toks) AS nt,
+         greatest(CAST(ceil((len(toks) - 16) / 48.0) AS INT), 1) AS n_chunks
+  FROM t),
+c AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i*48 + 1 : i*48 + 64], ' ')
+                 for i in generate_series(0, n_chunks - 1)]) AS chunk
+  FROM n),
+h AS (SELECT doc_id, md5(chunk) AS ch FROM c),
+firsts AS (SELECT ch, MIN(doc_id) AS keeper FROM h GROUP BY ch)
+SELECT h.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN h.doc_id > f.keeper THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       round(SUM(CASE WHEN h.doc_id > f.keeper THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+FROM h JOIN firsts f ON h.ch = f.ch
+GROUP BY h.doc_id
+"""
+
+
+@query("chunk_level_dedup", _CHUNK_DEDUP_ORACLE)
+def chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup (RefinedWeb-style): chunk every document into
+    the standard 64/16 windows, hash each chunk, and charge a document
+    for every chunk already owned by a lower-id document. Output is the
+    per-document duplicated-chunk ratio — the signal for dropping or
+    trimming mostly-recycled pages that document-level dedup misses.
+    Composition of the existing chunker with one md5 groupBy: the shuffle
+    key is the 32-char chunk hash, never the chunk text."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = TX.token_chunks_of(F.col("__toks"), chunk_tokens=64, overlap=16)
+    h = (
+        d.select("doc_id", TX.tokens("text").alias("__toks"))
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", F.md5(F.col("c.chunk")).alias("ch"))
+    )
+    firsts = h.groupBy("ch").agg(F.min("doc_id").alias("keeper"))
+    return (
+        h.join(firsts, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(
+                F.when(F.col("doc_id") > F.col("keeper"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            F.round(
+                F.sum(
+                    F.when(F.col("doc_id") > F.col("keeper"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
