@@ -4371,7 +4371,11 @@ def kmeans_inertia_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent = _centroids(
             e.join(assigned.select("vec_id", "assigned_label"), "vec_id")
             .select(F.col("assigned_label").alias("label"), "embedding"),
-        )
+        # truncate lineage each iteration: without this the plan nests one
+        # full assign+recenter per round and analysis/codegen cost grows
+        # superlinearly with iteration count — the standard iterative-
+        # algorithm hygiene (K x dim rows, so the checkpoint is tiny)
+        ).localCheckpoint()
     ok = all(
         b <= a * (1 + 1e-9) for a, b in zip(inertias, inertias[1:])
     )
