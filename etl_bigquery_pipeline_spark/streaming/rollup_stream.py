@@ -80,3 +80,73 @@ def read_rollup(
             F.max("value_max").alias("value_max"),
         )
     )
+
+
+def cdc_rollup_merge_sink(
+    changes: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    *,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    op_col: str = "op",
+):
+    """Retraction-aware incremental rollup: the CDC generalization of
+    rollup_merge_sink. Input rows carry ``op`` ('insert' or 'delete');
+    each micro-batch folds to SIGNED partials (delete => count -1, value
+    -v), so the served view stays correct under retractions — the device
+    that keeps an incrementally-maintained aggregate honest when source
+    rows are removed or corrected (a correction is delete+insert).
+
+    Only signed-mergeable aggregates survive retraction (count, sum);
+    min/max are deliberately NOT offered here — a deleted extremum cannot
+    be un-merged from a partial, it needs a rescan or a mergeable sketch.
+    Same exactly-once batch_id=N overwrite idempotency as the insert-only
+    sink; serve with ``read_cdc_rollup``.
+    """
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sign = F.when(F.col(op_col) == "delete", F.lit(-1)).otherwise(
+            F.lit(1)
+        )
+        partial = (
+            batch_df.withColumn("day", F.col(ts_col).cast("date"))
+            .withColumn("__s", sign)
+            .groupBy("day", *key_cols)
+            .agg(
+                F.sum("__s").alias("n_events"),
+                F.sum(
+                    F.col("__s") * F.col(value_col).cast("decimal(18,4)")
+                ).alias("value_sum"),
+            )
+        )
+        partial.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+
+    return (
+        changes.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cdc_rollup(
+    spark: SparkSession,
+    out_path: str,
+    *,
+    key_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Serve the retraction-aware rollup: fold the signed partials and
+    drop keys whose live row count reached zero (fully retracted)."""
+    parts = spark.read.parquet(out_path)
+    return (
+        parts.groupBy("day", *key_cols)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_sum").cast("double").alias("value_sum"),
+        )
+        .filter(F.col("n_events") > 0)
+    )

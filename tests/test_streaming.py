@@ -610,3 +610,54 @@ def test_streaming_topk_matches_batch_heavy_hitters(spark, tmp_path):
     ).parquet(bdir)
     replayed = topk_stream.read_top_k(spark, out, k=3).collect()
     assert as_tuples(replayed) == as_tuples(exact)
+
+
+def test_cdc_rollup_retractions(spark, tmp_path):
+    """Deletes must subtract from the maintained rollup, a fully-retracted
+    key must disappear, and the served view must equal a from-scratch
+    aggregate over the surviving rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.streaming import rollup_stream
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    cdc_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, op string"
+    )
+    inserts = [
+        (i, base, i % 3, "click" if i % 2 else "view", float(i), "insert")
+        for i in range(20)
+    ]
+    # retract every click, correct view #0 from 0.0 to 99.0
+    deletes = [
+        (i, base, i % 3, "click", float(i), "delete")
+        for i in range(20) if i % 2
+    ]
+    correction = [
+        (0, base, 0, "view", 0.0, "delete"),
+        (0, base, 0, "view", 99.0, "insert"),
+    ]
+    df = spark.createDataFrame(inserts + deletes + correction, cdc_schema)
+    src = str(tmp_path / "cdc_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "cdc_out")
+    q = rollup_stream.cdc_rollup_merge_sink(
+        spark.readStream.schema(cdc_schema).parquet(src),
+        out,
+        str(tmp_path / "cdc_ckpt"),
+    )
+    q.awaitTermination()
+
+    served = {
+        r.event_type: (r.n_events, r.value_sum)
+        for r in rollup_stream.read_cdc_rollup(spark, out).collect()
+    }
+    assert "click" not in served  # fully retracted keys disappear
+    n, s = served["view"]
+    survivors = [float(i) for i in range(20) if i % 2 == 0 and i != 0] + [99.0]
+    assert n == 10
+    assert abs(s - sum(survivors)) < 1e-9
