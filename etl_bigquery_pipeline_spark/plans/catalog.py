@@ -4668,6 +4668,27 @@ def chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("approx_topk_gate", "SELECT true AS topk_ok")
+def approx_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k gate (Spark 4's built-in sketch-backed top-k): with a
+    generous internal capacity the approximate top-5 users must contain
+    the exact top-5 (skew.heavy_hitters) with exact counts. One pass,
+    mergeable, fixed memory — the cheap first look before committing to
+    the exact TakeOrdered profile on a 100 TB key space."""
+    from etl_bigquery_pipeline_spark.operators import skew
+
+    e = _t(spark, sf_dir, "events")
+    exact = {
+        r.user_id: r.n for r in skew.heavy_hitters(e, ["user_id"], k=5).collect()
+    }
+    approx = e.agg(
+        F.expr("approx_top_k(user_id, 5, 10000)").alias("tk")
+    ).first()["tk"]
+    got = {r["item"]: r["count"] for r in approx}
+    ok = all(uid in got and got[uid] == n for uid, n in exact.items())
+    return spark.createDataFrame([(bool(ok),)], "topk_ok boolean")
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================

@@ -199,3 +199,35 @@ def test_equidepth_broadcasts_quartiles(spark, sf_dir):
     plan = _plan(spark, "equidepth_price_histogram", sf_dir)
     assert "BroadcastNestedLoopJoin" in plan  # sanctioned 1-row scalar join
     assert plan.count("FileScan") == 2  # boundary pass + bucketing pass
+
+
+def test_transitive_partition_pruning_through_join(spark, tmp_path):
+    """A literal filter on the dim side of an equi-join must reach the
+    PARTITIONED fact scan as a static PartitionFilter — Catalyst's
+    predicate transitivity plus partition pruning. (Dynamic partition
+    pruning covers the non-literal case at real scale; its insertion is
+    benefit-estimated, so toy-sized inputs legitimately skip it.)"""
+    from pyspark.sql import functions as F
+
+    fact = str(tmp_path / "fact_part")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+        "event_date"
+    ).parquet(fact)
+    dimp = str(tmp_path / "dim_dates")
+    dates = events.select(F.to_date("ts").alias("event_date")).distinct()
+    dates.write.parquet(dimp)
+    one_day = dates.agg(F.max("event_date")).first()[0]
+
+    f = spark.read.parquet(fact)
+    d = spark.read.parquet(dimp).filter(F.col("event_date") == F.lit(one_day))
+    q = f.join(d, "event_date").groupBy("event_type").count()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the fact scan is the one projecting event_type (paths may be
+    # truncated in the rendered plan, so don't match on the location)
+    fact_scan = [
+        l for l in plan.splitlines()
+        if "FileScan" in l and "event_type" in l
+    ][0]
+    assert f"PartitionFilters: [(event_date" in fact_scan  # inferred literal
+    assert str(one_day) in fact_scan
