@@ -4689,6 +4689,80 @@ def approx_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(bool(ok),)], "topk_ok boolean")
 
 
+_CONTAINMENT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(t) - 2, 1))]) AS s
+  FROM toks),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.s, b.s)) / CAST(len(a.s) AS DOUBLE), 6)
+           AS containment_a_in_b
+  FROM sh a JOIN sh b
+    ON a.doc_id <> b.doc_id AND abs(a.doc_id - b.doc_id) <= 100)
+SELECT id_a, id_b, containment_a_in_b
+FROM pairs WHERE containment_a_in_b >= 0.8
+"""
+
+
+@query("shingle_containment_pairs", _CONTAINMENT_ORACLE)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment (Broder): |A ∩ B| / |A| over id-blocked
+    pairs — catches a document SUBSET-quoted inside a larger one, which
+    symmetric Jaccard dilutes below threshold. Directional, so both
+    (a,b) and (b,a) are evaluated within the block. Same mandatory
+    blocking discipline as the exact Jaccard path; the LSH route remains
+    the unblocked scale path for the symmetric case."""
+    d = _t(spark, sf_dir, "documents")
+    sh_df = (
+        widen_if_narrow(d, "doc_id")
+        .select("doc_id", TX.tokens("text").alias("__toks"))
+        .select(
+            "doc_id", TX.shingles_of(F.col("__toks"), 3).alias("__sh")
+        )
+        .transform(scoped_cache)
+    )
+    # equi-blocking, not a theta join: a-side rows replicate into their
+    # own and the next id-block, the b-side keys by its block — the join
+    # is a plain hash join on the block id, and the residual distance
+    # predicate filters inside matched blocks only
+    a = sh_df.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("__sh").alias("__sa"),
+        F.explode(
+            F.array(
+                F.floor(F.col("doc_id") / 100) - 1,
+                F.floor(F.col("doc_id") / 100),
+                F.floor(F.col("doc_id") / 100) + 1,
+            )
+        ).alias("__blk"),
+    )
+    b = sh_df.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("__sh").alias("__sb"),
+        F.floor(F.col("doc_id") / 100).alias("__blk"),
+    )
+    cont = F.round(
+        F.size(F.array_intersect("__sa", "__sb"))
+        / F.size("__sa").cast("double"),
+        6,
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.abs(F.col("id_a") - F.col("id_b")) <= 100)
+        )
+        .select("id_a", "id_b", cont.alias("containment_a_in_b"))
+        .filter(F.col("containment_a_in_b") >= 0.8)
+        .distinct()
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
