@@ -4763,6 +4763,33 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("grouped_approx_percentile_gate", "SELECT true AS grouped_pct_ok")
+def grouped_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped sketch gate: percentile_approx (mergeable, one pass) must
+    land within 1% relative of the exact interpolated percentile in
+    EVERY group — the per-group mergeability property that makes sketch
+    percentiles safe to partial-aggregate across 1000 executors. Exact
+    side reuses the percentile machinery of percentile_lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("ex"),
+        F.expr(
+            "percentile_approx(l_extendedprice, array(0.5, 0.95), 10000)"
+        ).alias("ap"),
+    )
+    rel_ok = F.forall(
+        F.zip_with(
+            "ex",
+            "ap",
+            lambda e, a: F.abs(e - a) <= F.abs(e) * 0.01,
+        ),
+        lambda x: x,
+    )
+    return g.agg(
+        F.every(rel_ok).alias("grouped_pct_ok")
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
