@@ -4790,6 +4790,60 @@ def grouped_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_PIT_ORACLE = f"""
+WITH hist AS ({_SCD2_ORACLE}),
+probe AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 2 = 0 THEN DATE '2024-03-01'
+              ELSE DATE '2024-08-01' END AS probe_date
+  FROM orders)
+SELECT o_orderkey, probe_date, h.c_acctbal AS acctbal_at_date
+FROM probe JOIN hist h
+  ON h.c_custkey = probe.o_custkey
+ AND h.valid_from <= probe.probe_date
+ AND (h.valid_to IS NULL OR probe.probe_date < h.valid_to)
+"""
+
+
+@query("scd2_point_in_time_join", _PIT_ORACLE)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against SCD2 history: each order
+    probes the dimension AS OF a date (half before, half after the
+    version split), matching exactly the version whose validity interval
+    covers it. The join has an equi component (custkey) so it plans as a
+    hash join with the interval predicate as a residual filter — the
+    scale-correct shape for temporal joins (never a pure range
+    nested-loop when a key exists). This is what the SCD2 history is FOR:
+    reproducing features as they were at training/label time."""
+    hist = QUERIES["scd2_customer_history"](spark, sf_dir)
+    o = _t(spark, sf_dir, "orders")
+    probe = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.lit("2024-03-01").cast("date")
+        )
+        .otherwise(F.lit("2024-08-01").cast("date"))
+        .alias("probe_date"),
+    )
+    return (
+        probe.join(
+            hist,
+            (hist["c_custkey"] == probe["o_custkey"])
+            & (hist["valid_from"] <= probe["probe_date"])
+            & (
+                hist["valid_to"].isNull()
+                | (probe["probe_date"] < hist["valid_to"])
+            ),
+        )
+        .select(
+            "o_orderkey",
+            "probe_date",
+            F.col("c_acctbal").alias("acctbal_at_date"),
+        )
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================

@@ -141,6 +141,22 @@ class ParquetWarehouse(WarehouseSink):
         merged = target.join(updates, keys, "left_anti").unionByName(updates)
         self.rewrite(merged, table)
 
+    def delete_where(
+        self, spark: SparkSession, table: str, predicate: str
+    ) -> int:
+        """Targeted delete (right-to-be-forgotten / retention purge):
+        rewrite the table WITHOUT rows matching ``predicate``; returns
+        the number of rows removed. Rewrite-based like upsert — on a
+        table format with a transaction log this becomes a DELETE
+        commit, but the semantics (and the staging-swap crash posture)
+        are identical. Pair with layout.compact_small_files if purges
+        fragment the file layout."""
+        target = self.read(spark, table)
+        removed = target.filter(predicate).count()
+        if removed:
+            self.rewrite(target.filter(f"NOT ({predicate})"), table)
+        return removed
+
     def rewrite(self, df: DataFrame, table: str) -> None:
         """Replace ``table`` with ``df`` where ``df``'s plan may READ the
         table being replaced (merge/SCD folds): the plan materializes into

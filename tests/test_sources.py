@@ -448,3 +448,25 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert old.filter(F.col("v2").isNull()).count() == 5
     new = merged.filter(F.col("id") >= 5)
     assert new.filter(F.col("v2") == 1.5).count() == 3
+
+
+def test_warehouse_delete_where(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.sources.sinks import ParquetWarehouse
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    wh.overwrite(c, "customers")
+    total = c.count()
+    to_remove = c.filter("c_custkey % 10 = 3").count()
+    assert to_remove > 0
+
+    removed = wh.delete_where(spark, "customers", "c_custkey % 10 = 3")
+    assert removed == to_remove
+    back = wh.read(spark, "customers")
+    assert back.count() == total - to_remove
+    assert back.filter("c_custkey % 10 = 3").count() == 0
+    # deleting nothing is a no-op rewrite-wise
+    assert wh.delete_where(spark, "customers", "c_custkey < 0") == 0
+    assert wh.read(spark, "customers").count() == total - to_remove
