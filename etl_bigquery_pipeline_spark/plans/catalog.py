@@ -4844,6 +4844,35 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CAP_SAMPLE_ORACLE = """
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source FROM r WHERE rn <= 5
+"""
+
+
+@query("capped_per_source_sample", _CAP_SAMPLE_ORACLE)
+def capped_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling: rank each source's documents by
+    md5(doc_id) and keep the first 5 — the balanced-eval-set draw where
+    fractions won't do (small strata must still yield k). Deterministic:
+    the hash is the random tape, the id breaks ties. One shuffle on the
+    stratum key; per-stratum work is a linear scan, so a skewed stratum
+    costs its size, never a cross product."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "source")
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
