@@ -231,3 +231,20 @@ def test_transitive_partition_pruning_through_join(spark, tmp_path):
     ][0]
     assert f"PartitionFilters: [(event_date" in fact_scan  # inferred literal
     assert str(one_day) in fact_scan
+
+
+def test_temporal_and_analytics_queries_plan_hash_joins(spark, sf_dir):
+    """The temporal/analytics tier must never degrade to nested loops:
+    the PIT join's interval predicate rides as a residual on the custkey
+    hash join, reconciliation full-outer merges on the key, cohorts and
+    chunk dedup stay equi-joined."""
+    for name in (
+        "scd2_point_in_time_join",
+        "snapshot_reconciliation",
+        "retention_cohorts",
+        "chunk_level_dedup",
+        "shingle_containment_pairs",
+    ):
+        plan = _plan(spark, name, sf_dir)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
