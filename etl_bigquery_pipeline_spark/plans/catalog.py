@@ -4873,6 +4873,56 @@ def capped_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ENTROPY_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         unnest([substring(text, i, 2)
+                 for i in generate_series(1, greatest(len(text) - 1, 1))]) AS bg
+  FROM documents),
+c AS (SELECT doc_id, bg, COUNT(*) AS n FROM g GROUP BY doc_id, bg),
+t AS (SELECT doc_id, SUM(n) AS tot FROM c GROUP BY doc_id)
+SELECT c.doc_id,
+       round(-SUM((n / CAST(tot AS DOUBLE)) * ln(n / CAST(tot AS DOUBLE))), 4)
+         AS bigram_entropy,
+       CAST(COUNT(*) AS BIGINT) AS distinct_bigrams
+FROM c JOIN t ON c.doc_id = t.doc_id
+GROUP BY c.doc_id
+"""
+
+
+@query("char_entropy_quality", _ENTROPY_ORACLE)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram Shannon entropy per document — the cheap
+    perplexity proxy that separates natural text (high, stable entropy)
+    from boilerplate/binary junk (low) and random noise (near-maximal).
+    Bigrams materialize via transform(sequence) + explode (JVM-side, no
+    UDF); two groupBys on (doc_id, gram) then doc_id. At corpus scale the
+    shuffled rows are (id, 2 chars) pairs — bounded per document by text
+    length, never by vocabulary."""
+    d = _t(spark, sf_dir, "documents")
+    # index-dependent substring inside the lambda needs the expr form
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 1, 1)),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    c = g.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("doc_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot").cast("double")
+    return (
+        c.join(t, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 4).alias("bigram_entropy"),
+            F.count(F.lit(1)).alias("distinct_bigrams"),
+        )
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================

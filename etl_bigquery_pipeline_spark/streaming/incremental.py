@@ -59,3 +59,65 @@ def incremental_events_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_events_sink_with_dlq(
+    events: DataFrame,
+    out_path: str,
+    dlq_path: str,
+    checkpoint: str,
+    *,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+    value_col: str = "value",
+):
+    """Incremental sink with a dead-letter queue: rows failing ingest
+    validation (null key/timestamp, negative value) are ROUTED, not
+    dropped — they land under ``dlq_path/batch_id=N`` with a
+    ``reject_reason`` column while clean rows take the normal path.
+
+    Silent drops are unaccountable at scale (a 0.1% malformed rate on
+    100 TB is 100 GB of invisible loss); the DLQ keeps the rejects
+    replayable after an upstream fix. Both sides inherit the batch_id
+    overwrite idempotency, so a replayed batch rewrites exactly its own
+    accepted AND rejected outputs.
+    """
+    deduped = (
+        events.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(key_cols))
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        reason = (
+            F.when(
+                sum(
+                    [F.col(c).isNull().cast("int") for c in key_cols]
+                ) > 0,
+                F.lit("null_key"),
+            )
+            .when(F.col(ts_col).isNull(), F.lit("null_ts"))
+            .when(F.col(value_col) < 0, F.lit("negative_value"))
+        )
+        flagged = batch_df.withColumn("reject_reason", reason)
+        rejected = flagged.filter(F.col("reject_reason").isNotNull())
+        accepted = (
+            flagged.filter(F.col("reject_reason").isNull())
+            .drop("reject_reason")
+            .withColumn("event_date", F.col(ts_col).cast("date"))
+        )
+        (
+            accepted.write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(f"{out_path}/batch_id={batch_id}")
+        )
+        rejected.write.mode("overwrite").parquet(
+            f"{dlq_path}/batch_id={batch_id}"
+        )
+
+    return (
+        deduped.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

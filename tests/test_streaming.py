@@ -661,3 +661,41 @@ def test_cdc_rollup_retractions(spark, tmp_path):
     survivors = [float(i) for i in range(20) if i % 2 == 0 and i != 0] + [99.0]
     assert n == 10
     assert abs(s - sum(survivors)) < 1e-9
+
+
+def test_incremental_sink_routes_rejects_to_dlq(spark, tmp_path):
+    """Malformed rows must land in the DLQ with a reason — never silently
+    dropped — while clean rows flow to the normal partitioned sink."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.streaming import incremental
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "view", 1.0),
+        (2, base, 1, "click", -5.0),          # negative value
+        (None, base, 2, "view", 2.0),         # null key
+        (4, None, 2, "view", 3.0),            # null ts
+        (5, base, 3, "click", 4.0),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    src = str(tmp_path / "dlq_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    out, dlq = str(tmp_path / "dlq_ok"), str(tmp_path / "dlq_bad")
+    q = incremental.incremental_events_sink_with_dlq(
+        spark.readStream.schema(SCHEMA).parquet(src),
+        out, dlq, str(tmp_path / "dlq_ckpt"), watermark="10 hours",
+    )
+    q.awaitTermination()
+
+    ok = spark.read.parquet(out)
+    assert sorted(r.event_id for r in ok.collect()) == [1, 5]
+    bad = spark.read.parquet(dlq)
+    reasons = {r.event_id: r.reject_reason for r in bad.collect()}
+    assert reasons[2] == "negative_value"
+    assert reasons[None] == "null_key"
+    assert reasons[4] == "null_ts"
+    assert bad.count() == 3  # accepted + rejected = every input row
