@@ -117,6 +117,46 @@ def range_check(
     return ScalarCheck(name=f"range_{column}", exprs=exprs, verdict=verdict, severity=severity)
 
 
+def freshness_check(
+    ts_column: str,
+    *,
+    max_age: str = "2 days",
+    as_of: str | None = None,
+    severity: Severity = Severity.CRITICAL,
+) -> ScalarCheck:
+    """Data freshness: the newest ``ts_column`` value must fall within
+    ``max_age`` of ``as_of`` (a literal reference instant — pass the
+    run's logical date; defaulting to wall-clock now() would make the
+    check non-reproducible across retries and engines). The staleness
+    probe every scheduled pipeline needs: a feed that silently stopped
+    arriving passes row-count checks forever while its max(ts) freezes.
+    One MAX aggregate, fused into the table's single DQ scan."""
+    exprs = {f"max_{ts_column}": F.max(ts_column)}
+
+    def verdict(s: dict) -> tuple[bool, object, str]:
+        newest = s[f"max_{ts_column}"]
+        if newest is None:
+            return False, None, f"{ts_column} has no values"
+        if as_of is None:
+            return True, newest, f"newest {ts_column}={newest} (no as_of)"
+        import datetime as dt
+
+        ref = dt.datetime.fromisoformat(as_of)
+        n, unit = max_age.split()
+        delta = dt.timedelta(**{unit if unit.endswith("s") else unit + "s": int(n)})
+        newest_dt = (
+            newest
+            if isinstance(newest, dt.datetime)
+            else dt.datetime.combine(newest, dt.time())
+        )
+        ok = newest_dt >= ref - delta
+        return ok, newest, f"newest {ts_column}={newest}, as_of={as_of}, max_age={max_age}"
+
+    return ScalarCheck(
+        name=f"freshness_{ts_column}", exprs=exprs, verdict=verdict, severity=severity
+    )
+
+
 def parity_check(expected: int) -> ScalarCheck:
     """B5: post-load row count equals pre-load count (reference :307-321)."""
     return ScalarCheck(

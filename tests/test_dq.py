@@ -96,3 +96,29 @@ def test_report_df_schema(spark):
     rep = dq.report_df(spark, rows)
     assert rep.columns == ["check", "table", "status", "severity", "observed", "detail"]
     assert rep.first().status == "PASS"
+
+
+def test_freshness_check(spark):
+    from etl_bigquery_pipeline_spark.plans import dq
+    from etl_bigquery_pipeline_spark.sources.readers import read_table
+
+    e = read_table(spark, "/root/testdata/sf0.001", "events")
+    newest = e.agg({"ts": "max"}).first()[0]
+
+    fresh = dq.TableChecks(
+        "events", e,
+        [dq.freshness_check("ts", max_age="1 days", as_of=str(newest))],
+    ).run()
+    assert fresh[0].passed
+
+    stale_ref = newest.replace(year=newest.year + 1)
+    stale = dq.TableChecks(
+        "events", e,
+        [dq.freshness_check("ts", max_age="2 days", as_of=str(stale_ref))],
+    ).run()
+    assert not stale[0].passed
+
+    import pytest as _pt
+
+    with _pt.raises(dq.CriticalDQFailure):
+        dq.enforce(stale)
