@@ -4923,6 +4923,138 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEQ_CONFORM_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events),
+v AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'purchase'
+                   AND (prev_type IS NULL OR prev_type = 'signup')
+                  THEN 1 ELSE 0 END) AS n_violations,
+         COUNT(*) AS n_events
+  FROM s GROUP BY user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN n_violations > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS users_with_violations,
+       CAST(SUM(n_violations) AS BIGINT) AS total_violations
+FROM v
+"""
+
+
+@query("sequence_conformance", _SEQ_CONFORM_ORACLE)
+def sequence_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-order conformance: a purchase with no prior event (or
+    straight after signup) violates the expected lifecycle — the
+    sequence-validity probe a CDP runs before trusting funnel metrics.
+    LAG over each user's time order, one grouped verdict; the shuffle is
+    the user_id window, the output three scalars."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.withColumn("prev_type", F.lag("event_type").over(w))
+    viol = F.when(
+        (F.col("event_type") == "purchase")
+        & (F.col("prev_type").isNull() | (F.col("prev_type") == "signup")),
+        1,
+    ).otherwise(0)
+    v = s.groupBy("user_id").agg(
+        F.sum(viol).alias("n_violations"), F.count(F.lit(1)).alias("n_events")
+    )
+    return v.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum((F.col("n_violations") > 0).cast("int"))
+        .cast("bigint")
+        .alias("users_with_violations"),
+        F.sum("n_violations").cast("bigint").alias("total_violations"),
+    )
+
+
+_TOP3_NESTED_ORACLE = """
+WITH r AS (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer)
+SELECT c_mktsegment,
+       list(c_custkey ORDER BY rn) AS top_custkeys,
+       round(list(c_acctbal ORDER BY rn)[1], 2) AS best_acctbal
+FROM r WHERE rn <= 3
+GROUP BY c_mktsegment
+"""
+
+
+@query("top3_customers_nested", _TOP3_NESTED_ORACLE)
+def top3_customers_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group materialized as a NESTED array column (the
+    API-response / feature-vector shape, not one row per rank):
+    rank-filter then collect into rank-ordered arrays via
+    array_sort(collect_list(struct)) — collect_list alone has no order
+    guarantee under parallel merge. Group count bounds the output; the
+    rank window shuffles once on the segment key."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    r = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "rn", "c_custkey", "c_acctbal")
+    )
+    s = r.groupBy("c_mktsegment").agg(
+        F.array_sort(
+            F.collect_list(F.struct("rn", "c_custkey", "c_acctbal"))
+        ).alias("t")
+    )
+    return s.select(
+        "c_mktsegment",
+        F.transform("t", lambda x: x["c_custkey"]).alias("top_custkeys"),
+        F.round(F.element_at("t", 1)["c_acctbal"], 2).alias("best_acctbal"),
+    )
+
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(o_totalprice AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1),
+c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+t AS (SELECT SUM(n) AS tot FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(n / CAST(tot AS DOUBLE), 6) AS observed,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_expected
+FROM c, t
+"""
+
+
+@query("benford_digit_profile", _BENFORD_ORACLE)
+def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile of order totals: observed leading-
+    digit frequencies against log10(1 + 1/d) — the classic anomaly probe
+    for fabricated or truncated monetary data. Digit space is 1-9, so
+    the grouped output is constant-size at any row count; one scan, one
+    tiny shuffle, total via a broadcast 1-row aggregate."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("tot").cast("double"), 6).alias("observed"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias(
+            "benford_expected"
+        ),
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
