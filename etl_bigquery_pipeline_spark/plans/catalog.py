@@ -5016,7 +5016,7 @@ def top3_customers_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BENFORD_ORACLE = """
 WITH d AS (
-  SELECT CAST(substring(CAST(CAST(o_totalprice AS BIGINT) AS VARCHAR), 1, 1)
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
               AS INT) AS digit
   FROM orders WHERE o_totalprice >= 1),
 c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
@@ -5038,7 +5038,7 @@ def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
     d = o.select(
         F.substring(
-            F.col("o_totalprice").cast("bigint").cast("string"), 1, 1
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
         )
         .cast("int")
         .alias("digit")
