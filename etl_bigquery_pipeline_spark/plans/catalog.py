@@ -5055,6 +5055,68 @@ def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHI2_ORACLE = """
+WITH o AS (
+  SELECT c_mktsegment AS seg, n_name AS nat
+  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+c AS (SELECT seg, nat, COUNT(*) AS n FROM o GROUP BY seg, nat),
+m AS (SELECT seg, SUM(n) AS rs FROM c GROUP BY seg),
+k AS (SELECT nat, SUM(n) AS cs FROM c GROUP BY nat),
+t AS (SELECT SUM(n) AS tot FROM c),
+full_grid AS (
+  SELECT m.seg, k.nat, m.rs, k.cs, COALESCE(c.n, 0) AS n
+  FROM m CROSS JOIN k LEFT JOIN c ON c.seg = m.seg AND c.nat = k.nat)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST((SELECT COUNT(*) FROM m) - 1 AS BIGINT)
+         * CAST((SELECT COUNT(*) FROM k) - 1 AS BIGINT) AS dof,
+       round(SUM(pow(n - rs * cs / CAST(tot AS DOUBLE), 2)
+                 / (rs * cs / CAST(tot AS DOUBLE))), 4) AS chi2
+FROM full_grid, t
+"""
+
+
+@query("chi2_segment_nation", _CHI2_ORACLE)
+def chi2_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence over the (segment x nation) contingency
+    table, zero-observed cells included via the margin cross — the
+    association test behind 'is this attribute informative'. Margins are
+    dimension-sized, so the grid cross-join is tiny and broadcasts; the
+    only data-scale work is the first grouped count."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+        F.col("c_mktsegment").alias("seg"), F.col("n_name").alias("nat")
+    )
+    cnt = o.groupBy("seg", "nat").agg(F.count(F.lit(1)).alias("n"))
+    m = cnt.groupBy("seg").agg(F.sum("n").alias("rs"))
+    k = cnt.groupBy("nat").agg(F.sum("n").alias("cs"))
+    t = cnt.agg(F.sum("n").alias("tot"))
+    grid = (
+        m.crossJoin(k)
+        .join(cnt, ["seg", "nat"], "left")
+        .select("seg", "nat", "rs", "cs", F.coalesce("n", F.lit(0)).alias("n"))
+        .crossJoin(F.broadcast(t))
+    )
+    exp = F.col("rs") * F.col("cs") / F.col("tot").cast("double")
+    n_seg = m.agg(F.count(F.lit(1)).alias("x"))
+    n_nat = k.agg(F.count(F.lit(1)).alias("y"))
+    return (
+        grid.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum(F.pow(F.col("n") - exp, 2) / exp), 4).alias("chi2"),
+        )
+        .crossJoin(F.broadcast(n_seg))
+        .crossJoin(F.broadcast(n_nat))
+        .select(
+            "n_cells",
+            ((F.col("x") - 1) * (F.col("y") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            "chi2",
+        )
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
