@@ -82,6 +82,13 @@ BENCH_QUERIES = [
     "local_supplier_volume",
     "equidepth_price_histogram",
     "centroid_assignment",
+    # round-3 wave 3: temporal, sub-document, info-theoretic
+    "scd2_point_in_time_join",
+    "chunk_level_dedup",
+    "char_entropy_quality",
+    "ewma_daily_revenue",
+    "fuzzy_name_pairs",
+    "distribution_drift_psi",
 ]
 
 
