@@ -5117,6 +5117,61 @@ def chi2_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COLPROFILE_ORACLE = """
+WITH s AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nn_returnflag,
+         COUNT(DISTINCT l_returnflag) AS nd_returnflag,
+         SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS nn_shipdate,
+         COUNT(DISTINCT l_shipdate) AS nd_shipdate,
+         SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nn_quantity,
+         COUNT(DISTINCT l_quantity) AS nd_quantity
+  FROM lineitem)
+SELECT col, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_nulls AS BIGINT) AS n_nulls,
+       CAST(n_distinct AS BIGINT) AS n_distinct
+FROM (
+  SELECT 'l_returnflag' AS col, n_rows, nn_returnflag AS n_nulls,
+         nd_returnflag AS n_distinct FROM s
+  UNION ALL
+  SELECT 'l_shipdate', n_rows, nn_shipdate, nd_shipdate FROM s
+  UNION ALL
+  SELECT 'l_quantity', n_rows, nn_quantity, nd_quantity FROM s)
+"""
+
+
+@query("column_profile_lineitem", _COLPROFILE_ORACLE)
+def column_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (the shape every catalog/profiling tool emits): one
+    row per column with row/null/exact-distinct counts, computed in ONE
+    aggregate pass — multiple COUNT(DISTINCT)s plan via Expand (rows x
+    profiled columns), which is the documented cost of exactness; swap
+    approx_count_distinct per column for the one-pass sketch profile at
+    full scale. The wide single-row aggregate unpivots to the long shape
+    with a stack()."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_shipdate", "l_quantity"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("int")).alias(f"nn_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    s = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in cols
+    )
+    return s.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col, n_nulls, n_distinct)",
+        "n_rows",
+    ).select(
+        "col",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
