@@ -5172,6 +5172,48 @@ def column_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COPURCHASE_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey)
+SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders
+FROM p
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@query("copurchase_part_pairs", _COPURCHASE_ORACLE)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, top-20 by support. The self-join fans out quadratically ONLY
+    within an order (TPC-H orders hold <= 7 lines, so the blowup is a
+    bounded constant — the same property that makes this shape safe on
+    real baskets after a per-basket item cap), then one grouped count and
+    a TakeOrdered. Distinct-projection first so duplicate (order, part)
+    lines never inflate support."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
