@@ -5214,6 +5214,45 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WAU_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du)
+SELECT days.day,
+       CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+FROM days JOIN du
+  ON du.day BETWEEN days.day - INTERVAL 6 DAY AND days.day
+GROUP BY days.day
+"""
+
+
+@query("weekly_active_users", _WAU_ORACLE)
+def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (the WAU curve): windowed
+    COUNT(DISTINCT) over time, which no window frame computes directly.
+    Dedup to (day, user) pairs FIRST (event volume never enters the
+    band join), then band-join the pair set against the observed-day
+    spine — pairs x 7 rows, bounded by active users x days, not events.
+    The band join carries no equi key by design (every day pairs with a
+    6-day neighborhood); the spine side is dimension-sized, so it
+    broadcasts and the 'product' is the intended 7x fan-out."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    return (
+        du.alias("p")
+        .join(
+            F.broadcast(days.alias("d")),
+            (F.col("p.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("p.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
