@@ -5253,6 +5253,109 @@ def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEASONALITY_ORACLE = """
+SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,  -- DuckDB Sun=0, Spark Sun=1
+       CAST(hour(ts) AS INT) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("hourly_seasonality", _SEASONALITY_ORACLE)
+def hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x day-of-week seasonality heatmap (the capacity-
+    planning / anomaly-baseline profile): one grouped pass into a
+    bounded 7x24 cell space — constant output at any event volume."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.dayofweek("ts").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+_FULFILL_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(l_shipdate AS DATE))) AS BIGINT) AS min_days,
+       round(AVG(date_diff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE))), 4) AS avg_days,
+       round(median(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE))), 1) AS median_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@query("fulfillment_latency_by_priority", _FULFILL_ORACLE)
+def fulfillment_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency per priority class — the SLA monitor: one
+    orderkey join (fact-fact, co-partitionable), datediff map-side, tiny
+    grouped stats. Median is the exact interpolated one; at full scale
+    swap approx_percentile and keep the same gate discipline."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("o_orderpriority", d.alias("days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min("days").cast("bigint").alias("min_days"),
+            F.round(F.avg("days"), 4).alias("avg_days"),
+            F.round(F.median("days"), 1).alias("median_days"),
+        )
+    )
+
+
+_INTERORDER_ORACLE = """
+WITH s AS (
+  SELECT o_custkey,
+         date_diff('day',
+           LAG(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           CAST(o_orderdate AS DATE)) AS gap
+  FROM orders)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       round(AVG(gap), 4) AS avg_gap_days,
+       round(median(gap), 1) AS median_gap_days,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_days
+FROM s WHERE gap IS NOT NULL
+"""
+
+
+@query("interorder_intervals", _INTERORDER_ORACLE)
+def interorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: LAG over each customer's order history
+    gives the days-between-orders distribution (the retention/LTV input).
+    One custkey window shuffle, scalar output."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(
+        F.col("o_orderdate").cast("date"),
+        F.lag(F.col("o_orderdate").cast("date")).over(w),
+    )
+    s = o.select(gap.alias("gap")).filter(F.col("gap").isNotNull())
+    return s.agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(F.avg("gap"), 4).alias("avg_gap_days"),
+        F.round(F.median("gap"), 1).alias("median_gap_days"),
+        F.max("gap").cast("bigint").alias("max_gap_days"),
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
