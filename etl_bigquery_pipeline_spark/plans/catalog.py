@@ -5356,6 +5356,141 @@ def interorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PARETO_ORACLE = """
+WITH r AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+              AS DOUBLE) AS rev
+  FROM lineitem GROUP BY l_partkey),
+c AS (
+  SELECT l_partkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(rev) OVER () AS tot
+  FROM r),
+k AS (
+  SELECT CASE WHEN cum / tot <= 0.8 THEN 'A'
+              WHEN cum / tot <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class, rev
+  FROM c)
+SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       round(SUM(rev), 2) AS class_revenue
+FROM k GROUP BY abc_class
+"""
+
+
+@query("pareto_abc_parts", _PARETO_ORACLE)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification of parts by revenue: cumulative share
+    over the revenue-ranked PER-PART aggregate (catalog-bounded — the
+    window runs over one row per part, never over lineitem), classes cut
+    at 80/95%. The inventory-policy analytic; ties rank by partkey so the
+    class boundary is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    c = r.select(
+        "rev",
+        (F.sum("rev").over(w) / F.sum("rev").over(tot)).alias("share"),
+    )
+    cls = (
+        F.when(F.col("share") <= 0.8, "A")
+        .when(F.col("share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        c.select(cls.alias("abc_class"), "rev")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("rev"), 2).alias("class_revenue"),
+        )
+    )
+
+
+_RFM_ORACLE = """
+WITH m AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+base AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(CAST(o_orderdate AS DATE)), maxd) AS recency,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+  FROM orders, m GROUP BY o_custkey, maxd),
+th AS (
+  SELECT quantile_cont(recency, 0.5) AS r_med,
+         quantile_cont(frequency, 0.5) AS f_med,
+         quantile_cont(monetary, 0.5) AS m_med
+  FROM base)
+SELECT CASE WHEN recency <= r_med THEN 'recent' ELSE 'lapsed' END AS r_seg,
+       CASE WHEN frequency > f_med THEN 'frequent' ELSE 'occasional' END AS f_seg,
+       CASE WHEN monetary > m_med THEN 'high' ELSE 'low' END AS m_seg,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       round(AVG(monetary), 2) AS avg_monetary
+FROM base, th
+GROUP BY r_seg, f_seg, m_seg
+"""
+
+
+@query("rfm_segment_counts", _RFM_ORACLE)
+def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary split at
+    the exact medians (broadcast 1-row thresholds — the same two-phase
+    scalar device as the equi-depth histogram), counted into the 8
+    segment cells. Per-customer aggregate bounds every window; the
+    median pass is the only extra scan."""
+    o = _t(spark, sf_dir, "orders")
+    maxd = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    base = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey", "maxd")
+        .agg(
+            F.datediff(
+                "maxd", F.max(F.col("o_orderdate").cast("date"))
+            ).alias("recency"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    th = base.agg(
+        F.percentile("recency", F.lit(0.5)).alias("r_med"),
+        F.percentile("frequency", F.lit(0.5)).alias("f_med"),
+        F.percentile("monetary", F.lit(0.5)).alias("m_med"),
+    )
+    j = base.crossJoin(F.broadcast(th))
+    return (
+        j.select(
+            F.when(F.col("recency") <= F.col("r_med"), "recent")
+            .otherwise("lapsed")
+            .alias("r_seg"),
+            F.when(F.col("frequency") > F.col("f_med"), "frequent")
+            .otherwise("occasional")
+            .alias("f_seg"),
+            F.when(F.col("monetary") > F.col("m_med"), "high")
+            .otherwise("low")
+            .alias("m_seg"),
+            "monetary",
+        )
+        .groupBy("r_seg", "f_seg", "m_seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+        )
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
