@@ -61,8 +61,11 @@ def session_stats(
     gap_minutes: int = 30,
     value_col: str = "value",
     order_cols: tuple[str, ...] = (),
+    keep_bounds: bool = False,
 ) -> DataFrame:
-    """Per-session rollup: event count, span (microseconds), value sum."""
+    """Per-session rollup: event count, span (microseconds), value sum.
+    ``keep_bounds`` adds session_start/session_end timestamps for
+    downstream day-keyed KPIs (bounce rate, session calendars)."""
     s = sessionize(
         df,
         user_col=user_col,
@@ -70,7 +73,7 @@ def session_stats(
         gap_minutes=gap_minutes,
         order_cols=order_cols,
     )
-    return s.groupBy(user_col, "session_seq").agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_events"),
         (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))).alias(
             "span_us"
@@ -78,4 +81,10 @@ def session_stats(
         F.sum(F.col(value_col).cast("decimal(18,4)"))
         .cast("double")
         .alias("value_sum"),
-    )
+    ]
+    if keep_bounds:
+        aggs += [
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        ]
+    return s.groupBy(user_col, "session_seq").agg(*aggs)

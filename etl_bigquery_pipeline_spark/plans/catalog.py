@@ -5491,6 +5491,60 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOUNCE_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
+                 THEN 1 ELSE 0 END AS brk
+  FROM e),
+g AS (
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM f),
+s AS (
+  SELECT user_id, session_seq, CAST(MIN(ts) AS DATE) AS day,
+         COUNT(*) AS n_events
+  FROM g GROUP BY user_id, session_seq)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       round(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+FROM s GROUP BY day
+"""
+
+
+@query("bounce_rate_by_day", _BOUNCE_ORACLE)
+def bounce_rate_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions (30-min inactivity islands,
+    the sessionize operator) holding exactly one event, keyed by session
+    start day — the engagement KPI layered on sessionization. Adds one
+    tiny day-grouped pass over the per-session rollup."""
+    e = _t(spark, sf_dir, "events")
+    s = sessionize.session_stats(
+        e, user_col="user_id", ts_col="ts", gap_minutes=30,
+        value_col="value", order_cols=("event_id",),
+        keep_bounds=True,
+    )
+    return (
+        s.select(
+            F.col("session_start").cast("date").alias("day"),
+            (F.col("n_events") == 1).cast("int").alias("is_bounce"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("is_bounce").cast("bigint").alias("n_bounces"),
+            F.round(
+                F.sum("is_bounce") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("bounce_rate"),
+        )
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
