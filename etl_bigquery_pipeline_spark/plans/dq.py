@@ -117,6 +117,34 @@ def range_check(
     return ScalarCheck(name=f"range_{column}", exprs=exprs, verdict=verdict, severity=severity)
 
 
+def observed_write(
+    df: "DataFrame",
+    write_fn,
+    *,
+    metrics: dict[str, "Column"] | None = None,
+) -> dict:
+    """Run ``write_fn(observed_df)`` with DQ metrics piggybacked on the
+    write action itself (Dataset.observe): row count and any caller
+    aggregates are collected DURING the single write pass — zero extra
+    scans, unlike post-load validation queries that re-read the table.
+    Returns the observed metric dict once the write action completes.
+
+    The at-scale significance: a 100 TB load validated by re-scanning
+    costs a second 100 TB read; observe() charges nothing. Use for
+    load-time row counts / null tallies, keep the full DQ framework for
+    cross-table rules (parity, referential integrity).
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as FF
+
+    exprs = dict(metrics or {})
+    exprs.setdefault("n_rows", FF.count(FF.lit(1)))
+    obs = Observation()
+    observed = df.observe(obs, *[e.alias(k) for k, e in exprs.items()])
+    write_fn(observed)
+    return dict(obs.get)
+
+
 def freshness_check(
     ts_column: str,
     *,

@@ -122,3 +122,31 @@ def test_freshness_check(spark):
 
     with _pt.raises(dq.CriticalDQFailure):
         dq.enforce(stale)
+
+
+def test_observed_write_collects_metrics_in_one_pass(spark, tmp_path):
+    """observe() metrics must arrive from the write action itself —
+    counts and null tallies with no second scan of the data."""
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.plans import dq
+    from etl_bigquery_pipeline_spark.sources.readers import read_table
+
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    dest = str(tmp_path / "observed_out")
+
+    got = dq.observed_write(
+        li,
+        lambda df: df.write.mode("overwrite").parquet(dest),
+        metrics={
+            "n_null_qty": F.sum(F.col("l_quantity").isNull().cast("int")),
+            "sum_qty": F.sum(F.col("l_quantity").cast("decimal(18,4)")),
+        },
+    )
+    n = li.count()
+    assert got["n_rows"] == n
+    assert got["n_null_qty"] == 0
+    assert float(got["sum_qty"]) == float(
+        li.agg(F.sum(F.col("l_quantity").cast("decimal(18,4)"))).first()[0]
+    )
+    assert spark.read.parquet(dest).count() == n
