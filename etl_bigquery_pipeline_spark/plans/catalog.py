@@ -5545,6 +5545,45 @@ def bounce_rate_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEW_RETURNING_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+f AS (SELECT user_id, MIN(day) AS first_day FROM du GROUP BY user_id)
+SELECT du.day,
+       CAST(SUM(CASE WHEN du.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(SUM(CASE WHEN du.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_users
+FROM du JOIN f ON du.user_id = f.user_id
+GROUP BY du.day
+"""
+
+
+@query("new_vs_returning_users", _NEW_RETURNING_ORACLE)
+def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split: each active (day, user) pair is new
+    iff the day is that user's first. Same pair-frame as WAU/retention —
+    the three KPIs share one shuffle shape (dedup to pairs, user-keyed
+    join), so a real pipeline computes them off one cached pair table."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    f = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        du.join(f, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("int"))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum((F.col("day") > F.col("first_day")).cast("int"))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
