@@ -133,3 +133,36 @@ def compact_small_files(
         "files_after": len(after),
         "bytes": total,
     }
+
+
+def drop_partitions_before(
+    path: str,
+    partition_col: str,
+    cutoff: str,
+) -> dict:
+    """Retention purge by PARTITION DROP: remove every
+    ``<partition_col>=<value>`` directory whose value sorts below
+    ``cutoff``. O(1) filesystem work per expired partition — the reason
+    time-partitioned layouts exist. Contrast with
+    ParquetWarehouse.delete_where, which rewrites the table: row-level
+    predicates need the rewrite; calendar retention never should.
+    Hive-style lexicographic values (ISO dates, zero-padded ids) make the
+    string comparison correct; values are compared raw, not parsed.
+
+    Returns {"dropped": [...], "kept": n} for the audit log.
+    """
+    import os
+    import shutil
+
+    prefix = f"{partition_col}="
+    dropped, kept = [], 0
+    for name in sorted(os.listdir(path)):
+        if not name.startswith(prefix):
+            continue
+        value = name[len(prefix):]
+        if value < cutoff:
+            shutil.rmtree(os.path.join(path, name))
+            dropped.append(value)
+        else:
+            kept += 1
+    return {"dropped": dropped, "kept": kept}

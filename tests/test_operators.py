@@ -423,3 +423,34 @@ def test_compact_small_files(spark, tmp_path):
     )
     assert stats2["files_after"] >= 2
     assert spark.read.parquet(dest).count() == before
+
+
+def test_drop_partitions_before(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.operators.layout import (
+        drop_partitions_before,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dest = str(tmp_path / "events_part")
+    e.withColumn("event_date", F.to_date("ts").cast("string")).write.partitionBy(
+        "event_date"
+    ).parquet(dest)
+
+    # partition discovery re-infers the column as DATE; compare as strings
+    dates = sorted(
+        str(r.event_date)
+        for r in spark.read.parquet(dest).select("event_date").distinct().collect()
+    )
+    assert len(dates) > 2
+    cutoff = dates[len(dates) // 2]
+
+    stats = drop_partitions_before(dest, "event_date", cutoff)
+    assert stats["dropped"] == [d for d in dates if d < cutoff]
+
+    back = spark.read.parquet(dest)
+    remaining = {str(r.event_date) for r in back.select("event_date").distinct().collect()}
+    assert remaining == {d for d in dates if d >= cutoff}
+    expected = e.filter(F.to_date("ts").cast("string") >= cutoff).count()
+    assert back.count() == expected

@@ -144,3 +144,34 @@ def test_duplicate_product_date_pairs_warn(spark, tmp_path):
     chk = [r for r in result.dq_results if r.check == "dup_product_id_date"][0]
     assert not chk.passed and chk.observed == 1  # one duplicated group
     assert chk.severity == dq.Severity.WARNING
+
+
+def test_aggregate_routing_matches_direct(spark):
+    """A monthly query answered FROM the daily rollup must equal the same
+    query computed directly over the facts — the summary-table contract
+    (additive measures only; avg finalized from sum/count)."""
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.plans import aggregates
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    daily = aggregates.build_daily_rollup(e)
+    routed = aggregates.rollup_to_monthly(daily)
+
+    direct = (
+        e.withColumn("month", F.date_trunc("month", F.col("ts").cast("date")).cast("date"))
+        .groupBy("month", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
+        .withColumn(
+            "value_avg",
+            F.round((F.col("value_sum") / F.col("n_events")).cast("double"), 4),
+        )
+    )
+    got = sorted(map(tuple, routed.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want
