@@ -5584,6 +5584,43 @@ def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MONTHLY_ROLLUP_ORACLE = """
+SELECT CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum,
+       MIN(value) AS value_min,
+       MAX(value) AS value_max,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*), 4) AS value_avg
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("monthly_event_rollup", _MONTHLY_ROLLUP_ORACLE)
+def monthly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly rollup answered THROUGH the daily aggregate table
+    (plans/aggregates): facts fold once into the daily additive rollup,
+    the month re-merges O(days x keys) rows. The oracle computes the
+    month DIRECTLY from raw events — hash equality proves the
+    summary-table routing loses nothing (avg finalized from sum/count,
+    never averaged averages)."""
+    from etl_bigquery_pipeline_spark.plans import aggregates
+
+    e = _t(spark, sf_dir, "events")
+    daily = aggregates.build_daily_rollup(e)
+    m = aggregates.rollup_to_monthly(daily)
+    return m.select(
+        "month",
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("value_sum").cast("double").alias("value_sum"),
+        "value_min",
+        "value_max",
+        "value_avg",
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
