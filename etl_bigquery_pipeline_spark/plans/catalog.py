@@ -5621,6 +5621,76 @@ def monthly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LIFT_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+sup AS (SELECT l_partkey, COUNT(*) AS s FROM li GROUP BY l_partkey),
+p AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 3)
+SELECT part_a, part_b, CAST(ab AS BIGINT) AS n_together,
+       round(ab * CAST(n_orders AS DOUBLE) / (sa.s * sb.s), 4) AS lift
+FROM p
+JOIN sup sa ON p.part_a = sa.l_partkey
+JOIN sup sb ON p.part_b = sb.l_partkey, n
+ORDER BY lift DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@query("copurchase_lift_top20", _LIFT_ORACLE)
+def copurchase_lift_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association LIFT, not just support: P(a,b)/(P(a)P(b)) over
+    co-ordered part pairs with a minimum-support floor (lift on 1-2
+    baskets is noise). Support counts broadcast back onto the pair
+    frame; top-20 via TakeOrdered with deterministic tie-break. The
+    floor is also what bounds the pair frame the lift join touches."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    sup = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("ab"))
+        .filter(F.col("ab") >= 3)
+    )
+    sa = sup.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("sa"))
+    sb = sup.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("ab").cast("bigint").alias("n_together"),
+            F.round(
+                F.col("ab")
+                * F.col("n_orders").cast("double")
+                / (F.col("sa") * F.col("sb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================

@@ -131,3 +131,25 @@ def test_parallel_packing_fill_rate(spark, sf_dir):
     assert all(r.tok < 512 + r.mx for r in stats)
     # docs are never split/lost
     assert out.count() == d.count()
+
+
+def test_weighted_sample_deterministic_and_monotone(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.operators import sampling
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.least(F.lit(1.0), F.col("n_chars") / 300.0)
+    a = {r.doc_id for r in sampling.weighted_sample(d, w, "doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in sampling.weighted_sample(d.repartition(9), w, "doc_id").collect()
+    }
+    assert a == b  # pure function of the key, any partitioning
+    # weight 1 keeps everything, weight 0 nothing
+    assert sampling.weighted_sample(d, F.lit(1.0), "doc_id").count() == d.count()
+    assert sampling.weighted_sample(d, F.lit(0.0), "doc_id").count() == 0
+    # monotone: a uniformly higher weight can only ADD rows
+    half = {r.doc_id for r in sampling.weighted_sample(d, F.lit(0.4), "doc_id").collect()}
+    more = {r.doc_id for r in sampling.weighted_sample(d, F.lit(0.8), "doc_id").collect()}
+    assert half <= more
