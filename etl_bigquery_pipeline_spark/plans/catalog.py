@@ -5691,6 +5691,76 @@ def copurchase_lift_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONCURRENCY_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
+                 THEN 1 ELSE 0 END AS brk
+  FROM e),
+g AS (
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM f),
+s AS (
+  SELECT user_id, session_seq, MIN(ts) AS st, MAX(ts) AS en
+  FROM g GROUP BY user_id, session_seq),
+pts AS (
+  SELECT CAST(st AS DATE) AS day, st AS t, 1 AS delta, 0 AS tie FROM s
+  UNION ALL
+  SELECT CAST(st AS DATE) AS day, en AS t, -1 AS delta, 1 AS tie FROM s),
+run AS (
+  SELECT day,
+         SUM(delta) OVER (PARTITION BY day ORDER BY t, tie, delta
+                          ROWS UNBOUNDED PRECEDING) AS live
+  FROM pts)
+SELECT day, CAST(MAX(live) AS BIGINT) AS peak_concurrent
+FROM run GROUP BY day
+"""
+
+
+@query("peak_concurrent_sessions", _CONCURRENCY_ORACLE)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line algorithm as
+    DataFrame algebra: session intervals become +1/-1 boundary events, a
+    running sum ordered by time is the live-session count, its max per
+    day the capacity answer. The sweep is PARTITIONED BY DAY (sessions
+    keyed to their start day; midnight-crossers count toward the start
+    day — documented clipping), so no global ordering ever materializes.
+    Ends sort after coincident starts (tie column) so a session touching
+    a point still counts at it."""
+    e = _t(spark, sf_dir, "events")
+    s = sessionize.session_stats(
+        e, user_col="user_id", ts_col="ts", gap_minutes=30,
+        value_col="value", order_cols=("event_id",),
+        keep_bounds=True,
+    )
+    starts = s.select(
+        F.col("session_start").cast("date").alias("day"),
+        F.col("session_start").alias("t"),
+        F.lit(1).alias("delta"),
+        F.lit(0).alias("tie"),
+    )
+    ends = s.select(
+        F.col("session_start").cast("date").alias("day"),
+        F.col("session_end").alias("t"),
+        F.lit(-1).alias("delta"),
+        F.lit(1).alias("tie"),
+    )
+    pts = starts.unionAll(ends)
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "tie", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("day", F.sum("delta").over(w).alias("live"))
+    return run.groupBy("day").agg(
+        F.max("live").cast("bigint").alias("peak_concurrent")
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
