@@ -69,3 +69,71 @@ def test_long_coercion_never_raises(spark, vals):
         except ValueError:
             expect = None
         assert row.x == expect
+
+
+@SLOW
+@given(
+    frac=st.floats(min_value=0.0, max_value=1.0),
+    ids=st.lists(st.integers(min_value=0, max_value=10_000),
+                 min_size=1, max_size=30, unique=True),
+)
+def test_weighted_sample_subset_of_higher_weight(spark, frac, ids):
+    """For any keys and any weight w, sample(w) ⊆ sample(min(1, w+0.3)) —
+    deterministic md5 thresholds are monotone in the weight."""
+    import pyspark.sql.functions as F
+
+    from etl_bigquery_pipeline_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in ids], ["k"])
+    lo = {r.k for r in sampling.weighted_sample(df, F.lit(frac), "k").collect()}
+    hi_frac = min(1.0, frac + 0.3)
+    hi = {r.k for r in sampling.weighted_sample(df, F.lit(hi_frac), "k").collect()}
+    assert lo <= hi
+
+
+@SLOW
+@given(ws=words)
+def test_containment_bounds_jaccard(spark, ws):
+    """For any two shingle sets A, B: jaccard(A,B) <= containment(A in B)
+    — the asymmetric measure can only be more permissive."""
+    import pyspark.sql.functions as F
+
+    from etl_bigquery_pipeline_spark.functions.text import shingles
+    from etl_bigquery_pipeline_spark.operators.dedup import jaccard
+
+    a = " ".join(ws)
+    b = " ".join(ws[: max(1, len(ws) // 2)]) + " zzz qqq www"
+    df = spark.createDataFrame([(a, b)], ["ta", "tb"])
+    row = df.select(
+        jaccard(shingles("ta", 2), shingles("tb", 2)).alias("j"),
+        (
+            F.size(F.array_intersect(shingles("ta", 2), shingles("tb", 2)))
+            / F.size(shingles("ta", 2)).cast("double")
+        ).alias("c"),
+    ).first()
+    assert row.j <= row.c + 1e-12
+
+
+@SLOW
+@given(
+    counts=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=50),
+                  st.integers(min_value=1, max_value=1000)),
+        min_size=1, max_size=20, unique_by=lambda t: t[0],
+    ),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_heavy_hitters_from_counts_invariants(spark, counts, k):
+    """Shares sum to <= 1, cum_share is non-decreasing and ends at the
+    sum of the top-k shares, ranks are 1..min(k, n_keys)."""
+    from etl_bigquery_pipeline_spark.operators import skew
+
+    df = spark.createDataFrame(counts, ["key", "n"])
+    out = skew.heavy_hitters_from_counts(df, ["key"], "n", k=k).collect()
+    assert [r.rnk for r in out] == list(range(1, min(k, len(counts)) + 1))
+    ns = [r.n for r in out]
+    assert ns == sorted(ns, reverse=True)
+    assert sum(r.share for r in out) <= 1.0 + 1e-6
+    cums = [r.cum_share for r in out]
+    assert all(b >= a - 1e-9 for a, b in zip(cums, cums[1:]))
+    assert abs(cums[-1] - sum(r.share for r in out)) < 1e-4
