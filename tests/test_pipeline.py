@@ -175,3 +175,29 @@ def test_aggregate_routing_matches_direct(spark):
     got = sorted(map(tuple, routed.collect()))
     want = sorted(map(tuple, direct.collect()))
     assert got == want
+
+
+def test_example_curate_corpus_runs(spark, tmp_path):
+    """The examples/ script must run end-to-end as documentation-that-
+    executes: partitioned output per split, observed metrics consistent
+    with the written rows."""
+    import sys
+
+    sys.path.insert(0, "examples")
+    try:
+        from curate_corpus import curate
+    finally:
+        sys.path.pop(0)
+
+    out = str(tmp_path / "curated")
+    metrics = curate(spark, "/root/testdata/sf0.001", out)
+
+    back = spark.read.parquet(out)
+    assert metrics["n_rows"] == back.count()
+    assert metrics["n_null_text"] == 0
+    from pyspark.sql import functions as F
+
+    assert metrics["sum_tokens"] == back.agg(F.sum("n_tok")).first()[0]
+    assert {r.split for r in back.select("split").distinct().collect()} <= {
+        "train", "val", "test"
+    }
