@@ -4978,7 +4978,7 @@ WITH r AS (
                             ORDER BY c_acctbal DESC, c_custkey) AS rn
   FROM customer)
 SELECT c_mktsegment,
-       list(c_custkey ORDER BY rn) AS top_custkeys,
+       array_to_string(list(c_custkey ORDER BY rn), ',') AS top_custkeys,
        round(list(c_acctbal ORDER BY rn)[1], 2) AS best_acctbal
 FROM r WHERE rn <= 3
 GROUP BY c_mktsegment
@@ -4987,12 +4987,15 @@ GROUP BY c_mktsegment
 
 @query("top3_customers_nested", _TOP3_NESTED_ORACLE)
 def top3_customers_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 per group materialized as a NESTED array column (the
+    """Top-3 per group materialized as a rank-ordered list column (the
     API-response / feature-vector shape, not one row per rank):
     rank-filter then collect into rank-ordered arrays via
     array_sort(collect_list(struct)) — collect_list alone has no order
-    guarantee under parallel merge. Group count bounds the output; the
-    rank window shuffles once on the segment key."""
+    guarantee under parallel merge. The list is emitted as a
+    comma-joined string so the output schema stays atomic (the oracle
+    comparison canonicalizes via pandas, which cannot hash arrays).
+    Group count bounds the output; the rank window shuffles once on
+    the segment key."""
     c = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey")
@@ -5009,7 +5012,9 @@ def top3_customers_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         "c_mktsegment",
-        F.transform("t", lambda x: x["c_custkey"]).alias("top_custkeys"),
+        F.array_join(
+            F.transform("t", lambda x: x["c_custkey"].cast("string")), ","
+        ).alias("top_custkeys"),
         F.round(F.element_at("t", 1)["c_acctbal"], 2).alias("best_acctbal"),
     )
 

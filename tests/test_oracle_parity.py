@@ -38,3 +38,30 @@ ROWS_ONLY = {
 def test_all_queries_have_oracle_or_reason():
     missing = set(catalog.QUERIES) - set(catalog.ORACLE)
     assert missing == ROWS_ONLY, f"undocumented oracle-less queries: {missing - ROWS_ONLY}"
+
+
+def test_oracled_schemas_are_atomic(spark):
+    """The driver's canonicalizer (pandas sort_values -> factorize) cannot
+    hash array/map/struct cells; every oracled query must emit only atomic
+    leaf types (serialize lists with array_join, structs with named cols)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name in sorted(catalog.ORACLE):
+        df = catalog.QUERIES[name](spark, SF)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, f"non-atomic output columns: {offenders}"
+
+
+def test_driver_sample_order_covers_unsampled():
+    """__spark_entry__.queries() must list the never-driver-sampled set
+    first (the driver samples the first 50 registered queries per round)."""
+    import __spark_entry__ as entry
+
+    qs = list(entry.queries())
+    first50 = set(qs[:50])
+    missing = [n for n in entry._SAMPLE_FIRST if n not in first50]
+    assert not missing, f"priority queries not in first 50: {missing}"
+    assert set(entry._SAMPLE_FIRST) <= set(qs)
