@@ -1011,21 +1011,28 @@ def near_dup_candidates_from_index(
     idx = spark.table(table)
     if max_band_bucket is not None:
         idx = _drop_hot_buckets(idx, ["band", "band_key"], max_band_bucket)
-    cands = (
-        idx.alias("c")
-        .join(
-            F.broadcast(bk_b.alias("b")),
-            (F.col("c.band_key") == F.col("b.band_key"))
-            & (F.col("c.band") == F.col("b.band")),
-        )
-        .select(
-            F.col(f"b.{id_col}").alias("batch_id"),
-            F.col(f"c.{id_col}").alias("corpus_id"),
-        )
-        .distinct()
+    collisions = idx.alias("c").join(
+        F.broadcast(bk_b.alias("b")),
+        (F.col("c.band_key") == F.col("b.band_key"))
+        & (F.col("c.band") == F.col("b.band")),
     )
-    sig_c = idx.groupBy(F.col(id_col).alias("corpus_id")).agg(
-        F.first("signature").alias("__sig_c")
+    cands = collisions.select(
+        F.col(f"b.{id_col}").alias("batch_id"),
+        F.col(f"c.{id_col}").alias("corpus_id"),
+    ).distinct()
+    # The corpus signatures come from the collision rows themselves — the
+    # index is never re-scanned or shuffled whole for a probe (its
+    # signatures are duplicated x bands, so a bare groupBy(id) over the
+    # index would shuffle the full corpus on every probe). This groupBy's
+    # input is band collisions only, so per-probe work scales with
+    # collisions, not corpus size.
+    sig_c = (
+        collisions.select(
+            F.col(f"c.{id_col}").alias("corpus_id"),
+            F.col("c.signature").alias("signature"),
+        )
+        .groupBy("corpus_id")
+        .agg(F.first("signature").alias("__sig_c"))
     )
     lanes = F.aggregate(
         F.zip_with(

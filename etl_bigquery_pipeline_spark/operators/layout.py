@@ -97,7 +97,18 @@ def compact_small_files(
     Local-filesystem paths only, like every rename-based op in this repo;
     on object stores this belongs to a table format's OPTIMIZE.
 
-    Returns {"files_before", "files_after", "bytes"} for observability.
+    Hive-partitioned directories (``key=value`` subdirectories, including
+    the ``batch_id=N`` layouts the streaming sinks write) are compacted
+    PER LEAF PARTITION, in place: the layout is preserved exactly, the
+    partition columns stay path-only (never duplicated into data files),
+    and a later replayed ``batch_id=N`` overwrite still replaces exactly
+    its own directory. A directory mixing data files and partition
+    subdirectories is refused — that layout is already corrupt. Each leaf
+    is an independent rewrite job, so a scheduler can also target hot
+    partitions selectively instead of calling this on the root.
+
+    Returns {"files_before", "files_after", "bytes"} aggregated over
+    every compacted leaf.
     """
     import math
     import os
@@ -110,7 +121,37 @@ def compact_small_files(
             if f.endswith(".parquet") and not f.startswith(".")
         ]
 
+    def _hive_subdirs(p: str) -> list[str]:
+        return [
+            os.path.join(p, d)
+            for d in sorted(os.listdir(p))
+            if "=" in d
+            and not d.startswith(".")
+            and os.path.isdir(os.path.join(p, d))
+        ]
+
+    subdirs = _hive_subdirs(path)
+    if subdirs:
+        if _parts(path):
+            raise ValueError(
+                f"{path} mixes data files and partition subdirectories; "
+                "refusing to compact a corrupt layout"
+            )
+        agg = {"files_before": 0, "files_after": 0, "bytes": 0}
+        for sub in subdirs:
+            res = compact_small_files(
+                spark,
+                sub,
+                target_file_bytes=target_file_bytes,
+                order_by=order_by,
+            )
+            for k in agg:
+                agg[k] += res[k]
+        return agg
+
     before = _parts(path)
+    if not before:  # empty leaf (e.g. a fresh partition dir): nothing to do
+        return {"files_before": 0, "files_after": 0, "bytes": 0}
     total = sum(os.path.getsize(f) for f in before)
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)

@@ -22,6 +22,7 @@ import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -150,11 +151,17 @@ class ParquetWarehouse(WarehouseSink):
         table format with a transaction log this becomes a DELETE
         commit, but the semantics (and the staging-swap crash posture)
         are identical. Pair with layout.compact_small_files if purges
-        fragment the file layout."""
+        fragment the file layout.
+
+        SQL three-valued logic: a row where ``predicate`` evaluates to
+        NULL is NOT deleted — only rows where it is strictly TRUE are.
+        (``NOT (pred)`` alone would silently drop NULL-evaluating rows
+        while the removed-count query didn't count them.)"""
         target = self.read(spark, table)
-        removed = target.filter(predicate).count()
+        pred = F.coalesce(F.expr(predicate), F.lit(False))
+        removed = target.filter(pred).count()
         if removed:
-            self.rewrite(target.filter(f"NOT ({predicate})"), table)
+            self.rewrite(target.filter(~pred), table)
         return removed
 
     def rewrite(self, df: DataFrame, table: str) -> None:

@@ -82,27 +82,36 @@ def incremental_events_sink_with_dlq(
     replayable after an upstream fix. Both sides inherit the batch_id
     overwrite idempotency, so a replayed batch rewrites exactly its own
     accepted AND rejected outputs.
+
+    Validation runs BEFORE the watermark dedup and invalid rows are
+    routed AROUND it: a null-ts row would otherwise be discarded by the
+    stateful operator once the watermark advances (never reaching the
+    DLQ), and distinct null-key rows would collapse to one before
+    flagging. Consequence of bypassing the dedup: repeated invalid rows
+    appear once per arrival in the DLQ — for an audit trail that is a
+    feature, not a bug (every rejected arrival is accounted for).
     """
-    deduped = (
-        events.withWatermark(ts_col, watermark)
+    reason = (
+        F.when(
+            sum([F.col(c).isNull().cast("int") for c in key_cols]) > 0,
+            F.lit("null_key"),
+        )
+        .when(F.col(ts_col).isNull(), F.lit("null_ts"))
+        .when(F.col(value_col) < 0, F.lit("negative_value"))
+    )
+    flagged = events.withColumn("reject_reason", reason)
+    valid = (
+        flagged.filter(F.col("reject_reason").isNull())
+        .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(list(key_cols))
     )
+    invalid = flagged.filter(F.col("reject_reason").isNotNull())
+    routed = valid.unionByName(invalid)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        reason = (
-            F.when(
-                sum(
-                    [F.col(c).isNull().cast("int") for c in key_cols]
-                ) > 0,
-                F.lit("null_key"),
-            )
-            .when(F.col(ts_col).isNull(), F.lit("null_ts"))
-            .when(F.col(value_col) < 0, F.lit("negative_value"))
-        )
-        flagged = batch_df.withColumn("reject_reason", reason)
-        rejected = flagged.filter(F.col("reject_reason").isNotNull())
+        rejected = batch_df.filter(F.col("reject_reason").isNotNull())
         accepted = (
-            flagged.filter(F.col("reject_reason").isNull())
+            batch_df.filter(F.col("reject_reason").isNull())
             .drop("reject_reason")
             .withColumn("event_date", F.col(ts_col).cast("date"))
         )
@@ -116,7 +125,7 @@ def incremental_events_sink_with_dlq(
         )
 
     return (
-        deduped.writeStream.foreachBatch(write_batch)
+        routed.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -425,6 +425,67 @@ def test_compact_small_files(spark, tmp_path):
     assert spark.read.parquet(dest).count() == before
 
 
+def test_compact_small_files_hive_partitioned(spark, tmp_path):
+    """Compaction on a hive-partitioned directory (including the nested
+    batch_id=N/event_date=D layout the streaming sinks write) must
+    compact each leaf IN PLACE: layout preserved, partition columns stay
+    path-only, per-partition overwrite replay still targets its own dir."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.operators.layout import (
+        compact_small_files,
+    )
+
+    df = spark.range(200).withColumn(
+        "grp", (F.col("id") % 2).cast("string")
+    )
+    dest = str(tmp_path / "part")
+    for b in (0, 1):
+        (
+            df.repartition(4)
+            .write.mode("overwrite")
+            .partitionBy("grp")
+            .parquet(f"{dest}/batch_id={b}")
+        )
+
+    before = spark.read.parquet(dest)
+    n_before = before.count()
+    stats = compact_small_files(spark, dest, target_file_bytes=1 << 30)
+    assert stats["files_before"] == 16  # 2 batches x 2 grps x 4 files
+    assert stats["files_after"] == 4   # one per leaf partition
+    back = spark.read.parquet(dest)
+    assert back.count() == n_before
+    # partition discovery intact: batch_id/grp still come from the path
+    assert {"batch_id", "grp"} <= set(back.columns)
+    def _dirs(p):
+        return sorted(d for d in os.listdir(p) if "=" in d)
+
+    assert _dirs(dest) == ["batch_id=0", "batch_id=1"]
+    assert _dirs(f"{dest}/batch_id=0") == ["grp=0", "grp=1"]
+    # data files must NOT contain the partition columns (path-only)
+    leaf = f"{dest}/batch_id=0/grp=0"
+    raw = spark.read.parquet(
+        *[f"{leaf}/{f}" for f in os.listdir(leaf) if f.endswith(".parquet")]
+    )
+    assert "grp" not in raw.columns and "batch_id" not in raw.columns
+    # a replayed batch overwrite still lands cleanly in its own dir
+    df.limit(10).write.mode("overwrite").partitionBy("grp").parquet(
+        f"{dest}/batch_id=1"
+    )
+    assert spark.read.parquet(dest).count() == 200 + 10
+
+    # mixed data-files + partition-dirs layout is refused
+    import pytest as _pytest
+
+    mixed = str(tmp_path / "mixed")
+    df.limit(5).write.parquet(mixed)
+    df.limit(5).write.parquet(f"{mixed}/grp=9")
+    with _pytest.raises(ValueError, match="mixes data files"):
+        compact_small_files(spark, mixed)
+
+
 def test_drop_partitions_before(spark, tmp_path):
     from pyspark.sql import functions as F
 

@@ -470,3 +470,20 @@ def test_warehouse_delete_where(spark, tmp_path):
     # deleting nothing is a no-op rewrite-wise
     assert wh.delete_where(spark, "customers", "c_custkey < 0") == 0
     assert wh.read(spark, "customers").count() == total - to_remove
+
+
+def test_warehouse_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """SQL three-valued logic: rows where the predicate evaluates to NULL
+    must NOT be deleted, and removed must equal the actual row delta."""
+    from etl_bigquery_pipeline_spark.sources.sinks import ParquetWarehouse
+
+    wh = ParquetWarehouse(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, None)], "id int, v int"
+    )
+    wh.overwrite(df, "t")
+    removed = wh.delete_where(spark, "t", "v > 20")
+    back = wh.read(spark, "t")
+    assert removed == 1                      # only v=30 is strictly TRUE
+    assert back.count() == 3                 # NULL-v rows survive
+    assert back.filter("v IS NULL").count() == 2

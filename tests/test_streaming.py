@@ -701,6 +701,56 @@ def test_incremental_sink_routes_rejects_to_dlq(spark, tmp_path):
     assert bad.count() == 3  # accepted + rejected = every input row
 
 
+def test_dlq_catches_rejects_after_watermark_advance(spark, tmp_path):
+    """The DLQ guarantee must hold beyond the first micro-batch: null-ts
+    rows arriving AFTER the watermark has advanced are routed around the
+    stateful dedup (which would silently discard them), and two distinct
+    null-key rows in one batch both land in the DLQ (no pre-flag
+    collapse)."""
+    import datetime as dt
+    import shutil
+
+    from etl_bigquery_pipeline_spark.streaming import incremental
+
+    src = str(tmp_path / "wsrc")
+    out, dlq = str(tmp_path / "wok"), str(tmp_path / "wbad")
+    ckpt = str(tmp_path / "wckpt")
+
+    def run(rows, fname):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "stage"))
+        for f in __import__("glob").glob(str(tmp_path / "stage/*.parquet")):
+            shutil.copy(f, f"{src}/{fname}")
+        q = incremental.incremental_events_sink_with_dlq(
+            spark.readStream.schema(SCHEMA).parquet(src),
+            out, dlq, ckpt, watermark="1 hour",
+        )
+        q.awaitTermination()
+
+    __import__("os").makedirs(src)
+    # batch 1: clean rows; commits a watermark near 2024-06-01
+    run([(1, dt.datetime(2024, 6, 1), 1, "view", 1.0)], "b1.parquet")
+    # batch 2: all malformed — null ts (late by construction) and two
+    # DISTINCT null-key rows
+    run(
+        [
+            (2, None, 1, "view", 2.0),
+            (None, dt.datetime(2024, 6, 1, 2), 2, "view", 3.0),
+            (None, dt.datetime(2024, 6, 1, 3), 3, "click", 4.0),
+        ],
+        "b2.parquet",
+    )
+
+    bad = spark.read.parquet(dlq)
+    assert bad.count() == 3, "every malformed arrival must reach the DLQ"
+    reasons = sorted((r.reject_reason, r.value) for r in bad.collect())
+    assert reasons == [
+        ("null_key", 3.0), ("null_key", 4.0), ("null_ts", 2.0),
+    ]
+    assert spark.read.parquet(out).count() == 1
+
+
 def test_streaming_rollup_routes_to_monthly(spark, tmp_path):
     """The monthly aggregate routed through the STREAMING-maintained
     daily rollup must equal the direct batch aggregate — incremental
