@@ -89,7 +89,98 @@ BENCH_QUERIES = [
     "ewma_daily_revenue",
     "fuzzy_name_pairs",
     "distribution_drift_psi",
+    # round-4: one representative per remaining query family, so a
+    # regression in any family is visible in BENCH diffs (the rest are
+    # named in the "coverage" field)
+    "dq_report_lineitem",          # DQ/coercion tier
+    "coercion_roundtrip",
+    "grouping_sets_orders",        # relational breadth
+    "pivot_event_counts",
+    "correlated_subqueries",
+    "theta_join_price_bands",
+    "string_functions_part",       # scalar-function tier
+    "posexplode_tokens",
+    "ivf_cosine_topk",             # ANN / sketch tier
+    "pq_cosine_topk",
+    "sketch_gates",
+    "approx_distinct_orders",
+    "uniform_doc_sample",          # sampling tier
+    "capped_per_source_sample",
+    "pii_redaction",               # text/curation remainder
+    "document_chunks",
+    "simhash_near_dup_pairs",
+    "events_rolling_1h",           # temporal remainder
+    "monthly_event_rollup",
+    "stats_aggregates",            # statistical probes
+    "benford_digit_profile",
+    "column_profile_lineitem",
+    "weekly_active_users",         # product analytics
+    "pareto_abc_parts",
+    "peak_concurrent_sessions",
+    "kmeans_inertia_gate",         # iterative / vector
+    "embedding_centroids",
+    "top3_customers_nested",       # nested-output shape (r03 driver err)
 ]
+
+
+def skew_rehearsal(spark, sf_dir: str) -> dict[str, float]:
+    """The 100×-scale insurance, measured: join the events table against a
+    per-user dimension with a synthetically amplified hot key (~1/3 of all
+    rows on one user_id), broadcast DISABLED — the regime where the
+    dimension is too big to broadcast and one reducer would own the hot
+    key. Three timings: naive sort-merge (AQE skew split off), AQE skew
+    split, and the explicit salted_join. At bench scale the salted/AQE
+    paths must be >= as fast as naive; at 1000 executors naive is the one
+    that dies."""
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.operators.skew import salted_join
+    from etl_bigquery_pipeline_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    hot = F.when(F.pmod(F.hash("event_id"), 3) == 0, F.lit(0)).otherwise(
+        F.col("user_id")
+    )
+    # replicate the fact side so the hot key's partition is heavy enough
+    # to dominate a task at bench scale (the condition being rehearsed);
+    # replication count scales the experiment, not the conclusion
+    big = (
+        ev.withColumn("user_id", hot.cast(ev.schema["user_id"].dataType))
+        .withColumn("__rep", F.explode(F.sequence(F.lit(1), F.lit(12))))
+    )
+    small = (
+        ev.select("user_id").distinct()
+        .withColumn("segment", F.pmod(F.hash("user_id"), F.lit(10)))
+    )
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+        )
+    }
+    out: dict[str, float] = {}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for label, skew_on, fn in (
+            ("plain", "false", lambda: big.join(small, "user_id")),
+            ("aqe_skew", "true", lambda: big.join(small, "user_id")),
+            (
+                "salted",
+                "false",
+                lambda: salted_join(big, small, ["user_id"], buckets=16),
+            ),
+        ):
+            conf.set("spark.sql.adaptive.skewJoin.enabled", skew_on)
+            t0 = time.perf_counter()
+            fn().count()
+            out[label] = round(time.perf_counter() - t0, 3)
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    return out
 
 
 def main() -> None:
@@ -119,7 +210,10 @@ def main() -> None:
             fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    skew = skew_rehearsal(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
+    unmeasured = sorted(set(catalog.QUERIES) - set(BENCH_QUERIES))
     print(
         json.dumps(
             {
@@ -128,6 +222,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,
+                "skew_rehearsal_sec": skew,
+                "coverage": {
+                    "benched": len(BENCH_QUERIES),
+                    "catalog": len(catalog.QUERIES),
+                    "unmeasured": unmeasured,
+                },
             }
         )
     )

@@ -25,6 +25,7 @@ This module gives every such cache an owner:
 
 from __future__ import annotations
 
+import os
 import threading
 from collections import deque
 from contextlib import contextmanager
@@ -36,6 +37,17 @@ from pyspark.sql import DataFrame
 # their caches; small enough that a session invoking operators in a loop
 # plateaus instead of growing.
 MAX_LIVE_CACHES = 8
+
+# Strict mode (SPARK_GRAFT_STRICT_CACHE_SCOPE=1, used by the test suite):
+# a scoped_cache outside any cache_scope raises instead of falling back to
+# the global registry. The fallback's silent LRU eviction would otherwise
+# hide a missing cache_scope in a new code path — strict mode makes the
+# omission loud where it's cheap to be loud.
+STRICT_ENV = "SPARK_GRAFT_STRICT_CACHE_SCOPE"
+
+
+class UnscopedCacheError(RuntimeError):
+    """scoped_cache called outside a cache_scope while strict mode is on."""
 
 _lock = threading.RLock()
 _live: deque[DataFrame] = deque()
@@ -53,6 +65,13 @@ def scoped_cache(df: DataFrame) -> DataFrame:
     """``df.cache()`` with an owner: registered to the innermost active
     ``cache_scope`` (released at scope exit), or to the bounded global
     registry (oldest evicted beyond ``MAX_LIVE_CACHES``)."""
+    with _lock:
+        if not _scopes and os.environ.get(STRICT_ENV) == "1":
+            raise UnscopedCacheError(
+                "scoped_cache called outside a cache_scope with "
+                f"{STRICT_ENV}=1; wrap the consumption window in "
+                "cache_scope() so the cache has a deterministic owner"
+            )
     cached = df.cache()
     with _lock:
         if _scopes:

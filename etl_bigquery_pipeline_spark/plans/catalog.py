@@ -4895,31 +4895,53 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-bigram Shannon entropy per document — the cheap
     perplexity proxy that separates natural text (high, stable entropy)
     from boilerplate/binary junk (low) and random noise (near-maximal).
-    Bigrams materialize via transform(sequence) + explode (JVM-side, no
-    UDF); two groupBys on (doc_id, gram) then doc_id. At corpus scale the
-    shuffled rows are (id, 2 chars) pairs — bounded per document by text
-    length, never by vocabulary."""
+
+    The whole computation is row-local, so it runs ZERO-SHUFFLE: bigrams
+    materialize via transform(sequence) (JVM-side, no UDF), array_sort
+    makes equal bigrams adjacent, and one aggregate() fold walks the
+    runs accumulating sum(n*ln n), the distinct-run count, and the
+    total. Entropy follows from the identity
+    -sum(p*ln p) = ln(tot) - sum(n*ln n)/tot. A 100 TB corpus scans
+    once with no Exchange in the plan; the earlier explode + double
+    groupBy form shuffled per-doc distinct bigrams for no reason."""
     d = _t(spark, sf_dir, "documents")
-    # index-dependent substring inside the lambda needs the expr form
-    g = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(length(text) - 1, 1)),"
-                " i -> substring(text, i, 2))"
-            )
-        ).alias("bg"),
+    # a run starts when the accumulator is empty (run=0) or the sorted
+    # element differs from the previous one; <=> keeps null bigrams
+    # (null/empty text) grouped like the explode+groupBy form did
+    fold = F.expr(
+        """
+        aggregate(
+          array_sort(transform(sequence(1, greatest(length(text) - 1, 1)),
+                               i -> substring(text, i, 2))),
+          named_struct('prev', cast(null as string),
+                       'run', cast(0 as bigint),
+                       'snn', cast(0 as double),
+                       'k', cast(0 as bigint),
+                       'tot', cast(0 as bigint)),
+          (acc, x) -> IF(acc.run > 0 AND x <=> acc.prev,
+             named_struct('prev', acc.prev, 'run', acc.run + 1,
+                          'snn', acc.snn, 'k', acc.k, 'tot', acc.tot + 1),
+             named_struct('prev', x, 'run', cast(1 as bigint),
+                          'snn', acc.snn + IF(acc.run > 0,
+                                cast(acc.run as double)
+                                  * ln(cast(acc.run as double)),
+                                cast(0 as double)),
+                          'k', acc.k + 1, 'tot', acc.tot + 1)),
+          acc -> named_struct(
+             'snn', acc.snn + IF(acc.run > 0,
+                    cast(acc.run as double) * ln(cast(acc.run as double)),
+                    cast(0 as double)),
+             'k', acc.k, 'tot', acc.tot))
+        """
     )
-    c = g.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n"))
-    t = c.groupBy("doc_id").agg(F.sum("n").alias("tot"))
-    p = F.col("n") / F.col("tot").cast("double")
-    return (
-        c.join(t, "doc_id")
-        .groupBy("doc_id")
-        .agg(
-            F.round(-F.sum(p * F.log(p)), 4).alias("bigram_entropy"),
-            F.count(F.lit(1)).alias("distinct_bigrams"),
-        )
+    return d.select("doc_id", fold.alias("__e")).select(
+        "doc_id",
+        F.round(
+            F.log(F.col("__e.tot").cast("double"))
+            - F.col("__e.snn") / F.col("__e.tot").cast("double"),
+            4,
+        ).alias("bigram_entropy"),
+        F.col("__e.k").alias("distinct_bigrams"),
     )
 
 

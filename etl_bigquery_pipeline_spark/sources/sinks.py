@@ -202,8 +202,12 @@ class BigQueryWarehouse(WarehouseSink):
     Mirrors the reference's WRITE_TRUNCATE + dataset-create-if-absent
     behavior (/root/reference/dags/etl_pipeline.py:54, :209). Requires the
     connector package on the cluster classpath
-    (com.google.cloud.spark:spark-bigquery-with-dependencies); untestable in
-    this offline environment, exercised only through this narrow interface.
+    (com.google.cloud.spark:spark-bigquery-with-dependencies). The write/
+    read plumbing (mode mapping, option construction, writer assembly) is
+    format-agnostic by design: tests execute it end-to-end by subclassing
+    with ``FORMAT = "parquet"`` and path-valued options
+    (tests/test_sources.py), so only the network hop itself is untested
+    in this offline environment.
     """
 
     project: str
@@ -250,12 +254,18 @@ class BigQueryWarehouse(WarehouseSink):
                 f"expected one of {sorted(cls._DISPOSITION_TO_MODE)}"
             ) from None
 
+    def dataset_spec(self, name: str) -> dict[str, str]:
+        """The dataset reference create_namespace creates — offline-
+        assertable (id construction + location routing)."""
+        return {"id": f"{self.project}.{name}", "location": self.location}
+
     def create_namespace(self, name: str) -> None:
+        spec = self.dataset_spec(name)
         from google.cloud import bigquery  # pragma: no cover - needs network
 
         client = bigquery.Client(project=self.project)  # pragma: no cover
-        ds = bigquery.Dataset(f"{self.project}.{name}")  # pragma: no cover
-        ds.location = self.location  # pragma: no cover
+        ds = bigquery.Dataset(spec["id"])  # pragma: no cover
+        ds.location = spec["location"]  # pragma: no cover
         client.create_dataset(ds, exists_ok=True)  # pragma: no cover
 
     def overwrite(self, df: DataFrame, table: str) -> None:

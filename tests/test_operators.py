@@ -202,10 +202,13 @@ def test_quality_score_bounds(spark):
     assert 0.0 <= scores[1] < scores[0] <= 1.0
 
 
-def test_operator_caches_are_bounded_and_scoped(spark):
+def test_operator_caches_are_bounded_and_scoped(spark, monkeypatch):
     """Round-2 verdict item: operator-internal caches must have an owner.
     Repeated invocation in one session must not grow cached partitions
-    (bounded registry), and cache_scope() must release deterministically."""
+    (bounded registry), cache_scope() must release deterministically, and
+    strict mode must refuse an unscoped cache outright."""
+    import pytest
+
     from etl_bigquery_pipeline_spark.operators import caching
 
     docs = spark.createDataFrame(
@@ -216,13 +219,26 @@ def test_operator_caches_are_bounded_and_scoped(spark):
     def n_persistent() -> int:
         return len(spark.sparkContext._jsc.getPersistentRDDs())
 
-    counts = []
-    for _ in range(caching.MAX_LIVE_CACHES + 4):
-        dedup.minhash_near_dup_pairs(docs, "doc_id", "text").collect()
-        counts.append(n_persistent())
-    # plateau, not linear growth: the last iterations add nothing
-    assert counts[-1] <= caching.MAX_LIVE_CACHES
-    assert counts[-1] == counts[-2] == counts[-3]
+    # simulate an unscoped interactive session: no active cache_scope
+    # (conftest's autouse scope is parked) and strict mode off
+    monkeypatch.delenv(caching.STRICT_ENV, raising=False)
+    saved = caching._scopes[:]
+    caching._scopes.clear()
+    try:
+        counts = []
+        for _ in range(caching.MAX_LIVE_CACHES + 4):
+            dedup.minhash_near_dup_pairs(docs, "doc_id", "text").collect()
+            counts.append(n_persistent())
+        # plateau, not linear growth: the last iterations add nothing
+        assert counts[-1] <= caching.MAX_LIVE_CACHES
+        assert counts[-1] == counts[-2] == counts[-3]
+
+        # strict mode: the same unscoped call is refused loudly
+        monkeypatch.setenv(caching.STRICT_ENV, "1")
+        with pytest.raises(caching.UnscopedCacheError):
+            dedup.minhash_near_dup_pairs(docs, "doc_id", "text")
+    finally:
+        caching._scopes.extend(saved)
 
     before = n_persistent()
     with caching.cache_scope():

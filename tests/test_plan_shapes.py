@@ -248,3 +248,9 @@ def test_temporal_and_analytics_queries_plan_hash_joins(spark, sf_dir):
         plan = _plan(spark, name, sf_dir)
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_char_entropy_is_zero_shuffle(spark, sf_dir):
+    """Bigram entropy is row-local: the plan must contain no Exchange at
+    all — one scan, no shuffle, at any corpus size."""
+    assert "Exchange" not in _plan(spark, "char_entropy_quality", sf_dir)

@@ -317,6 +317,35 @@ def test_bigquery_sink_option_construction():
         wh.mode_for_disposition("WRITE_WHENEVER")
     direct = sinks.BigQueryWarehouse(project="p", dataset="d", write_method="direct")
     assert direct.write_options("t")["writeMethod"] == "direct"
+    assert wh.dataset_spec("staging") == {
+        "id": "p.staging",
+        "location": "us-central1",
+    }
+
+
+def test_bigquery_sink_write_path_executes_via_format_seam(spark, tmp_path):
+    """The writer/reader ASSEMBLY (disposition->mode, option application,
+    save/load) executes end-to-end against a local format stand-in: only
+    BigQueryWarehouse's FORMAT and the table->option mapping are swapped,
+    so overwrite()/read() run the exact production code path."""
+
+    class LocalStandIn(sinks.BigQueryWarehouse):
+        FORMAT = "parquet"
+
+        def write_options(self, table):  # path-valued option for parquet
+            return {"path": f"{self.root}/{self.table_id(table)}"}
+
+        read_options = write_options
+
+    wh = LocalStandIn(project="p", dataset="d")
+    wh.root = str(tmp_path)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    wh.overwrite(df, "t")
+    assert sorted(r.id for r in wh.read(spark, "t").collect()) == [1, 2]
+    # WRITE_TRUNCATE semantics through the real mode mapping: the second
+    # overwrite replaces, never appends
+    wh.overwrite(df.limit(1), "t")
+    assert wh.read(spark, "t").count() == 1
 
 
 def test_xlsx_stdlib_implicit_cells_and_date_styles(tmp_path):
