@@ -221,15 +221,23 @@ def decode_image(payload: bytes) -> "object":
     codec libs.
 
     Real decode paths: PPM (P6), 24-bit uncompressed BMP (bottom-up or
-    top-down, 4-byte row padding, BGR->RGB), and 8-bit non-interlaced PNG
-    (zlib is stdlib; the five scanline filters are inverted here). JPEG/
-    GIF and exotic PNG variants raise NotImplementedError naming the
-    required library — the same signature a PIL-backed decode slots into.
+    top-down, 4-byte row padding, BGR->RGB), 8-bit non-interlaced PNG
+    (zlib is stdlib; the five scanline filters are inverted here), and
+    baseline-sequential JPEG (multimodal/jpeg.py — Huffman + IDCT in
+    numpy). GIF, progressive JPEG, and exotic PNG variants raise
+    NotImplementedError naming the required library — the same signature
+    a PIL-backed decode slots into.
     """
     import numpy as np
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from etl_bigquery_pipeline_spark.multimodal.jpeg import (
+            decode_baseline_jpeg,
+        )
+
+        return decode_baseline_jpeg(payload)
     if payload[:2] == b"P6":
         w, h, maxval, off = _parse_ppm_header(payload)
         if maxval > 255:

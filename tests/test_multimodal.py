@@ -149,7 +149,15 @@ def _encode_png(arr: np.ndarray, filters: list[int]) -> bytes:
 
 def test_decode_codec_gated_formats():
     with pytest.raises(NotImplementedError, match="codec library"):
-        binary_ops.decode_image(_jpeg(4, 4))
+        binary_ops.decode_image(_gif(4, 4))
+    # progressive JPEG (SOF2) stays gated; baseline decodes for real now
+    from tests.jpeg_fixture import encode_baseline_jpeg
+
+    prog = encode_baseline_jpeg(_rng_image(8, 8)).replace(
+        b"\xff\xc0", b"\xff\xc2", 1
+    )
+    with pytest.raises(NotImplementedError, match="progressive"):
+        binary_ops.decode_image(prog)
     # 16-bit PNG: a real variant this decoder doesn't cover
     deep = _encode_png(_rng_image(2, 2), [0])
     deep = deep.replace(struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0),
@@ -266,3 +274,71 @@ def test_sample_frames_explodes_rows(spark):
     assert len(out) == 4  # 16 KiB / 4 KiB
     assert [r.frame_idx for r in sorted(out, key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
     assert all(len(r.frame) == 4096 for r in out)
+
+
+def test_jpeg_baseline_decode_matches_source():
+    """Real baseline-JPEG decode (multimodal/jpeg.py): a spec-conformant
+    encoder (tests/jpeg_fixture.py, Annex K tables) produces genuine
+    entropy-coded streams; decode must recover the source within normal
+    quantization loss for 4:4:4, 4:2:0 (odd dims), grayscale, and
+    restart-marker streams."""
+    from tests.jpeg_fixture import encode_baseline_jpeg
+
+    solid = np.full((16, 24, 3), [120, 60, 200], dtype=np.uint8)
+    yy, xx = np.mgrid[0:40, 0:56]
+    grad = np.stack(
+        [yy * 255 // 40, xx * 255 // 56, (yy + xx) * 255 // 96], axis=2
+    ).astype(np.uint8)
+
+    for ss in ("444", "420"):
+        out = binary_ops.decode_image(encode_baseline_jpeg(solid, subsampling=ss))
+        assert out.shape == solid.shape
+        assert np.abs(out.astype(int) - solid.astype(int)).max() <= 2
+
+        out = binary_ops.decode_image(encode_baseline_jpeg(grad, subsampling=ss))
+        assert out.shape == grad.shape
+        assert np.abs(out.astype(int) - grad.astype(int)).mean() < 4.0
+
+    g = (yy * 255 // 40).astype(np.uint8)
+    out = binary_ops.decode_image(encode_baseline_jpeg(g, subsampling="gray"))
+    assert out.shape == (40, 56, 3)
+    assert np.abs(out[:, :, 0].astype(int) - g).mean() < 2.0
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])  # replicated channels
+
+    # odd (non-MCU-aligned) dims + restart markers decode identically
+    odd = (_rng_image(17, 13) // 4 + 100).astype(np.uint8)
+    plain = binary_ops.decode_image(encode_baseline_jpeg(odd, subsampling="420"))
+    rst = binary_ops.decode_image(
+        encode_baseline_jpeg(odd, subsampling="420", restart_interval=1)
+    )
+    assert plain.shape == odd.shape
+    assert np.array_equal(plain, rst)
+
+
+def test_resize_images_handles_real_jpeg(spark):
+    """The formerly codec-gated path end-to-end in Spark: a real JPEG
+    payload is decoded, resampled, and re-encoded with resized=true."""
+    from tests.jpeg_fixture import encode_baseline_jpeg
+
+    img = np.full((32, 48, 3), [200, 30, 90], dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, encode_baseline_jpeg(img)), (2, _gif(4, 4))],
+        "id long, payload binary",
+    )
+    out = {r.id: r for r in binary_ops.resize_images(df, target=(8, 8)).collect()}
+    assert out[1].resized is True
+    assert (out[1].width, out[1].height) == (8, 8)
+    decoded = binary_ops.decode_image(bytes(out[1].payload))
+    assert decoded.shape == (8, 8, 3)
+    assert np.abs(decoded.astype(int) - img[0, 0].astype(int)).max() <= 2
+    # the GIF stays a pass-through with parsed source dims
+    assert out[2].resized is False and (out[2].width, out[2].height) == (4, 4)
+
+
+def test_image_meta_parses_real_jpeg(spark):
+    from tests.jpeg_fixture import encode_baseline_jpeg
+
+    payload = encode_baseline_jpeg(_rng_image(24, 36))
+    df = spark.createDataFrame([(1, payload)], "id long, payload binary")
+    meta = binary_ops.with_image_meta(df).collect()[0].meta
+    assert (meta.format, meta.width, meta.height) == ("jpeg", 36, 24)
