@@ -68,6 +68,17 @@ _SAMPLE_FIRST = [
     "ivf_recall_vs_exact",
     "lsh_recall_vs_exact",
     "ivf_cosine_topk",
+    # round-4 additions (judge-verified green at sf0.01 when written);
+    # anything past the driver's per-round budget rolls to next round
+    "lineitem_survivorship",
+    "cross_source_contamination",
+    "welch_ttest_acctbal",
+    "stratified_kfold_counts",
+    "rolling_7d_distinct_users",
+    "repeat_purchase_rate_by_segment",
+    "mom_revenue_growth",
+    "embedding_norm_outliers",
+    "minhash_estimate_error_gate",
 ]
 
 

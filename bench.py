@@ -120,6 +120,11 @@ BENCH_QUERIES = [
     "kmeans_inertia_gate",         # iterative / vector
     "embedding_centroids",
     "top3_customers_nested",       # nested-output shape (r03 driver err)
+    # round-4 tier
+    "lineitem_survivorship",
+    "cross_source_contamination",
+    "rolling_7d_distinct_users",
+    "mom_revenue_growth",
 ]
 
 

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from etl_bigquery_pipeline_spark.operators.caching import scoped_cache
 
 from etl_bigquery_pipeline_spark.functions import text as TX
+from etl_bigquery_pipeline_spark.functions.vectors import norm
 from etl_bigquery_pipeline_spark.functions.coercion import (
     exact_sum,
     to_double_or_null,
@@ -5785,6 +5786,402 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = pts.select("day", F.sum("delta").over(w).alias("live"))
     return run.groupBy("day").agg(
         F.max("live").cast("bigint").alias("peak_concurrent")
+    )
+
+
+# ===================================================================
+# Tier — round 4: survivorship, contamination matrix, inference
+# statistics, fold assignment, rolling distinct, growth series
+# ===================================================================
+
+
+_SURVIVORSHIP_ORACLE = """
+WITH r AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice, l_suppkey,
+         COUNT(*) OVER (PARTITION BY l_orderkey, l_linenumber)
+           AS n_versions,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_orderkey, l_linenumber
+           ORDER BY l_extendedprice DESC, l_shipdate ASC, l_quantity DESC,
+                    l_suppkey ASC, l_partkey ASC, l_discount ASC,
+                    l_tax ASC, l_returnflag ASC, l_linestatus ASC) AS rn
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       CAST(n_versions AS BIGINT) AS n_versions,
+       round(l_extendedprice, 2) AS surv_price,
+       l_suppkey AS surv_suppkey
+FROM r WHERE rn = 1 AND n_versions > 1
+"""
+
+
+@query("lineitem_survivorship", _SURVIVORSHIP_ORACLE)
+def lineitem_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (golden-record) resolution over the seeded duplicate
+    PKs: within each (orderkey, linenumber) group the surviving row is
+    chosen by an explicit, total ordering over every column — the MDM
+    merge rule, deterministic on any engine. One window shuffle on the
+    dup key; groups are tiny (2-3 versions), so no skew concern at any
+    scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    pk = ["l_orderkey", "l_linenumber"]
+    order = [
+        F.col("l_extendedprice").desc(), F.col("l_shipdate").asc(),
+        F.col("l_quantity").desc(), F.col("l_suppkey").asc(),
+        F.col("l_partkey").asc(), F.col("l_discount").asc(),
+        F.col("l_tax").asc(), F.col("l_returnflag").asc(),
+        F.col("l_linestatus").asc(),
+    ]
+    w = Window.partitionBy(*pk).orderBy(*order)
+    wc = Window.partitionBy(*pk)
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_versions", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("n_versions") > 1))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("n_versions").cast("bigint").alias("n_versions"),
+            F.round("l_extendedprice", 2).alias("surv_price"),
+            F.col("l_suppkey").alias("surv_suppkey"),
+        )
+    )
+
+
+_CONTAMINATION_ORACLE = """
+WITH t AS (
+  SELECT source, string_split_regex(lower(text), '\\s+') AS toks
+  FROM documents),
+g AS (
+  SELECT DISTINCT source,
+         unnest([array_to_string(list_slice(toks, i, i + 4), ' ')
+                 for i in generate_series(1, len(toks) - 4)]) AS gram
+  FROM t WHERE len(toks) >= 5)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_grams
+FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY shared_grams DESC, src_a, src_b
+LIMIT 20
+"""
+
+
+@query("cross_source_contamination", _CONTAMINATION_ORACLE)
+def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair contamination matrix: shared distinct word-5-grams
+    between every pair of sources — the check run before declaring two
+    corpus slices independent (train/eval leakage, mirrored-crawl
+    detection). Shape for scale: distinct (source, gram) FIRST (bounds
+    the join input to vocabulary, not token count), then an EQUI-join on
+    the gram — never source-pair × document cross products. Top-20 under
+    a total ordering."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.split(F.lower("text"), r"\s+").alias("t")
+    ).filter(F.size("t") >= 5)
+    grams = toks.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 4),"
+                " i -> concat_ws(' ', slice(t, i, 5)))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    a = grams.select(F.col("source").alias("src_a"), "gram")
+    b = grams.select(F.col("source").alias("src_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .orderBy(F.col("shared_grams").desc(), "src_a", "src_b")
+        .limit(20)
+    )
+
+
+_WELCH_ORACLE = """
+WITH s AS (
+  SELECT COUNT(*) FILTER (c_mktsegment = 'BUILDING') AS n_a,
+         COUNT(*) FILTER (c_mktsegment = 'MACHINERY') AS n_b,
+         AVG(c_acctbal) FILTER (c_mktsegment = 'BUILDING') AS m_a,
+         AVG(c_acctbal) FILTER (c_mktsegment = 'MACHINERY') AS m_b,
+         VAR_SAMP(c_acctbal) FILTER (c_mktsegment = 'BUILDING') AS v_a,
+         VAR_SAMP(c_acctbal) FILTER (c_mktsegment = 'MACHINERY') AS v_b
+  FROM customer)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+       round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS t_stat,
+       round(pow(v_a / n_a + v_b / n_b, 2)
+             / (pow(v_a / n_a, 2) / (n_a - 1)
+                + pow(v_b / n_b, 2) / (n_b - 1)), 2) AS dof
+FROM s
+"""
+
+
+@query("welch_ttest_acctbal", _WELCH_ORACLE)
+def welch_ttest_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two customer segments'
+    account balances — the A/B significance primitive, computed in ONE
+    scan with conditional aggregates (no per-side subqueries, no
+    self-join) and Welch–Satterthwaite degrees of freedom."""
+    c = _t(spark, sf_dir, "customer")
+    a = F.col("c_mktsegment") == "BUILDING"
+    b = F.col("c_mktsegment") == "MACHINERY"
+    bal = F.col("c_acctbal")
+    s = c.agg(
+        F.count(F.when(a, 1)).alias("n_a"),
+        F.count(F.when(b, 1)).alias("n_b"),
+        F.avg(F.when(a, bal)).alias("m_a"),
+        F.avg(F.when(b, bal)).alias("m_b"),
+        F.var_samp(F.when(a, bal)).alias("v_a"),
+        F.var_samp(F.when(b, bal)).alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    dof = F.pow(se2, 2) / (
+        F.pow(F.col("v_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+        + F.pow(F.col("v_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+    )
+    return s.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round("m_a", 4).alias("mean_a"),
+        F.round("m_b", 4).alias("mean_b"),
+        F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(dof, 2).alias("dof"),
+    )
+
+
+_KFOLD_ORACLE = f"""
+WITH b AS (
+  SELECT source,
+         substring(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+  FROM documents),
+f AS (SELECT source, ({_hex8_to_int('h')}) % 5 AS fold FROM b)
+SELECT source, CAST(fold AS BIGINT) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM f GROUP BY source, fold
+"""
+
+
+@query("stratified_kfold_counts", _KFOLD_ORACLE)
+def stratified_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified k-fold assignment: fold = md5 of a salted
+    id, mod k — content-addressed like every split in this engine, so
+    assignment is reproducible on any cluster, any partitioning, and
+    stable under corpus growth (a new doc never moves an old one). One
+    narrow projection + one grouped count."""
+    d = _t(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % 5
+    )
+    return (
+        d.select("source", fold.alias("fold"))
+        .groupBy("source", "fold")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_ROLLING_7D_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS users_7d
+FROM days d
+JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+"""
+
+
+@query("rolling_7d_distinct_users", _ROLLING_7D_ORACLE)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day (the WAU-style engagement
+    series). COUNT(DISTINCT) cannot ride a sliding window frame, so the
+    scale shape is: collapse to distinct (day, user) FIRST (bounds
+    everything after to active-user-days), then a range join against the
+    distinct day list (calendar-bounded, broadcastable) and one grouped
+    distinct count."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    return (
+        du.alias("u")
+        .join(
+            F.broadcast(days.alias("d")),
+            (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("users_7d"))
+    )
+
+
+_REPEAT_RATE_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN o.n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       round(SUM(CASE WHEN o.n_orders >= 2 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS repeat_rate
+FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("repeat_purchase_rate_by_segment", _REPEAT_RATE_ORACLE)
+def repeat_purchase_rate_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repeat-purchase rate per segment: aggregate the fact table to
+    per-customer order counts BEFORE touching the dimension (the shuffle
+    is then bounded by customers, not orders), broadcast-join the
+    dimension, one grouped rate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    rep = (F.col("n_orders") >= 2).cast("int")
+    return (
+        per_cust.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(rep).cast("bigint").alias("n_repeat"),
+            F.round(
+                F.sum(rep) / F.count(F.lit(1)).cast("double"), 4
+            ).alias("repeat_rate"),
+        )
+    )
+
+
+_MOM_GROWTH_ORACLE = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         SUM(o_totalprice) AS revenue
+  FROM orders GROUP BY 1)
+SELECT CAST(month AS DATE) AS month,
+       round(revenue, 2) AS revenue,
+       round((revenue - LAG(revenue) OVER (ORDER BY month))
+             / LAG(revenue) OVER (ORDER BY month) * 100, 4) AS mom_pct
+FROM m
+"""
+
+
+@query("mom_revenue_growth", _MOM_GROWTH_ORACLE)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: the grouped aggregate does the
+    only data-sized shuffle; the LAG window then runs over one row per
+    calendar month — bounded by the calendar at any raw scale, the same
+    argument as ewma_daily_revenue."""
+    o = _t(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("mts"))
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.orderBy("mts")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        F.col("mts").cast("date").alias("month"),
+        F.round("revenue", 2).alias("revenue"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("mom_pct"),
+    )
+
+
+_NORM_OUTLIER_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id,
+         sqrt(list_sum([CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE)
+                        for i in generate_series(1, {_DIM})])) AS nrm
+  FROM embeddings),
+s AS (SELECT AVG(nrm) AS mu, STDDEV_SAMP(nrm) AS sigma FROM n)
+SELECT vec_id, round(nrm, 6) AS norm,
+       round((nrm - mu) / sigma, 4) AS z
+FROM n, s
+ORDER BY abs((nrm - mu) / sigma) DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("embedding_norm_outliers", _NORM_OUTLIER_ORACLE)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding sanity screen: top-10 vectors by |z| of their L2 norm —
+    the cheap catch for broken encoder batches (zeroed rows, exploding
+    activations) before vectors reach an index. Norms are one narrow
+    no-shuffle projection; mean/std is a 1-row broadcast aggregate; the
+    top-10 is TakeOrdered, never a global sort."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.select("vec_id", norm("embedding").alias("nrm"))
+    s = n.agg(
+        F.avg("nrm").alias("mu"), F.stddev_samp("nrm").alias("sigma")
+    )
+    z = (F.col("nrm") - F.col("mu")) / F.col("sigma")
+    return (
+        n.crossJoin(F.broadcast(s))
+        .select(
+            "vec_id",
+            F.round("nrm", 6).alias("norm"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy(F.abs(F.col("z")).desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query("minhash_estimate_error_gate", "SELECT true AS est_ok")
+def minhash_estimate_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality gate for the MinHash estimator itself: over the
+    blocked exact-Jaccard pair set, the signature lane-agreement estimate
+    (matching lanes / num_hashes, 32 hashes) must track exact Jaccard
+    within 0.2 mean absolute error. Complements the LSH recall gates —
+    those bound *candidate recall*, this bounds the *estimator* the
+    incremental probes return. Oracle is the constant-true contract; the
+    measured error feeds the boolean."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.2
+    ).select("id_a", "id_b", "jaccard_sim")
+    sigs = dedup.minhash_signatures(
+        d, "doc_id", "text", num_hashes=32, shingle_n=3
+    )
+    est = F.aggregate(
+        F.zip_with(
+            "__sig_a", "__sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(32.0)
+    joined = (
+        pairs.join(
+            sigs.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("signature").alias("__sig_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("signature").alias("__sig_b"),
+            ),
+            "id_b",
+        )
+        .select((F.abs(est - F.col("jaccard_sim"))).alias("err"))
+    )
+    return joined.agg(
+        F.coalesce(F.avg("err") <= 0.2, F.lit(True)).alias("est_ok")
     )
 
 

@@ -57,11 +57,14 @@ def test_oracled_schemas_are_atomic(spark):
 
 def test_driver_sample_order_covers_unsampled():
     """__spark_entry__.queries() must list the never-driver-sampled set
-    first (the driver samples the first 50 registered queries per round)."""
+    first (the driver samples the first ~50 registered queries per
+    round): the 43 queries with no green row through r03 must sit inside
+    the first 50; round-4 additions follow immediately after."""
     import __spark_entry__ as entry
 
     qs = list(entry.queries())
-    first50 = set(qs[:50])
-    missing = [n for n in entry._SAMPLE_FIRST if n not in first50]
-    assert not missing, f"priority queries not in first 50: {missing}"
+    assert qs[: len(entry._SAMPLE_FIRST)] == entry._SAMPLE_FIRST
+    pre_r4 = entry._SAMPLE_FIRST.index("lineitem_survivorship")
+    assert pre_r4 == 43, "the r01-r03 unsampled set must stay first"
+    assert set(entry._SAMPLE_FIRST[:pre_r4]) <= set(qs[:50])
     assert set(entry._SAMPLE_FIRST) <= set(qs)
