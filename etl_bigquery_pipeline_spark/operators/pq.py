@@ -69,24 +69,38 @@ def train_pq(
     return books
 
 
-def _sub_code(vec_col, codebook: list[list[float]], j: int, sub: int):
+def _dbl(x: float) -> str:
+    """A SQL double literal that round-trips exactly (string cast)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _sub_code(vec_col_name: str, codebook: list[list[float]], j: int, sub: int):
     """Index of the L2-nearest centroid for subspace ``j`` (argmin of
-    |v-c|^2 == argmax of 2<v,c> - |c|^2; ties -> lowest index)."""
-    v = F.slice(vec_col, j * sub + 1, sub)
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    2.0 * dot(v, F.array(*[F.lit(float(x)) for x in c]))
-                    - F.lit(float(sum(x * x for x in c)))
-                ).alias("s"),
-                F.lit(-i).alias("ni"),  # max-sort: higher s, then lower i
-                F.lit(i).alias("i"),
-            )
-            for i, c in enumerate(codebook)
-        ]
+    |v-c|^2 == argmax of 2<v,c> - |c|^2; ties -> lowest index).
+
+    Built as ONE SQL transform over a literal 2-D centroid array rather
+    than k separate python-composed dot trees: the expression tree is
+    O(1) in k, which keeps plan construction/analysis flat as codebooks
+    grow (k=256 is the standard PQ setting at scale)."""
+    cb = "array(" + ",".join(
+        "array(" + ",".join(_dbl(x) for x in c) + ")" for c in codebook
+    ) + ")"
+    n2 = "array(" + ",".join(
+        _dbl(sum(x * x for x in c)) for c in codebook
+    ) + ")"
+    return F.expr(
+        f"""
+        array_max(transform(sequence(0, {len(codebook) - 1}), i -> struct(
+          CAST(2 AS DOUBLE) * aggregate(
+            zip_with(slice({vec_col_name}, {j * sub + 1}, {sub}),
+                     element_at({cb}, i + 1),
+                     (x, y) -> CAST(x AS DOUBLE) * y),
+            CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+          - element_at({n2}, i + 1) AS s,
+          -i AS ni,
+          i AS i))).i
+        """
     )
-    return F.array_max(scored)["i"]
 
 
 def pq_encode(
@@ -101,11 +115,10 @@ def pq_encode(
     m = len(codebooks)
     dim = m * len(codebooks[0][0])
     sub = dim // m
-    vec = F.col(vec_col)
     return corpus.select(
         F.col(id_col),
         F.array(
-            *[_sub_code(vec, codebooks[j], j, sub) for j in range(m)]
+            *[_sub_code(vec_col, codebooks[j], j, sub) for j in range(m)]
         ).alias("codes"),
         norm(vec_col).alias("vnorm"),
     )
@@ -146,47 +159,41 @@ def pq_topk(
     coded = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
 
     # the query batch is driver-small by the same policy that broadcasts
-    # it everywhere else in this module; each query becomes an (m x k)
-    # literal lookup table, and ONE scan over the codes emits every
-    # (query, approx-score) pair via explode — not one scan per query
+    # it everywhere else in this module; each query's (m x k) ADC lookup
+    # table ships as DATA on a broadcast side (never as plan literals —
+    # the plan stays O(m) however many queries arrive), and ONE scan over
+    # the codes emits every (query, approx-score) pair
     q_rows = queries.select(id_col, vec_col).collect()
-    per_query = []
+    lut_rows = []
     for r in q_rows:
         qv = np.array(list(r[1]), dtype=np.float64)
         sub = len(qv) // m
         qnorm = float(np.sqrt((qv * qv).sum())) or 1.0
         lut = [
-            F.array(
-                *[
-                    F.lit(
-                        float(
-                            np.dot(qv[j * sub : (j + 1) * sub], np.array(c))
-                        )
-                        / qnorm
-                    )
-                    for c in books[j]
-                ]
-            )
+            [
+                float(np.dot(qv[j * sub : (j + 1) * sub], np.array(c)))
+                / qnorm
+                for c in books[j]
+            ]
             for j in range(m)
         ]
-        score = sum(
-            F.element_at(lut[j], F.col("codes")[j] + 1) for j in range(m)
+        lut_rows.append((int(r[0]), lut))
+    lut_df = queries.sparkSession.createDataFrame(
+        lut_rows, "__qid bigint, __lut array<array<double>>"
+    )
+    score = sum(
+        F.element_at(
+            F.element_at("__lut", j + 1), F.col("codes")[j] + 1
         )
-        per_query.append(
-            F.struct(
-                F.lit(r[0]).cast("bigint").alias("qid"), score.alias("s")
-            )
-        )
+        for j in range(m)
+    )
     scans = (
-        coded.select(
-            F.col(id_col).alias("neighbor_id"),
-            "vnorm",
-            F.explode(F.array(*per_query)).alias("qs"),
-        )
+        coded.select(F.col(id_col).alias("neighbor_id"), "vnorm", "codes")
+        .crossJoin(F.broadcast(lut_df))
         .select(
-            F.col("qs.qid").alias(query_id_col),
+            F.col("__qid").alias(query_id_col),
             "neighbor_id",
-            F.try_divide(F.col("qs.s"), F.col("vnorm")).alias("__approx"),
+            F.try_divide(score, F.col("vnorm")).alias("__approx"),
         )
         .filter(F.col("neighbor_id") != F.col(query_id_col))
     )
