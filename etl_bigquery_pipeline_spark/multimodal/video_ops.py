@@ -4,10 +4,12 @@ Completes the multimodal matrix (images: binary_ops, audio: audio_ops).
 Codec policy is the same: CONTAINER structure parses for real — AVI via
 the identical RIFF chunk walk the WAV parser uses, MP4/MOV via an ISO
 BMFF box walk (pure struct reads: ftyp brand, mvhd timescale/duration,
-tkhd display dimensions) — while FRAME decode is gated behind a
-NotImplementedError naming the codec dependency (pyav/ffmpeg). Frame
-SAMPLING policy (which timestamps to pull) is pure arithmetic and
-therefore real; it yields (frame_idx, t_s) plans a decoder would execute.
+tkhd display dimensions). FRAME decode is REAL for motion-JPEG AVI
+(each stream chunk is a baseline JPEG — multimodal/jpeg.py decodes it
+natively); every other codec is gated behind a NotImplementedError
+naming the dependency (pyav/ffmpeg). Frame SAMPLING policy (which
+timestamps to pull) is pure arithmetic and therefore real; it yields
+(frame_idx, t_s) plans a decoder would execute.
 
 All DataFrame entry points are Arrow-batched mapInPandas, payload never
 row-at-a-time; row size is the planning unit (see
@@ -142,13 +144,112 @@ def with_video_meta(df: DataFrame, binary_col: str = "payload") -> DataFrame:
     return df.mapInPandas(scan, out_schema)
 
 
-def decode_frames(payload: bytes):
-    """Frame pixel decode requires a codec — honestly gated."""
+def _movi_chunks(payload: bytes):
+    """Yield (chunk_id, data) for every stream chunk inside the AVI
+    'movi' LIST — the same RIFF walk as the header parse, descending one
+    level deeper."""
+    n = len(payload)
+    i = 12
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"LIST":
+            ltype = payload[i + 8 : i + 12]
+            if ltype == b"movi":
+                j = i + 12
+                end = min(n, i + 8 + clen)
+                while j + 8 <= end:
+                    scid = payload[j : j + 4]
+                    (slen,) = struct.unpack("<I", payload[j + 4 : j + 8])
+                    yield scid, payload[j + 8 : j + 8 + slen]
+                    j += 8 + slen + (slen % 2)
+            i += 8 + clen + (clen % 2)
+            continue
+        i += 8 + clen + (clen % 2)
+
+
+def decode_frames(payload: bytes, *, max_frames: int | None = None):
+    """Frame pixel decode — REAL for motion-JPEG AVI (each '..dc'/'..db'
+    stream chunk is a baseline JPEG, decoded by multimodal/jpeg.py);
+    every other codec stays honestly gated behind NotImplementedError
+    naming the dependency. Returns a list of ndarray(h, w, 3) uint8."""
     container, *_ = parse_video_header(payload)
+    if container == "avi":
+        from etl_bigquery_pipeline_spark.multimodal.jpeg import (
+            decode_baseline_jpeg,
+        )
+
+        frames = []
+        for cid, data in _movi_chunks(payload):
+            if cid[2:4] in (b"dc", b"db") and data[:2] == b"\xff\xd8":
+                frames.append(decode_baseline_jpeg(data))
+                if max_frames is not None and len(frames) >= max_frames:
+                    break
+        if frames:
+            return frames
+        raise NotImplementedError(
+            "AVI stream is not motion-JPEG; other codecs require"
+            " pyav/ffmpeg (not in this environment)"
+        )
     raise NotImplementedError(
         f"{container or 'video'} frame decode requires pyav/ffmpeg (not in"
         " this environment); container metadata parses natively"
     )
+
+
+def extract_mjpeg_frames(
+    df: DataFrame,
+    id_col: str = "video_id",
+    binary_col: str = "payload",
+    *,
+    every_n: int = 1,
+    max_frames: int = 16,
+) -> DataFrame:
+    """Real frame extraction for MJPEG AVI payloads, Arrow-batched: one
+    output row per kept frame (every ``every_n``-th, up to
+    ``max_frames``), the pixels re-encoded as lossless PPM so downstream
+    image ops (resize, channel stats, features) consume them directly.
+    Non-MJPEG/undecodable payloads contribute no rows — the honest
+    behavior for a mixed corpus; route them via with_video_meta if they
+    need accounting."""
+    from etl_bigquery_pipeline_spark.multimodal.binary_ops import encode_ppm
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, payload in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    frames = decode_frames(
+                        bytes(payload), max_frames=max_frames * every_n
+                    )
+                except (NotImplementedError, ValueError, TypeError):
+                    continue
+                for k, arr in enumerate(frames[::every_n][:max_frames]):
+                    rows.append(
+                        (
+                            key,
+                            k * every_n,
+                            arr.shape[1],
+                            arr.shape[0],
+                            encode_ppm(arr),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_idx", "width", "height", "frame"],
+            )
+
+    return df.mapInPandas(do, out_schema)
 
 
 def frame_sample_plan(

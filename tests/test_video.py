@@ -87,3 +87,73 @@ def test_frame_sample_plan(spark):
         (1, 10, 1.0),
         (1, 20, 2.0),
     ]
+
+
+def _mjpeg_avi(jpegs: list[bytes], w: int, h: int, fps: int = 5) -> bytes:
+    """Minimal MJPEG AVI: avih header + a movi LIST of 00dc JPEG chunks."""
+    us_per_frame = int(1e6 / fps)
+    avih = (
+        struct.pack("<IIII", us_per_frame, 0, 0, 0)
+        + struct.pack("<IIII", len(jpegs), 0, 1, 0)
+        + struct.pack("<II", w, h)
+        + b"\x00" * 16
+    )
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    movi = b"movi" + b"".join(
+        b"00dc" + struct.pack("<I", len(j)) + j + (b"\x00" * (len(j) % 2))
+        for j in jpegs
+    )
+    body = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", len(movi)) + movi
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_mjpeg_avi_frames_decode_for_real():
+    """Motion-JPEG AVI decodes frame pixels natively now: distinct solid
+    colors per frame must come back in order within quantization loss."""
+    import numpy as np
+
+    from tests.jpeg_fixture import encode_baseline_jpeg
+
+    colors = [(200, 40, 40), (40, 200, 40), (40, 40, 200)]
+    jpegs = [
+        encode_baseline_jpeg(np.full((16, 24, 3), c, dtype=np.uint8))
+        for c in colors
+    ]
+    payload = _mjpeg_avi(jpegs, 24, 16)
+    assert video_ops.parse_video_header(payload)[0] == "avi"
+    frames = video_ops.decode_frames(payload)
+    assert len(frames) == 3
+    for arr, c in zip(frames, colors):
+        assert arr.shape == (16, 24, 3)
+        assert np.abs(arr.astype(int) - np.array(c)).max() <= 2
+    assert len(video_ops.decode_frames(payload, max_frames=2)) == 2
+    # a non-MJPEG AVI still names the dependency
+    with pytest.raises(NotImplementedError, match="pyav/ffmpeg"):
+        video_ops.decode_frames(_avi())
+
+
+def test_extract_mjpeg_frames_spark(spark):
+    """The Spark-side frame extraction: every_n sampling, PPM re-encode
+    consumable by the image ops, undecodable payloads contribute 0 rows."""
+    import numpy as np
+
+    from etl_bigquery_pipeline_spark.multimodal import binary_ops
+    from tests.jpeg_fixture import encode_baseline_jpeg
+
+    jpegs = [
+        encode_baseline_jpeg(np.full((8, 8, 3), (i * 40, 10, 10), dtype=np.uint8))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        [(1, _mjpeg_avi(jpegs, 8, 8)), (2, _avi()), (3, None)],
+        "video_id long, payload binary",
+    )
+    out = video_ops.extract_mjpeg_frames(df, every_n=2, max_frames=2).collect()
+    assert [(r.video_id, r.frame_idx) for r in out] == [(1, 0), (1, 2)]
+    first = binary_ops.decode_image(bytes(out[0].frame))
+    assert first.shape == (8, 8, 3)
+    assert abs(int(first[0, 0, 0]) - 0) <= 3  # frame 0 has red channel 0
