@@ -201,3 +201,25 @@ def test_example_curate_corpus_runs(spark, tmp_path):
     assert {r.split for r in back.select("split").distinct().collect()} <= {
         "train", "val", "test"
     }
+
+
+def test_example_multimodal_pipeline_runs(spark, tmp_path):
+    """The multimodal example end-to-end: mixed real payloads decode,
+    video frames re-enter the image path, everything decodable resizes,
+    and the near-dup stage yields a bounded candidate set."""
+    import sys
+
+    sys.path.insert(0, "examples")
+    try:
+        from multimodal_pipeline import run
+    finally:
+        sys.path.pop(0)
+
+    out = str(tmp_path / "mm")
+    stats = run(spark, out)
+    assert stats["n_payloads"] == 10
+    assert stats["n_resized"] == 10  # 8 images + 2 sampled MJPEG frames
+    assert stats["n_candidate_pairs"] >= 0
+    back = spark.read.parquet(out)
+    assert back.filter("resized").count() == 10
+    assert set(back.columns) == {"id", "payload", "width", "height", "resized"}
