@@ -84,6 +84,28 @@ def parse_wav_header(
     return "wav", sr, ch, bits, n_frames, n
 
 
+def _g711_table(*, mu: bool) -> "np.ndarray":
+    """All 256 decoded 16-bit values for G.711 mu-law or A-law — the
+    closed-form expansion from the spec (segment exponent + mantissa),
+    vectorized over the byte range."""
+    b = np.arange(256, dtype=np.uint8)
+    if mu:
+        u = (~b) & 0xFF
+        sign = (u >> 7) & 1
+        e = (u >> 4) & 7
+        m = (u & 0x0F).astype(np.int32)
+        mag = (((m << 3) + 0x84) << e) - 0x84
+        return np.where(sign == 1, -mag, mag)
+    a = b ^ 0x55
+    sign = (a >> 7) & 1
+    e = (a >> 4) & 7
+    m = (a & 0x0F).astype(np.int32)
+    mag = np.where(
+        e > 0, ((m << 4) + 0x108) << np.maximum(e - 1, 0), (m << 4) + 8
+    )
+    return np.where(sign == 1, mag, -mag)
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """(samples float32 [-1,1] of shape (frames, channels), sample_rate).
 
@@ -122,6 +144,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
     elif audio_fmt == 1 and bits == 8:
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_fmt in (6, 7) and bits == 8:
+        # G.711 A-law (6) / mu-law (7): pure table decode, verified
+        # byte-for-byte against the CPython audioop reference in tests
+        table = _g711_table(mu=audio_fmt == 7)
+        x = table[np.frombuffer(raw, dtype=np.uint8)].astype(np.float32) / 32768.0
     else:
         raise NotImplementedError(
             f"WAV audio_format={audio_fmt} bits={bits} needs an external codec"
