@@ -151,7 +151,7 @@ def skew_rehearsal(spark, sf_dir: str) -> dict[str, float]:
     # replication count scales the experiment, not the conclusion
     big = (
         ev.withColumn("user_id", hot.cast(ev.schema["user_id"].dataType))
-        .withColumn("__rep", F.explode(F.sequence(F.lit(1), F.lit(12))))
+        .withColumn("__rep", F.explode(F.sequence(F.lit(1), F.lit(48))))
     )
     small = (
         ev.select("user_id").distinct()
@@ -160,15 +160,20 @@ def skew_rehearsal(spark, sf_dir: str) -> dict[str, float]:
 
     conf = spark.conf
     saved = {
-        k: conf.get(k)
+        k: conf.get(k, None)
         for k in (
             "spark.sql.autoBroadcastJoinThreshold",
+            # AQE re-plans with its OWN broadcast threshold; leaving it
+            # default would silently turn the "sort-merge on a hot key"
+            # rehearsal into a broadcast join at runtime
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
             "spark.sql.adaptive.skewJoin.enabled",
         )
     }
     out: dict[str, float] = {}
     try:
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         for label, skew_on, fn in (
             ("plain", "false", lambda: big.join(small, "user_id")),
             ("aqe_skew", "true", lambda: big.join(small, "user_id")),
@@ -184,7 +189,10 @@ def skew_rehearsal(spark, sf_dir: str) -> dict[str, float]:
             out[label] = round(time.perf_counter() - t0, 3)
     finally:
         for k, v in saved.items():
-            conf.set(k, v)
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
     return out
 
 
