@@ -254,3 +254,34 @@ def test_char_entropy_is_zero_shuffle(spark, sf_dir):
     """Bigram entropy is row-local: the plan must contain no Exchange at
     all — one scan, no shuffle, at any corpus size."""
     assert "Exchange" not in _plan(spark, "char_entropy_quality", sf_dir)
+
+
+def test_survivorship_single_window_exchange(spark, sf_dir):
+    """Golden-record pick is one window over the dup key: exactly one
+    Exchange, no join machinery."""
+    plan = _plan(spark, "lineitem_survivorship", sf_dir)
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_contamination_joins_on_gram_not_cross(spark, sf_dir):
+    """The source-pair matrix must come from an equi-join on the gram —
+    never a cartesian/nested-loop over sources or documents."""
+    plan = _plan(spark, "cross_source_contamination", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_distinct_broadcasts_day_spine(spark, sf_dir):
+    """The trailing-7d range join must broadcast the (calendar-bounded)
+    day spine; the distinct pair set must never be the build side of a
+    nested loop."""
+    plan = _plan(spark, "rolling_7d_distinct_users", sf_dir)
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repeat_rate_broadcasts_dimension(spark, sf_dir):
+    plan = _plan(spark, "repeat_purchase_rate_by_segment", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
