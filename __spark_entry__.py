@@ -79,6 +79,8 @@ _SAMPLE_FIRST = [
     "mom_revenue_growth",
     "embedding_norm_outliers",
     "minhash_estimate_error_gate",
+    "lsh_false_positive_audit",
+    "percent_rank_price_by_brand",
 ]
 
 

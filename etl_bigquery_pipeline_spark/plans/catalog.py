@@ -6185,6 +6185,77 @@ def minhash_estimate_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_FP_ORACLE = (
+    _MINHASH_ORACLE.replace(
+        "SELECT id_a, id_b, jaccard_sim FROM scored WHERE jaccard_sim >= 0.6",
+        """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN jaccard_sim >= 0.6 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_pairs,
+       round(1.0 - SUM(CASE WHEN jaccard_sim >= 0.6 THEN 1 ELSE 0 END)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS fp_rate
+FROM scored
+""",
+    )
+)
+
+
+@query("lsh_false_positive_audit", _LSH_FP_ORACLE)
+def lsh_false_positive_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRECISION side of the LSH story (the recall gates cover the
+    other half): of all band-collision candidates, how many fail exact
+    verification? fp_rate is the fraction of verify compute wasted on
+    false candidates — the number that decides band geometry (more
+    bands/narrower rows => recall up, fp_rate up). Same banded pipeline
+    and SQL replay as minhash_near_dup_pairs; threshold=0 keeps every
+    candidate so the audit sees them all."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
+    )
+    corpus = d.unionAll(planted)
+    scored = dedup.minhash_near_dup_pairs(
+        corpus, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_n=3, threshold=0.0,
+        max_band_bucket=None,
+    )
+    true_pair = (F.col("jaccard_sim") >= 0.6).cast("int")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(true_pair).cast("bigint").alias("n_true_pairs"),
+        F.round(
+            1.0 - F.sum(true_pair) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("fp_rate"),
+    )
+
+
+_PRANK_ORACLE = """
+SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price,
+       round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       round(CUME_DIST() OVER w, 6) AS cume
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice)
+"""
+
+
+@query("percent_rank_price_by_brand", _PRANK_ORACLE)
+def percent_rank_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative price position within brand (percent_rank + cume_dist):
+    the feature-engineering normalization that survives any price drift.
+    Both window functions are rank-based, so ties resolve identically on
+    any engine and any partitioning; the one shuffle is the brand key."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.round("p_retailprice", 2).alias("price"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
