@@ -212,6 +212,12 @@ def encode_baseline_jpeg(
         cb2 = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean((1, 3))
         cr2 = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
         comps = [(1, 2, 2, 0, y), (2, 1, 1, 1, cb2), (3, 1, 1, 1, cr2)]
+    elif subsampling == "422":
+        cbp = _pad_to(cb, 1, 2)
+        crp = _pad_to(cr, 1, 2)
+        cb2 = cbp.reshape(cbp.shape[0], cbp.shape[1] // 2, 2).mean(2)
+        cr2 = crp.reshape(crp.shape[0], crp.shape[1] // 2, 2).mean(2)
+        comps = [(1, 2, 1, 0, y), (2, 1, 1, 1, cb2), (3, 1, 1, 1, cr2)]
     else:
         raise ValueError(f"unknown subsampling {subsampling!r}")
 

@@ -342,3 +342,28 @@ def test_image_meta_parses_real_jpeg(spark):
     df = spark.createDataFrame([(1, payload)], "id long, payload binary")
     meta = binary_ops.with_image_meta(df).collect()[0].meta
     assert (meta.format, meta.width, meta.height) == ("jpeg", 36, 24)
+
+
+def test_jpeg_422_and_truncation_robustness():
+    """4:2:2 chroma subsampling decodes within normal loss, and truncated
+    payloads fail FAST with a clean error at any cut point (a corrupt
+    crawl payload must never hang an executor)."""
+    from tests.jpeg_fixture import encode_baseline_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.stack(
+        [yy * 255 // 24, xx * 255 // 40, (yy + xx) * 255 // 64], axis=2
+    ).astype(np.uint8)
+    payload = encode_baseline_jpeg(img, subsampling="422")
+    out = binary_ops.decode_image(payload)
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 4.0
+
+    for frac in (0.05, 0.3, 0.6, 0.9):
+        cut = payload[: int(len(payload) * frac)]
+        try:
+            got = binary_ops.decode_image(cut)
+            # a cut inside the entropy tail can still decode (1-bit fill)
+            assert got.shape == img.shape
+        except (ValueError, NotImplementedError, IndexError, KeyError):
+            pass  # clean, typed failure — the contract
