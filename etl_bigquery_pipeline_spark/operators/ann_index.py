@@ -137,6 +137,42 @@ def build_lsh_index(
     )
 
 
+def append_to_lsh_index(
+    new_vectors: DataFrame,
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: bucket-code the new batch with the
+    PERSISTED hash parameters (a batch can never disagree with the build)
+    and insert into the bucketed table — Spark shuffles the batch into
+    the existing bucket layout, so probes see old + new vectors with no
+    rebuild and bucket pruning intact. The daily-ingest shape for ANN:
+    per-batch cost is one pass over the batch, never the corpus.
+    Id uniqueness across batches is the caller's contract, same as the
+    band index (dedup.build_band_index)."""
+    spark = new_vectors.sparkSession
+    meta = _read_meta(spark, table)
+    if meta.get("kind") != "lsh":
+        raise ValueError(
+            f"{table!r} is a {meta.get('kind')!r} index; append_to_lsh_index"
+            " maintains LSH indexes only"
+        )
+    dim, bits, seed = meta["dim"], meta["bits"], meta["seed"]
+    batch = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        norm(vec_col).alias("vnorm"),
+        hyperplane_bucket(vec_col, dim=dim, bits=bits, seed=seed).alias(
+            "bucket"
+        ),
+    )
+    # insertInto resolves columns by POSITION; select order above matches
+    # the build projection exactly
+    batch.write.insertInto(table, overwrite=False)
+
+
 def probe_lsh_index(
     spark: SparkSession,
     table: str,

