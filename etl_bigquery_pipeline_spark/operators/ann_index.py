@@ -277,6 +277,39 @@ def build_ivf_index(
     _write_meta(spark, table, {"kind": "ivf", "centroids": centroids})
 
 
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance: assign the batch to cells with the
+    PERSISTED trained centroids (never retrained — a retrain would move
+    cell boundaries and silently orphan old vectors) and insert into the
+    bucketed layout. Same contract as append_to_lsh_index: per-batch
+    cost, pruning intact, id uniqueness on the caller. If the corpus
+    drifts far from the trained centroids, rebuild — cell occupancy
+    (spark.table(t).groupBy('cell').count()) is the drift signal."""
+    spark = new_vectors.sparkSession
+    meta = _read_meta(spark, table)
+    if meta.get("kind") != "ivf":
+        raise ValueError(
+            f"{table!r} is a {meta.get('kind')!r} index; append_to_ivf_index"
+            " maintains IVF indexes only"
+        )
+    centroids = meta["centroids"]
+    batch = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        norm(vec_col).alias("vnorm"),
+        F.element_at(_nearest_centroids(vec_col, centroids, 1), 1).alias(
+            "cell"
+        ),
+    )
+    batch.write.insertInto(table, overwrite=False)
+
+
 def probe_ivf_index(
     spark: SparkSession,
     table: str,

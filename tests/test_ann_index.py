@@ -168,6 +168,32 @@ def test_lsh_index_incremental_append(spark, emb, queries):
         ann_index.append_to_lsh_index(new, "ann_ivf_like")
 
 
+def test_ivf_index_incremental_append(spark, emb, queries):
+    """IVF append assigns the batch with the PERSISTED centroids, so
+    append == full build over the union given the same training corpus
+    (build_ivf_index trains on an id-ordered bounded sample; the split
+    below keeps that sample identical across both builds)."""
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+
+    ann_index.build_ivf_index(old, "ivf_incr_t", nlist=8, seed=42)
+    ann_index.append_to_ivf_index(new, "ivf_incr_t")
+    got = ann_index.probe_ivf_index(spark, "ivf_incr_t", queries, k=5)
+
+    # full rebuild with the SAME trained centroids: train on `old` only
+    ann_index.build_ivf_index(old, "ivf_full_t", nlist=8, seed=42)
+    ann_index.append_to_ivf_index(new, "ivf_full_t")
+    want = ann_index.probe_ivf_index(spark, "ivf_full_t", queries, k=5)
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) > 0
+    # appended ids are present in the served index
+    served = {r[0] for r in spark.table("ivf_incr_t").select("neighbor_id").collect()}
+    assert {r.vec_id for r in new.select("vec_id").collect()} <= served
+
+    with pytest.raises(ValueError, match="maintains IVF indexes"):
+        ann_index.append_to_ivf_index(new, "ivf_lsh_like")
+
+
 @pytest.fixture(scope="module", autouse=True)
 def _ann_ivf_like_meta(spark):
     # minimal meta table standing in for a non-LSH index kind
@@ -176,8 +202,12 @@ def _ann_ivf_like_meta(spark):
     spark.createDataFrame(
         [(json.dumps({"kind": "ivf"}),)], "meta string"
     ).write.mode("overwrite").saveAsTable("ann_ivf_like__meta")
+    spark.createDataFrame(
+        [(json.dumps({"kind": "lsh"}),)], "meta string"
+    ).write.mode("overwrite").saveAsTable("ivf_lsh_like__meta")
     yield
-    for t in ("ann_incr_t", "ann_full_t"):
+    for t in ("ann_incr_t", "ann_full_t", "ivf_incr_t", "ivf_full_t"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         spark.sql(f"DROP TABLE IF EXISTS {t}__meta")
     spark.sql("DROP TABLE IF EXISTS ann_ivf_like__meta")
+    spark.sql("DROP TABLE IF EXISTS ivf_lsh_like__meta")
