@@ -81,6 +81,8 @@ _SAMPLE_FIRST = [
     "minhash_estimate_error_gate",
     "lsh_false_positive_audit",
     "percent_rank_price_by_brand",
+    "first_touch_attribution",
+    "sources_gini_concentration",
 ]
 
 

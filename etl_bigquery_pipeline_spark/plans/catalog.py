@@ -6256,6 +6256,107 @@ def percent_rank_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FIRST_TOUCH_ORACLE = """
+WITH f AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+p AS (
+  SELECT user_id, SUM(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT f.event_type AS first_touch,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(p.user_id) AS BIGINT) AS n_converted,
+       round(COALESCE(SUM(p.purchase_value), 0), 2) AS attributed_value
+FROM f LEFT JOIN p ON f.user_id = p.user_id
+WHERE f.rn = 1
+GROUP BY f.event_type
+"""
+
+
+@query("first_touch_attribution", _FIRST_TOUCH_ORACLE)
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each user's whole purchase value credits
+    the event type that first brought them — the marketing-channel
+    question every event pipeline answers. Two shuffles, both user-keyed
+    (the first-event window and the purchase rollup), joined user-to-user
+    before the tiny channel groupBy; no event-grain join anywhere."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_touch"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("purchase_value"))
+    )
+    return (
+        first.join(purchases, "user_id", "left")
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("purchase_value").alias("n_converted"),
+            F.round(
+                F.coalesce(F.sum("purchase_value"), F.lit(0.0)), 2
+            ).alias("attributed_value"),
+        )
+    )
+
+
+_GINI_ORACLE = """
+WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+r AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n, source) AS i,
+         COUNT(*) OVER () AS k, SUM(n) OVER () AS tot
+  FROM s)
+SELECT CAST(MAX(k) AS BIGINT) AS n_sources,
+       round(2.0 * SUM(i * n) / (MAX(k) * MAX(tot))
+             - (MAX(k) + 1.0) / MAX(k), 6) AS gini
+FROM r
+"""
+
+
+@query("sources_gini_concentration", _GINI_ORACLE)
+def sources_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of documents-per-source — the one-number answer
+    to "is this corpus dominated by a few domains?", the balance metric
+    a mixture designer watches. Computed by the rank identity
+    G = 2*sum(i*x_i)/(k*sum(x)) - (k+1)/k over the ascending-sorted
+    per-source counts. The window runs over the AGGREGATED per-source
+    frame (k rows, corpus-bounded), so the global ordering is trivially
+    cheap at any document count."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("n", "source")
+    r = s.select(
+        "n",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("k"),
+        F.sum("n").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot"),
+    )
+    return r.agg(
+        F.max("k").cast("bigint").alias("n_sources"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("n"))
+            / (F.max("k") * F.max("tot"))
+            - (F.max("k") + 1.0) / F.max("k"),
+            6,
+        ).alias("gini"),
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
