@@ -137,3 +137,42 @@ def test_heavy_hitters_from_counts_invariants(spark, counts, k):
     cums = [r.cum_share for r in out]
     assert all(b >= a - 1e-9 for a, b in zip(cums, cums[1:]))
     assert abs(cums[-1] - sum(r.share for r in out)) < 1e-4
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=33),
+    w=st.integers(min_value=1, max_value=33),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    ss=st.sampled_from(["444", "420", "422", "gray"]),
+)
+def test_jpeg_roundtrip_any_shape(h, w, seed, ss):
+    """Baseline JPEG decode must handle ANY image shape (including 1-pixel
+    and non-MCU-aligned edges) for every subsampling: correct output
+    dims, and a smoothed image recovered within quantization loss."""
+    import numpy as np
+
+    from etl_bigquery_pipeline_spark.multimodal.jpeg import (
+        decode_baseline_jpeg,
+    )
+    from tests.jpeg_fixture import encode_baseline_jpeg
+
+    rng = np.random.RandomState(seed)
+    # low-frequency content: JPEG loss stays small, so the bound is tight
+    base = rng.randint(60, 196, (1, 1, 3))
+    img = np.clip(
+        base
+        + np.arange(h)[:, None, None] * 2
+        + np.arange(w)[None, :, None],
+        0, 255,
+    ).astype(np.uint8)
+    payload = encode_baseline_jpeg(img, subsampling=ss)
+    out = decode_baseline_jpeg(payload)
+    assert out.shape == (h, w, 3)
+    if ss == "gray":
+        lum = (
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        )
+        assert np.abs(out[..., 0].astype(float) - lum).mean() < 6.0
+    else:
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < 8.0
