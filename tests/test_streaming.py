@@ -785,3 +785,61 @@ def test_streaming_rollup_routes_to_monthly(spark, tmp_path):
         for r in df.collect()
     )
     assert as_rows(routed) == as_rows(direct)
+
+
+def test_streaming_ann_index_maintenance(spark, tmp_path):
+    """The embedding feed keeps the persisted LSH index current: after
+    the stream drains, probes equal a full rebuild over base+fed vectors;
+    a replayed micro-batch (newest commit marker deleted) must NOT
+    duplicate index rows."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.operators import ann_index
+    from etl_bigquery_pipeline_spark.sources.readers import read_table
+    from etl_bigquery_pipeline_spark.streaming import ann_stream
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    feed = emb.filter(F.col("vec_id") % 4 == 0)
+    ann_index.build_lsh_index(base, "ann_stream_t", dim=64, bits=4, seed=42)
+
+    src = str(tmp_path / "vec_src")
+    feed.coalesce(1).write.mode("overwrite").parquet(src)
+    ckpt = str(tmp_path / "ann_ckpt")
+    schema = feed.schema
+    q = ann_stream.incremental_ann_sink(
+        spark.readStream.schema(schema).parquet(src), "ann_stream_t", ckpt
+    )
+    q.awaitTermination()
+
+    n_total = emb.count()
+    assert spark.table("ann_stream_t").count() == n_total
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    got = ann_index.probe_lsh_index(spark, "ann_stream_t", queries, k=5)
+    ann_index.build_lsh_index(emb, "ann_rebuild_t", dim=64, bits=4, seed=42)
+    want = ann_index.probe_lsh_index(spark, "ann_rebuild_t", queries, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # replay: delete the newest commit marker (the on-disk state after a
+    # crash between insert and commit) so the batch re-runs with the same
+    # batch_id; the sink's applied-batch marker makes it a no-op
+    newest = sorted(glob.glob(os.path.join(ckpt, "commits", "[0-9]*")))[-1]
+    os.remove(newest)
+    crc = os.path.join(
+        os.path.dirname(newest), f".{os.path.basename(newest)}.crc"
+    )
+    if os.path.exists(crc):  # local FS keeps a checksum sidecar
+        os.remove(crc)
+    q2 = ann_stream.incremental_ann_sink(
+        spark.readStream.schema(schema).parquet(src), "ann_stream_t", ckpt
+    )
+    q2.awaitTermination()
+    assert spark.table("ann_stream_t").count() == n_total, "replay duplicated rows"
+
+    for t in ("ann_stream_t", "ann_rebuild_t"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS {t}__meta")
