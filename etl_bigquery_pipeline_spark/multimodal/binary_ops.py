@@ -131,7 +131,7 @@ def _parse_ppm_header(payload: bytes) -> tuple[int, int, int, int]:
 
 
 def _decode_png(payload: bytes) -> "object":
-    """Minimal PNG decode: 8-bit gray/RGB/RGBA, non-interlaced.
+    """Minimal PNG decode: 8-bit gray/RGB/RGBA/palette, non-interlaced.
 
     PNG's compression is plain zlib (stdlib) over filtered scanlines, so
     no codec library is needed — only the five per-row filters (None/Sub/
@@ -148,6 +148,7 @@ def _decode_png(payload: bytes) -> "object":
     w = h = None
     depth = color = interlace = None
     idat = b""
+    plte = None
     pos = 8  # past signature
     n = len(payload)
     while pos + 8 <= n:
@@ -158,6 +159,8 @@ def _decode_png(payload: bytes) -> "object":
             w, h, depth, color, _, _, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -165,13 +168,15 @@ def _decode_png(payload: bytes) -> "object":
         pos += 12 + length  # length + type + data + crc
     if w is None:
         raise ValueError("no IHDR chunk")
-    if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+    if depth != 8 or color not in (0, 2, 3, 6) or interlace != 0:
         raise NotImplementedError(
             f"PNG variant not supported without a codec lib (bit_depth="
             f"{depth}, color_type={color}, interlace={interlace}) — "
-            "8-bit gray/RGB/RGBA non-interlaced decode here"
+            "8-bit gray/RGB/RGBA/palette non-interlaced decode here"
         )
-    ch = {0: 1, 2: 3, 6: 4}[color]
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG without a PLTE chunk")
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     stride = w * ch
     raw = zlib.decompress(idat)
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -209,6 +214,9 @@ def _decode_png(payload: bytes) -> "object":
         out[r] = cur
         prev = cur
     arr = out.reshape(h, w, ch)
+    if color == 3:  # indexed: one table gather resolves the palette
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        return pal[arr[:, :, 0]].copy()
     if ch == 1:
         arr = np.repeat(arr, 3, axis=2)
     elif ch == 4:

@@ -367,3 +367,31 @@ def test_jpeg_422_and_truncation_robustness():
             assert got.shape == img.shape
         except (ValueError, NotImplementedError, IndexError, KeyError):
             pass  # clean, typed failure — the contract
+
+
+def test_png_palette_decode():
+    """Indexed-color (type 3) PNG resolves through the PLTE table."""
+    import struct as _s
+    import zlib
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 128), (7, 7, 7)]
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 3, 0]], np.uint8)
+    h, w = idx.shape
+    raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(h))
+
+    def chunk(ctype, data):
+        return (
+            _s.pack(">I", len(data)) + ctype + data
+            + _s.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", b"".join(bytes(c) for c in pal))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got = binary_ops.decode_image(payload)
+    expect = np.array(pal, np.uint8)[idx]
+    assert np.array_equal(got, expect)
