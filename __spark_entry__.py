@@ -83,6 +83,8 @@ _SAMPLE_FIRST = [
     "percent_rank_price_by_brand",
     "first_touch_attribution",
     "sources_gini_concentration",
+    "dau_wau_stickiness",
+    "session_duration_histogram",
 ]
 
 

@@ -6357,6 +6357,102 @@ def sources_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STICKINESS_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du),
+wau AS (
+  SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+  FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day),
+dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day)
+SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       round(dau.dau / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+"""
+
+
+@query("dau_wau_stickiness", _STICKINESS_ORACLE)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement-quality ratio product
+    teams track. Same distinct (day, user) pair frame feeds both sides
+    (the only event-volume scan); DAU is one grouped count, WAU the
+    broadcast day-spine range join from rolling_7d_distinct_users, and
+    the final join is day-keyed (calendar-bounded)."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    wau = (
+        du.alias("u")
+        .join(
+            F.broadcast(days.alias("d")),
+            (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, "day").select(
+        "day",
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+        F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias(
+            "stickiness"
+        ),
+    )
+
+
+_SESSION_HIST_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
+                 THEN 1 ELSE 0 END AS brk
+  FROM e),
+g AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM f),
+s AS (
+  SELECT user_id, session_seq, COUNT(*) AS n_events,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 60000000.0 AS mins
+  FROM g GROUP BY user_id, session_seq)
+SELECT CAST(least(floor(mins / 5) * 5, 60) AS BIGINT) AS bucket_min,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       round(AVG(n_events), 4) AS avg_events
+FROM s GROUP BY 1
+"""
+
+
+@query("session_duration_histogram", _SESSION_HIST_ORACLE)
+def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration distribution in 5-minute buckets (capped at 60):
+    the engagement-shape histogram behind bounce/dwell analyses. Rides
+    the sessionization operator (one user-keyed shuffle); the histogram
+    itself groups a session-count-bounded frame into a constant bucket
+    space."""
+    e = _t(spark, sf_dir, "events")
+    s = sessionize.session_stats(e, gap_minutes=30)
+    mins = F.col("span_us") / 60000000.0
+    bucket = F.least(
+        F.floor(mins / 5) * 5, F.lit(60)
+    ).cast("bigint")
+    return (
+        s.select(bucket.alias("bucket_min"), "n_events")
+        .groupBy("bucket_min")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("n_events"), 4).alias("avg_events"),
+        )
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
