@@ -45,6 +45,7 @@ from etl_bigquery_pipeline_spark.operators import (
     dedup,
     layout,
     pq,
+    quality_model,
     scd,
     schema_ops,
     sessionize,
@@ -6451,6 +6452,107 @@ def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_events"), 4).alias("avg_events"),
         )
     )
+
+
+# ---- model-based quality filtering: distributed logistic regression ----
+
+_LOGREG_FEATS_CTE = """
+base AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents),
+feats AS (
+  SELECT doc_id,
+         round(ln(1 + n_chars), 6) AS x1,
+         round(ln(1 + len(toks)), 6) AS x2,
+         round(CAST(len(list_distinct(toks)) AS DOUBLE)
+               / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS x3,
+         CASE WHEN n_chars >= 150 THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS y
+  FROM base)
+"""
+
+_LOGREG_ORACLE = f"""
+WITH {_LOGREG_FEATS_CTE},
+gr1 AS (
+  SELECT round(avg(y - 0.5), 6) AS g0,
+         round(avg((y - 0.5) * x1), 6) AS g1,
+         round(avg((y - 0.5) * x2), 6) AS g2,
+         round(avg((y - 0.5) * x3), 6) AS g3
+  FROM feats),
+w1 AS (
+  SELECT 0.0 + 0.1 * g0 AS w0, 0.0 + 0.1 * g1 AS w1,
+         0.0 + 0.1 * g2 AS w2, 0.0 + 0.1 * g3 AS w3
+  FROM gr1),
+p2 AS (
+  SELECT f.doc_id, f.x1, f.x2, f.x3, f.y,
+         round(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2
+                                  + w.w3 * f.x3))), 6) AS p
+  FROM feats f CROSS JOIN w1 w),
+gr2 AS (
+  SELECT round(avg(y - p), 6) AS g0,
+         round(avg((y - p) * x1), 6) AS g1,
+         round(avg((y - p) * x2), 6) AS g2,
+         round(avg((y - p) * x3), 6) AS g3
+  FROM p2),
+w2 AS (
+  SELECT w.w0 + 0.1 * g.g0 AS w0, w.w1 + 0.1 * g.g1 AS w1,
+         w.w2 + 0.1 * g.g2 AS w2, w.w3 + 0.1 * g.g3 AS w3
+  FROM w1 w CROSS JOIN gr2 g),
+p3 AS (
+  SELECT f.doc_id, f.x1, f.x2, f.x3, f.y,
+         round(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2
+                                  + w.w3 * f.x3))), 6) AS p
+  FROM feats f CROSS JOIN w2 w),
+gr3 AS (
+  SELECT round(avg(y - p), 6) AS g0,
+         round(avg((y - p) * x1), 6) AS g1,
+         round(avg((y - p) * x2), 6) AS g2,
+         round(avg((y - p) * x3), 6) AS g3
+  FROM p3),
+w3 AS (
+  SELECT w.w0 + 0.1 * g.g0 AS w0, w.w1 + 0.1 * g.g1 AS w1,
+         w.w2 + 0.1 * g.g2 AS w2, w.w3 + 0.1 * g.g3 AS w3
+  FROM w2 w CROSS JOIN gr3 g),
+scored AS (
+  SELECT f.doc_id,
+         round(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2
+                                  + w.w3 * f.x3))), 6) AS score
+  FROM feats f CROSS JOIN w3 w)
+SELECT doc_id, score, score >= 0.5 AS pred_high_quality FROM scored
+"""
+
+
+@query("logreg_quality_scores", _LOGREG_ORACLE)
+def logreg_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (CCNet/FineWeb-style): train a logistic
+    regression on JVM-computed document features with batch gradient
+    descent (3 iterations, each ONE distributed 4-scalar aggregate —
+    the k-means bounded-driver-traffic pattern), then score every
+    document. The oracle replays the identical training trajectory as
+    unrolled CTEs; gradients are 6-decimal-rounded (absorbing merge-order
+    and libm-exp residuals) while the weight updates stay exact IEEE754,
+    so the learned weights are bit-identical and the scores hash-match. At scale:
+    per iteration one corpus scan + a 4-double reduce; feature vectors
+    never leave the executors; scoring is a stateless projection."""
+    d = _t(spark, sf_dir, "documents")
+    feats = quality_model.doc_features(d)
+    trained = quality_model.train_logreg(feats)
+    return quality_model.score_documents(feats, trained.weights)
+
+
+@query("logreg_training_gate", "SELECT true AS loss_decreasing")
+def logreg_training_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence gate for the distributed GD: the corpus log-loss must
+    strictly decrease across both updates (0-weights start at ln 2; the
+    label is learnable from x1, so a miswired gradient shows up as a
+    non-decreasing loss). One boolean row; all heavy work distributed."""
+    d = _t(spark, sf_dir, "documents")
+    feats = quality_model.doc_features(d)
+    trained = quality_model.train_logreg(feats)
+    ls = trained.losses
+    ok = all(b < a + 1e-9 for a, b in zip(ls, ls[1:])) and ls[-1] < ls[0]
+    return spark.createDataFrame([(bool(ok),)], "loss_decreasing boolean")
 
 
 # ===================================================================
