@@ -6555,6 +6555,43 @@ def logreg_training_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(bool(ok),)], "loss_decreasing boolean")
 
 
+# ---- bloom-style pre-shuffle join pruning ----
+
+_BLOOM_PRUNE_ORACLE = """
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size = 1
+GROUP BY p.p_brand
+"""
+
+
+@query("bloom_pruned_join_parity", _BLOOM_PRUNE_ORACLE)
+def bloom_pruned_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-style join pruning parity: lineitem ⋈ (parts with p_size=1)
+    through operators/join_pruning.bloom_pruned_join — the fact side is
+    pre-filtered by a broadcast semi-join against the dim's ≤2^17 hashed
+    key codes BEFORE the exact join. The oracle is the PLAIN join: a hash
+    match proves the no-false-negative property on real data. At scale
+    the prune drops never-matching fact rows before they shuffle, with a
+    ~1 MiB broadcast that is independent of dim size."""
+    from etl_bigquery_pipeline_spark.operators import join_pruning
+
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 1).select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = join_pruning.bloom_pruned_join(l, p, "l_partkey")
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        exact_sum(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        ).alias("revenue"),
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
