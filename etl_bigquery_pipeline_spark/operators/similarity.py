@@ -344,3 +344,75 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "sim", "rank")
     )
+
+
+def truncated_prefilter_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    prefix_dims: int = 16,
+    candidate_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Matryoshka-style two-stage top-k: cheap prefilter on a dimension
+    PREFIX, exact rerank on the full vector for candidates only.
+
+    Stage 1 scores cosine on ``slice(vec, 1, prefix_dims)`` — the
+    corpus-scan dot-product work drops to prefix_dims/dim of brute force —
+    and keeps ``candidate_factor * k`` candidates per query (rounded-sim
+    + neighbor-id total order, engine-reproducible). Stage 2 joins only
+    those candidate pairs back to the full vectors (candidate set is
+    query-batch-bounded, so it broadcasts; the corpus is never shuffled)
+    and reranks exactly.
+
+    Works when the embedding's leading dimensions carry most of the
+    signal — true by construction for Matryoshka-trained embeddings and
+    approximately for PCA'd ones. Fully deterministic given the inputs, so
+    the whole two-stage trajectory is SQL-replayable (see
+    truncated_dim_topk in plans/catalog.py) — unlike LSH/IVF whose quality
+    is gated statistically instead.
+    """
+    pre = F.slice(F.col(vec_col), 1, prefix_dims)
+    cand = cosine_topk(
+        corpus.select(F.col(id_col), pre.alias(vec_col)),
+        queries.select(F.col(id_col), pre.alias(vec_col)),
+        k=candidate_factor * k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        sim_decimals=sim_decimals,
+    ).select(query_id_col, "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        norm(vec_col).alias("__qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(vec_col).alias("__cnorm"),
+    )
+    sim = F.round(
+        F.try_divide(
+            dot(F.col("__qvec"), F.col("__cvec")),
+            F.col("__qnorm") * F.col("__cnorm"),
+        ),
+        sim_decimals,
+    ).alias("sim")
+    scored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), query_id_col)
+        .select(query_id_col, "neighbor_id", sim)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "sim", "rank")
+    )

@@ -6592,6 +6592,93 @@ def bloom_pruned_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- Matryoshka-style truncated-dim prefilter ANN ----
+
+
+def _cosine_sql_dims(a: str, b: str, dims: int) -> str:
+    dot_ = (
+        f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"for i in generate_series(1, {dims})])"
+    )
+    na = (
+        f"sqrt(list_sum([CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE) "
+        f"for i in generate_series(1, {dims})]))"
+    )
+    nb = (
+        f"sqrt(list_sum([CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"for i in generate_series(1, {dims})]))"
+    )
+    return f"round({dot_} / ({na} * {nb}), 6)"
+
+
+_TRUNC_PREFIX_DIMS = 16
+_TRUNC_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+s1 AS (
+  SELECT query_id, neighbor_id,
+         {_cosine_sql_dims("qv", "cv", _TRUNC_PREFIX_DIMS)} AS psim
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+r1 AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY psim DESC, neighbor_id ASC) AS prnk
+  FROM s1),
+cand AS (SELECT query_id, neighbor_id FROM r1 WHERE prnk <= 20),
+s2 AS (
+  SELECT t.query_id, t.neighbor_id, {_cosine_sql("qv", "cv")} AS sim
+  FROM cand t
+  JOIN q ON q.query_id = t.query_id
+  JOIN c ON c.neighbor_id = t.neighbor_id),
+r2 AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
+  FROM s2)
+SELECT query_id, neighbor_id, sim, rnk FROM r2 WHERE rnk <= 5
+"""
+
+
+@query("truncated_dim_topk", _TRUNC_TOPK_ORACLE)
+def truncated_dim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style reduced-dimension prefilter: stage 1 scores cosine
+    on the first 16 of 64 dims (1/4 the dot-product work per corpus row)
+    keeping 4k candidates per query; stage 2 exact-reranks only those
+    pairs on the full vector. Unlike LSH/IVF this trajectory is fully
+    deterministic, so the ORACLE REPLAYS BOTH STAGES and the result
+    hash-matches — an ANN variant with an exact correctness contract. At
+    scale: one cheap corpus scan, candidates broadcast back, corpus never
+    shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    out = similarity.truncated_prefilter_topk(
+        emb, queries_df, k=5, prefix_dims=_TRUNC_PREFIX_DIMS,
+        candidate_factor=4, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id",
+    )
+    return out.select(
+        "query_id", "neighbor_id", "sim",
+        F.col("rank").cast("bigint").alias("rnk"),
+    )
+
+
+@query("truncated_dim_recall_gate", "SELECT true AS recall_ok")
+def truncated_dim_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the 16-dim prefilter + exact-rerank top-5 against the
+    exact top-5. The synthetic embeddings spread signal evenly across
+    dims (not Matryoshka-trained), so a 16/64 prefix keeping 4k
+    candidates is a WORST-CASE input for the technique; the floor is set
+    from measurement (tests/test_similarity.py) with headroom."""
+    exact = QUERIES["similarity_topk"](spark, sf_dir)
+    approx = QUERIES["truncated_dim_topk"](spark, sf_dir)
+    return _recall_ok(
+        exact.select("query_id", "neighbor_id"),
+        approx.select("query_id", "neighbor_id"),
+        0.3,
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================

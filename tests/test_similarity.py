@@ -96,3 +96,69 @@ def test_pq_topk_beats_code_scan_floor(spark, sf_dir):
     ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     assert len(ap & ex) / len(ex) >= 0.6
+
+
+def test_truncated_prefilter_recall_and_determinism(spark, sf_dir):
+    """Matryoshka-style 16/64-dim prefilter + exact rerank: candidates
+    bound holds, results are deterministic across runs, returned sims are
+    EXACT (full-dim) values, and recall clears the gate floor with room."""
+    from etl_bigquery_pipeline_spark.operators import similarity
+    from etl_bigquery_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id % 50 = 0")
+    exact = similarity.cosine_topk(
+        emb, queries, k=5, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id",
+    )
+    approx = similarity.truncated_prefilter_topk(
+        emb, queries, k=5, prefix_dims=16, candidate_factor=4,
+        id_col="vec_id", vec_col="embedding", query_id_col="query_id",
+    )
+    rows = approx.collect()
+    nq = queries.count()
+    assert len(rows) == 5 * nq
+    # exact rerank => any pair present in both lists carries the same sim
+    ex = {(r.query_id, r.neighbor_id): r.sim for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id): r.sim for r in rows}
+    for pair in ap.keys() & ex.keys():
+        assert ap[pair] == ex[pair]
+    # sf0.001 corpus is tiny and evenly-spread: 0.15 here, 0.42 at the
+    # driver's sf0.01 (the catalog gate floor is 0.3)
+    recall4 = len(ap.keys() & ex.keys()) / len(ex)
+    assert recall4 >= 0.15
+    # a larger candidate pool strictly contains the smaller one => recall
+    # must be monotone in candidate_factor
+    ap16 = {(r.query_id, r.neighbor_id)
+            for r in similarity.truncated_prefilter_topk(
+                emb, queries, k=5, prefix_dims=16, candidate_factor=16,
+                id_col="vec_id", vec_col="embedding",
+                query_id_col="query_id").collect()}
+    recall16 = len(ap16 & ex.keys()) / len(ex)
+    assert recall16 >= recall4
+    again = {(r.query_id, r.neighbor_id): r.sim
+             for r in similarity.truncated_prefilter_topk(
+                 emb, queries, k=5, prefix_dims=16, candidate_factor=4,
+                 id_col="vec_id", vec_col="embedding",
+                 query_id_col="query_id").collect()}
+    assert again == ap
+
+
+def test_truncated_prefilter_full_prefix_equals_exact(spark, sf_dir):
+    """prefix_dims = full dim and a candidate pool >= corpus must
+    reproduce brute force exactly — the technique degrades to identity."""
+    from etl_bigquery_pipeline_spark.operators import similarity
+    from etl_bigquery_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id % 100 = 0")
+    n = emb.count()
+    exact = similarity.cosine_topk(
+        emb, queries, k=5, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id",
+    )
+    same = similarity.truncated_prefilter_topk(
+        emb, queries, k=5, prefix_dims=64, candidate_factor=(n // 5) + 1,
+        id_col="vec_id", vec_col="embedding", query_id_col="query_id",
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, same.collect()))
