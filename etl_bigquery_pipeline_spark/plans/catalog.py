@@ -6679,6 +6679,98 @@ def truncated_dim_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- distributed BPE vocabulary training ----
+
+_BPE_VOCAB_CTE = """
+__words AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                t -> t <> '')) AS word
+  FROM documents),
+__v AS (SELECT word, COUNT(*) AS wc FROM __words GROUP BY word),
+s0 AS (SELECT array_to_string(string_split_regex(word, ''), ' ') AS sym, wc
+       FROM __v)
+"""
+
+_BPE_PAIRS_FROM = (
+    "SELECT unnest([toks[i] || ' ' || toks[i+1] "
+    "for i in generate_series(1, len(toks) - 1)]) AS pair, wc "
+    "FROM (SELECT string_split(sym, ' ') AS toks, wc FROM {src})"
+)
+
+_TOP_BPE_PAIRS_ORACLE = f"""
+WITH {_BPE_VOCAB_CTE},
+pc AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+       FROM ({_BPE_PAIRS_FROM.format(src="s0")}) GROUP BY pair)
+SELECT pair, n FROM pc ORDER BY n DESC, pair ASC LIMIT 20
+"""
+
+
+@query("top_bpe_merge_pairs", _TOP_BPE_PAIRS_ORACLE)
+def top_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-0 BPE pair statistics: adjacent character-pair counts over
+    the DISTINCT-WORD table weighted by word frequency (operators/bpe).
+    The only corpus-proportional work is the word count; pair explosion
+    and aggregation are vocab-bounded — the property that makes BPE
+    training feasible at 100 TB. Integer counts: no float determinism
+    concerns."""
+    from etl_bigquery_pipeline_spark.operators import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = bpe.to_symbols(bpe.word_vocab(d))
+    return (
+        bpe.pair_counts(vocab)
+        .select("pair", F.col("n").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+def _bpe_merges_oracle(rounds: int = 3) -> str:
+    parts = [_BPE_VOCAB_CTE.strip()]
+    prev = "s0"
+    selects = []
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"pc{r} AS (SELECT pair, SUM(wc) AS n "
+            f"FROM ({_BPE_PAIRS_FROM.format(src=prev)}) GROUP BY pair)"
+        )
+        parts.append(
+            f"m{r} AS (SELECT pair, n FROM pc{r} "
+            f"ORDER BY n DESC, pair ASC LIMIT 1)"
+        )
+        parts.append(
+            f"s{r} AS (SELECT trim(replace(' ' || sym || ' ', "
+            f"' ' || m.pair || ' ', "
+            f"' ' || replace(m.pair, ' ', '') || ' ')) AS sym, wc "
+            f"FROM {prev} CROSS JOIN m{r} m)"
+        )
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS rnd, pair, "
+            f"replace(pair, ' ', '') AS merged, CAST(n AS BIGINT) AS n "
+            f"FROM m{r}"
+        )
+        prev = f"s{r}"
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("bpe_vocab_merges", _bpe_merges_oracle(3))
+def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of distributed BPE training (operators/bpe): per
+    round, vocab-bounded weighted pair counts -> argmax pair (ONE row to
+    the driver) -> merge applied as a `replace` projection. The oracle
+    replays the full trajectory as unrolled CTEs; all quantities are
+    integer counts with total-ordered argmax (count desc, pair asc), so
+    the learned merges hash-match exactly."""
+    from etl_bigquery_pipeline_spark.operators import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(d, rounds=3)
+    return spark.createDataFrame(
+        [(m["round"], m["pair"], m["merged"], m["n"]) for m in merges],
+        "rnd bigint, pair string, merged string, n bigint",
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
