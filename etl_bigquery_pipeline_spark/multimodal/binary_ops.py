@@ -130,59 +130,22 @@ def _parse_ppm_header(payload: bytes) -> tuple[int, int, int, int]:
     return tokens[0], tokens[1], tokens[2], i + 1  # +1: the single ws byte
 
 
-def _decode_png(payload: bytes) -> "object":
-    """Minimal PNG decode: 8-bit gray/RGB/RGBA/palette, non-interlaced.
-
-    PNG's compression is plain zlib (stdlib) over filtered scanlines, so
-    no codec library is needed — only the five per-row filters (None/Sub/
-    Up/Average/Paeth) have to be inverted. Up and None invert vectorized;
-    Sub/Average/Paeth are sequential in x by definition (each byte depends
-    on the reconstructed left neighbor), so those rows take a Python loop
-    — fine for the thumbnail/feature-extraction sizes this path serves.
-    Returns RGB (alpha dropped, gray replicated) for a uniform contract.
-    """
-    import zlib
-
+def _unfilter_rows(raw: bytes, start: int, rows: int, stride: int, ch: int):
+    """Invert PNG scanline filters for one (sub-)image: ``rows`` scanlines
+    of ``stride`` bytes each, starting at byte ``start`` of the inflated
+    stream (each scanline is prefixed by its filter-type byte; the Up/
+    Average/Paeth ``prev`` row starts as zeros — per the spec each
+    interlace pass filters independently). Returns (ndarray(rows, stride),
+    next offset). Up/None invert vectorized; Sub/Average/Paeth are
+    sequential in x by definition (each byte depends on the reconstructed
+    left neighbor), so those rows take a Python loop — fine for the
+    thumbnail/feature-extraction sizes this path serves."""
     import numpy as np
 
-    w = h = None
-    depth = color = interlace = None
-    idat = b""
-    plte = None
-    pos = 8  # past signature
-    n = len(payload)
-    while pos + 8 <= n:
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        if ctype == b"IHDR":
-            w, h, depth, color, _, _, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-        elif ctype == b"PLTE":
-            plte = data
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # length + type + data + crc
-    if w is None:
-        raise ValueError("no IHDR chunk")
-    if depth != 8 or color not in (0, 2, 3, 6) or interlace != 0:
-        raise NotImplementedError(
-            f"PNG variant not supported without a codec lib (bit_depth="
-            f"{depth}, color_type={color}, interlace={interlace}) — "
-            "8-bit gray/RGB/RGBA/palette non-interlaced decode here"
-        )
-    if color == 3 and plte is None:
-        raise ValueError("palette PNG without a PLTE chunk")
-    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
-    stride = w * ch
-    raw = zlib.decompress(idat)
-    out = np.zeros((h, stride), dtype=np.uint8)
+    out = np.zeros((rows, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    i = 0
-    for r in range(h):
+    i = start
+    for r in range(rows):
         ft = raw[i]
         line = np.frombuffer(raw, np.uint8, stride, i + 1).copy()
         i += 1 + stride
@@ -213,7 +176,77 @@ def _decode_png(payload: bytes) -> "object":
             raise ValueError(f"bad PNG filter type {ft}")
         out[r] = cur
         prev = cur
-    arr = out.reshape(h, w, ch)
+    return out, i
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _decode_png(payload: bytes) -> "object":
+    """Minimal PNG decode: 8-bit gray/RGB/RGBA/palette, non-interlaced or
+    Adam7-interlaced.
+
+    PNG's compression is plain zlib (stdlib) over filtered scanlines, so
+    no codec library is needed — only the five per-row filters (None/Sub/
+    Up/Average/Paeth) have to be inverted (_unfilter_rows). An Adam7
+    stream is 7 independently-filtered reduced images scattered over a
+    fixed pass grid. Returns RGB (alpha dropped, gray replicated) for a
+    uniform contract.
+    """
+    import zlib
+
+    import numpy as np
+
+    w = h = None
+    depth = color = interlace = None
+    idat = b""
+    plte = None
+    pos = 8  # past signature
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if w is None:
+        raise ValueError("no IHDR chunk")
+    if depth != 8 or color not in (0, 2, 3, 6) or interlace not in (0, 1):
+        raise NotImplementedError(
+            f"PNG variant not supported without a codec lib (bit_depth="
+            f"{depth}, color_type={color}, interlace={interlace}) — "
+            "8-bit gray/RGB/RGBA/palette, none/Adam7 interlace here"
+        )
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG without a PLTE chunk")
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    raw = zlib.decompress(idat)
+    if interlace == 0:
+        flat, _ = _unfilter_rows(raw, 0, h, w * ch, ch)
+        arr = flat.reshape(h, w, ch)
+    else:  # Adam7: 7 independently-filtered reduced images, scattered
+        arr = np.zeros((h, w, ch), dtype=np.uint8)
+        i = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue  # pass empty for this image size: no scanlines
+            sub, i = _unfilter_rows(raw, i, hp, wp * ch, ch)
+            arr[y0::dy, x0::dx, :] = sub.reshape(hp, wp, ch)
     if color == 3:  # indexed: one table gather resolves the palette
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         return pal[arr[:, :, 0]].copy()

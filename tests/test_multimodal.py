@@ -88,23 +88,13 @@ def test_extract_features_contract(spark):
     assert all(0.0 <= v <= 1.0 for v in feats[1])
 
 
-def _encode_png(arr: np.ndarray, filters: list[int]) -> bytes:
-    """Real PNG encoder for fixtures: applies the given filter type per
-    row (cycled) so the decoder's inversion of every filter is exercised.
-    Handles 2-d (gray) and 3-d (RGB/RGBA) arrays."""
-    import zlib
-
-    if arr.ndim == 2:
-        ch, color = 1, 0
-        flat = arr
-    else:
-        ch = arr.shape[2]
-        color = {3: 2, 4: 6}[ch]
-        flat = arr.reshape(arr.shape[0], -1)
-    h, stride = flat.shape
+def _filter_scanlines(flat: np.ndarray, filters: list[int], ch: int) -> bytearray:
+    """Apply the given PNG filter types (cycled per row) to one
+    (sub-)image of shape (rows, stride); prev row starts at zeros."""
+    rows, stride = flat.shape
     raw = bytearray()
     prev = np.zeros(stride, dtype=np.int32)
-    for r in range(h):
+    for r in range(rows):
         cur = flat[r].astype(np.int32)
         ft = filters[r % len(filters)]
         left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
@@ -127,6 +117,39 @@ def _encode_png(arr: np.ndarray, filters: list[int]) -> bytes:
         raw.append(ft)
         raw.extend((enc % 256).astype(np.uint8).tobytes())
         prev = cur
+    return raw
+
+
+def _encode_png(
+    arr: np.ndarray, filters: list[int], *, interlace: bool = False
+) -> bytes:
+    """Real PNG encoder for fixtures: applies the given filter type per
+    row (cycled) so the decoder's inversion of every filter is exercised.
+    Handles 2-d (gray) and 3-d (RGB/RGBA) arrays; ``interlace`` emits a
+    real Adam7 stream (7 independently-filtered reduced images)."""
+    import zlib
+
+    from etl_bigquery_pipeline_spark.multimodal.binary_ops import _ADAM7
+
+    if arr.ndim == 2:
+        ch, color = 1, 0
+        px = arr[:, :, None]
+    else:
+        ch = arr.shape[2]
+        color = {3: 2, 4: 6}[ch]
+        px = arr
+    h, w = px.shape[0], px.shape[1]
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw += _filter_scanlines(
+                sub.reshape(sub.shape[0], -1), filters, ch
+            )
+    else:
+        raw = _filter_scanlines(px.reshape(h, -1), filters, ch)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         import zlib as z
@@ -138,7 +161,9 @@ def _encode_png(arr: np.ndarray, filters: list[int]) -> bytes:
             + struct.pack(">I", z.crc32(ctype + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", flat.shape[1] // ch, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -395,3 +420,32 @@ def test_png_palette_decode():
     got = binary_ops.decode_image(payload)
     expect = np.array(pal, np.uint8)[idx]
     assert np.array_equal(got, expect)
+
+
+def test_png_adam7_roundtrip_shapes_and_filters():
+    """Adam7 deinterlace: every filter type, plus sizes that leave some
+    passes empty (w or h < pass offset) and the 1x1 degenerate case."""
+    for (h, w) in ((10, 7), (8, 8), (3, 2), (1, 1), (9, 16), (2, 9)):
+        arr = _rng_image(h, w, seed=h * 100 + w)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            payload = _encode_png(arr, filters, interlace=True)
+            got = binary_ops.decode_image(payload)
+            assert np.array_equal(got, arr), f"{h}x{w} filters={filters}"
+
+
+def test_png_adam7_matches_noninterlaced():
+    arr = _rng_image(12, 11, seed=42)
+    a = binary_ops.decode_image(_encode_png(arr, [0, 1, 2, 3, 4]))
+    b = binary_ops.decode_image(
+        _encode_png(arr, [4, 3, 2, 1, 0], interlace=True)
+    )
+    assert np.array_equal(a, b)
+
+
+def test_png_adam7_gray_and_rgba():
+    gray = np.random.RandomState(9).randint(0, 256, (7, 5), dtype=np.uint8)
+    got = binary_ops.decode_image(_encode_png(gray, [2, 4], interlace=True))
+    assert got.shape == (7, 5, 3) and np.array_equal(got[:, :, 1], gray)
+    rgba = np.random.RandomState(10).randint(0, 256, (6, 9, 4), dtype=np.uint8)
+    got = binary_ops.decode_image(_encode_png(rgba, [3, 1], interlace=True))
+    assert np.array_equal(got, rgba[:, :, :3])
