@@ -125,6 +125,12 @@ BENCH_QUERIES = [
     "cross_source_contamination",
     "rolling_7d_distinct_users",
     "mom_revenue_growth",
+    # round-4 wave 2: learned quality filter, bloom join pruning,
+    # truncated-dim ANN, distributed BPE
+    "logreg_quality_scores",
+    "bloom_pruned_join_parity",
+    "truncated_dim_topk",
+    "bpe_vocab_merges",
 ]
 
 
