@@ -121,3 +121,39 @@ def segment_words(
     for pair in merges:
         out = apply_merge(out, pair)
     return out
+
+
+def token_counts(
+    docs: DataFrame,
+    merges: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_words, n_subtokens): tokenize the corpus under a learned
+    merge list — the production inference shape: the merge chain is
+    applied ONCE to the distinct-word table (vocab-bounded), which then
+    broadcast-joins back to the exploded corpus. Corpus-side work is one
+    explode + a per-doc partial-sum aggregate; no corpus row ever passes
+    through the merge `replace` chain."""
+    vocab = segment_words(to_symbols(word_vocab(docs, text_col)), merges)
+    seg = vocab.select(
+        "word", F.size(F.split(F.col("sym"), " ")).alias("__ntok")
+    )
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    dw = docs.select(F.col(id_col), F.explode(toks).alias("word"))
+    return (
+        dw.join(F.broadcast(seg), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__ntok").alias("n_subtokens"),
+        )
+        .select(
+            id_col,
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.col("n_subtokens").cast("bigint").alias("n_subtokens"),
+        )
+    )

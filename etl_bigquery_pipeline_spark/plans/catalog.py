@@ -6725,10 +6725,17 @@ def top_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_merges_oracle(rounds: int = 3) -> str:
-    parts = [_BPE_VOCAB_CTE.strip()]
+def _bpe_chain_ctes(rounds: int = 3, *, carry_word: bool = False):
+    """CTE chain replaying ``rounds`` BPE merges; returns (ctes, last).
+    ``carry_word`` keeps the word column alongside ``sym`` so the final
+    vocab can be joined back to the corpus (tokenization replay)."""
+    word_s0 = "word, " if carry_word else ""
+    vocab_cte = _BPE_VOCAB_CTE.replace(
+        "s0 AS (SELECT array_to_string",
+        f"s0 AS (SELECT {word_s0}array_to_string",
+    )
+    parts = [vocab_cte.strip()]
     prev = "s0"
-    selects = []
     for r in range(1, rounds + 1):
         parts.append(
             f"pc{r} AS (SELECT pair, SUM(wc) AS n "
@@ -6739,18 +6746,58 @@ def _bpe_merges_oracle(rounds: int = 3) -> str:
             f"ORDER BY n DESC, pair ASC LIMIT 1)"
         )
         parts.append(
-            f"s{r} AS (SELECT trim(replace(' ' || sym || ' ', "
+            f"s{r} AS (SELECT {word_s0}trim(replace(' ' || sym || ' ', "
             f"' ' || m.pair || ' ', "
             f"' ' || replace(m.pair, ' ', '') || ' ')) AS sym, wc "
             f"FROM {prev} CROSS JOIN m{r} m)"
         )
-        selects.append(
-            f"SELECT CAST({r} AS BIGINT) AS rnd, pair, "
-            f"replace(pair, ' ', '') AS merged, CAST(n AS BIGINT) AS n "
-            f"FROM m{r}"
-        )
         prev = f"s{r}"
+    return parts, prev
+
+
+def _bpe_merges_oracle(rounds: int = 3) -> str:
+    parts, _ = _bpe_chain_ctes(rounds)
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS rnd, pair, "
+        f"replace(pair, ' ', '') AS merged, CAST(n AS BIGINT) AS n "
+        f"FROM m{r}"
+        for r in range(1, rounds + 1)
+    ]
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _bpe_token_counts_oracle(rounds: int = 3) -> str:
+    parts, last = _bpe_chain_ctes(rounds, carry_word=True)
+    parts.append(
+        f"__seg AS (SELECT word, len(string_split(sym, ' ')) AS ntok "
+        f"FROM {last})"
+    )
+    parts.append(
+        "__dw AS (SELECT doc_id, "
+        "unnest(list_filter(string_split_regex(text, '\\s+'), "
+        "t -> t <> '')) AS word FROM documents)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
+        "CAST(SUM(s.ntok) AS BIGINT) AS n_subtokens "
+        "FROM __dw d JOIN __seg s ON d.word = s.word GROUP BY d.doc_id"
+    )
+
+
+@query("bpe_token_counts", _bpe_token_counts_oracle(3))
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization under the learned BPE merges — the inference
+    shape: the 3-round merge chain applies ONCE to the distinct-word
+    table, which broadcast-joins back to the exploded corpus; per-doc
+    counts come from a partial-sum aggregate. The oracle replays training
+    AND tokenization (integer-exact). At 100 TB corpus rows never pass
+    through the merge replace chain — only the vocab does."""
+    from etl_bigquery_pipeline_spark.operators import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = [m["pair"] for m in bpe.train_bpe(d, rounds=3)]
+    return bpe.token_counts(d, merges)
 
 
 @query("bpe_vocab_merges", _bpe_merges_oracle(3))

@@ -74,3 +74,24 @@ def test_segment_words_applies_all_merges(tiny):
     assert s["low"] == "low"
     assert s["lower"] == "low er"
     assert s["newest"] == "n e w e s t"
+
+
+def test_token_counts_inference_shape(tiny):
+    # merges: "l o" then "lo w" => "low" is 1 subtoken, "lower" is 3
+    # ("low", "e", "r"), "new" stays 3 chars
+    counts = {r.doc_id: (r.n_words, r.n_subtokens)
+              for r in bpe.token_counts(tiny, ["l o", "lo w"]).collect()}
+    # doc1: low(1) low(1) lower(3) lowest(4) = 4 words, 9 subtokens
+    assert counts[1] == (4, 9)
+    # doc2: new(3) newer(5) newest(6) low(1) = 4 words, 15 subtokens
+    assert counts[2] == (4, 15)
+
+
+def test_token_counts_no_merges_equals_chars(tiny):
+    got = {r.doc_id: r.n_subtokens
+           for r in bpe.token_counts(tiny, []).collect()}
+    want = {
+        r.doc_id: sum(len(w) for w in r.text.split())
+        for r in tiny.collect()
+    }
+    assert got == want
