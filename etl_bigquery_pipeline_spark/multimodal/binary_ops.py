@@ -257,22 +257,144 @@ def _decode_png(payload: bytes) -> "object":
     return arr.copy()
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+    """GIF-flavor LZW: variable-width codes, LSB-first bit packing,
+    clear/end codes, width grows when the table reaches 2^width (capped
+    at 12 bits per the spec). Returns the index stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while bitpos + width <= nbits:
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(data[byte0 : byte0 + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"LZW code {code} beyond table")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+# GIF interlace passes: (row_start, row_step)
+_GIF_INTERLACE = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def _decode_gif(payload: bytes) -> "object":
+    """First-frame GIF decode (87a/89a): global/local color table, LZW
+    index stream (pure-python, spec width rules), 4-pass interlace.
+    Extensions (incl. transparency) are skipped — the frame renders as
+    its palette colors, which is the right contract for feature
+    extraction. Returns ndarray(h, w, 3) uint8."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = payload[pos : pos + n]
+        pos += n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _, _, w, h = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+            ipacked = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 3 * (2 << (ipacked & 0x07))
+                ct = payload[pos : pos + n]
+                pos += n
+            if ct is None:
+                raise ValueError("GIF frame without a color table")
+            mcs = payload[pos]
+            pos += 1
+            stream = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                stream += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                bytes(_lzw_decode(bytes(stream), mcs)[: w * h]), np.uint8
+            )
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF index stream")
+            rows = idx.reshape(h, w)
+            if ipacked & 0x40:  # interlaced: scatter the 4 passes
+                out_rows = np.zeros_like(rows)
+                r = 0
+                for start, step in _GIF_INTERLACE:
+                    n_rows = len(range(start, h, step))
+                    out_rows[start::step] = rows[r : r + n_rows]
+                    r += n_rows
+                rows = out_rows
+            pal = np.frombuffer(ct, np.uint8).reshape(-1, 3)
+            return pal[rows].copy()
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
 def decode_image(payload: bytes) -> "object":
     """Pixel decode to ndarray(h, w, 3) uint8 — pure numpy/stdlib, no
     codec libs.
 
     Real decode paths: PPM (P6), 24-bit uncompressed BMP (bottom-up or
-    top-down, 4-byte row padding, BGR->RGB), 8-bit non-interlaced PNG
-    (zlib is stdlib; the five scanline filters are inverted here), and
-    baseline-sequential JPEG (multimodal/jpeg.py — Huffman + IDCT in
-    numpy). GIF, progressive JPEG, and exotic PNG variants raise
-    NotImplementedError naming the required library — the same signature
-    a PIL-backed decode slots into.
+    top-down, 4-byte row padding, BGR->RGB), 8-bit non-interlaced or
+    Adam7 PNG (zlib is stdlib; the five scanline filters are inverted
+    here), baseline-sequential JPEG (multimodal/jpeg.py — Huffman + IDCT
+    in numpy), and first-frame GIF (pure-python LZW). Progressive JPEG
+    and exotic PNG variants raise NotImplementedError naming the
+    required library — the same signature a PIL-backed decode slots
+    into.
     """
     import numpy as np
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         from etl_bigquery_pipeline_spark.multimodal.jpeg import (
             decode_baseline_jpeg,

@@ -173,8 +173,9 @@ def _encode_png(
 
 
 def test_decode_codec_gated_formats():
+    # unknown format bytes stay gated behind NotImplementedError
     with pytest.raises(NotImplementedError, match="codec library"):
-        binary_ops.decode_image(_gif(4, 4))
+        binary_ops.decode_image(b"II*\x00 not a supported format")
     # progressive JPEG (SOF2) stays gated; baseline decodes for real now
     from tests.jpeg_fixture import encode_baseline_jpeg
 
@@ -449,3 +450,59 @@ def test_png_adam7_gray_and_rgba():
     rgba = np.random.RandomState(10).randint(0, 256, (6, 9, 4), dtype=np.uint8)
     got = binary_ops.decode_image(_encode_png(rgba, [3, 1], interlace=True))
     assert np.array_equal(got, rgba[:, :, :3])
+
+
+def test_gif_roundtrip_palette_and_width_growth():
+    """256-color random 48x40 stream crosses several LZW width
+    boundaries; 4-color exercises mcs=2."""
+    from tests.gif_fixture import encode_gif
+
+    rng = np.random.RandomState(11)
+    for ncolors, h, w in ((256, 48, 40), (4, 9, 7), (16, 23, 17)):
+        pal = rng.randint(0, 256, (ncolors, 3), dtype=np.uint8)
+        rows = rng.randint(0, ncolors, (h, w)).astype(np.uint8)
+        got = binary_ops.decode_image(encode_gif(rows, pal))
+        assert np.array_equal(got, pal[rows])
+
+
+def test_gif_interlaced_and_extensions():
+    from tests.gif_fixture import encode_gif
+
+    rng = np.random.RandomState(12)
+    pal = rng.randint(0, 256, (8, 3), dtype=np.uint8)
+    rows = rng.randint(0, 8, (13, 6)).astype(np.uint8)
+    payload = encode_gif(rows, pal, interlace=True, with_extension=True)
+    assert binary_ops.parse_image_header(payload)[:3] == ("gif", 6, 13)
+    got = binary_ops.decode_image(payload)
+    assert np.array_equal(got, pal[rows])
+
+
+def test_gif_kwkwk_and_repetitive_streams():
+    """Highly repetitive indices hit the KwKwK code-equals-table-size
+    case; a long constant run also stresses dictionary chains."""
+    from tests.gif_fixture import encode_gif
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    rows = np.zeros((64, 64), dtype=np.uint8)
+    rows[::2] = 1
+    got = binary_ops.decode_image(encode_gif(rows, pal))
+    assert np.array_equal(got, pal[rows])
+    # aaa bbb aaa... periodic pattern
+    rows2 = (np.arange(64 * 33) // 3 % 2).astype(np.uint8).reshape(33, 64)
+    got2 = binary_ops.decode_image(encode_gif(rows2, pal))
+    assert np.array_equal(got2, pal[rows2])
+
+
+def test_gif_gif87a_version():
+    from tests.gif_fixture import encode_gif
+
+    pal = np.array([[10, 20, 30], [40, 50, 60], [1, 2, 3], [9, 9, 9]],
+                   dtype=np.uint8)
+    rows = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+    got = binary_ops.decode_image(encode_gif(rows, pal, version=b"GIF87a"))
+    assert np.array_equal(got, pal[rows])
+
+
+def test_gif_malformed_raises_value_error():
+    with pytest.raises(ValueError):
+        binary_ops.decode_image(_gif(4, 4))  # header-only stub
