@@ -176,3 +176,64 @@ def test_jpeg_roundtrip_any_shape(h, w, seed, ss):
         assert np.abs(out[..., 0].astype(float) - lum).mean() < 6.0
     else:
         assert np.abs(out.astype(int) - img.astype(int)).mean() < 8.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    ncolors=st.sampled_from([2, 3, 4, 7, 16, 256]),
+    seed=st.integers(0, 10_000),
+    interlace=st.booleans(),
+)
+def test_gif_roundtrip_any_shape(h, w, ncolors, seed, interlace):
+    """GIF LZW round-trip for arbitrary sizes, palette widths, and
+    interlace — pixel-exact by construction (lossless format)."""
+    import numpy as np
+
+    from etl_bigquery_pipeline_spark.multimodal import binary_ops
+    from tests.gif_fixture import encode_gif
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (ncolors, 3), dtype=np.uint8)
+    rows = rng.randint(0, ncolors, (h, w)).astype(np.uint8)
+    got = binary_ops.decode_image(encode_gif(rows, pal, interlace=interlace))
+    assert np.array_equal(got, pal[rows])
+
+
+@SLOW
+@given(ws=words, seed=st.integers(0, 1000))
+def test_bloom_prune_parity_any_keyset(spark, ws, seed):
+    """bloom_pruned_join == plain join for arbitrary fact/dim key sets,
+    including tiny code spaces (heavy false positives)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.operators import join_pruning as JP
+
+    rnd = random.Random(seed)
+    fact_keys = [rnd.randint(0, 20) for _ in range(30)]
+    dim_keys = sorted({rnd.randint(0, 25) for _ in range(8)})
+    fact = spark.createDataFrame([(k, i) for i, k in enumerate(fact_keys)], "k long, v long")
+    dim = spark.createDataFrame([(k, str(k)) for k in dim_keys], "k long, name string")
+    for m in (4, 1 << 17):
+        got = sorted(map(tuple, JP.bloom_pruned_join(fact, dim, "k", m=m).collect()))
+        want = sorted(map(tuple, fact.join(dim, "k").collect()))
+        assert got == want
+
+
+@SLOW
+@given(ws=words)
+def test_bpe_merge_preserves_characters(spark, ws):
+    """Any merge sequence only regroups characters: stripping spaces from
+    the merged sym always reproduces the original word."""
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.operators import bpe
+
+    docs = spark.createDataFrame([(1, " ".join(ws))], "doc_id long, text string")
+    merges = [m["pair"] for m in bpe.train_bpe(docs, rounds=2)]
+    vocab = bpe.segment_words(bpe.to_symbols(bpe.word_vocab(docs)), merges)
+    for r in vocab.collect():
+        assert r.sym.replace(" ", "") == r.word
