@@ -41,11 +41,20 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
     # 2. Exact dedup (content hash, lowest id wins).
     deduped = dedup.dedup_exact_text(docs, "doc_id", "text")
 
-    # 3. Quality floor + deterministic mixture + reproducible split.
+    # 3. Quality: a static token floor PLUS the learned filter — train a
+    #    logistic regression on document features (each GD iteration is
+    #    one scan + a 4-double reduce) and keep docs scoring >= 0.3.
     from etl_bigquery_pipeline_spark.functions.text import token_count
+    from etl_bigquery_pipeline_spark.operators import quality_model
 
-    kept = deduped.withColumn("n_tok", token_count("text")).filter(
-        F.col("n_tok") >= 20
+    feats = quality_model.doc_features(deduped)
+    trained = quality_model.train_logreg(feats)
+    scores = quality_model.score_documents(feats, trained.weights)
+    kept = (
+        deduped.join(scores.filter(F.col("score") >= 0.3), "doc_id")
+        .drop("score", "pred_high_quality")
+        .withColumn("n_tok", token_count("text"))
+        .filter(F.col("n_tok") >= 20)
     )
     srcs = [r.source for r in docs.select("source").distinct().collect()]
     fractions = {s: (1.0 if int(s[3:]) % 2 == 0 else 0.25) for s in srcs}
