@@ -86,6 +86,60 @@ def with_global_row_number(
     return out, acc
 
 
+def with_global_running_sums(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    sum_cols: Sequence[str],
+    *,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Running SUMs over a global order — same range-partition + offsets
+    technique as ``with_global_row_number`` (a bare ``Window.orderBy``
+    running sum funnels the table through ONE task). Each partition holds
+    a contiguous slice of the order; an ordinary partitioned window
+    computes the local running sum and a broadcast map adds the exact sum
+    of all earlier partitions. Driver traffic: one row of per-partition
+    totals. Intended for integer counters (ECDFs, cumulative counts):
+    integer partial sums are merge-order-exact, so the distributed result
+    is bit-identical to the serial one. Appends ``cum_<col>`` columns.
+    """
+    spark = df.sparkSession
+    par = (
+        partitions
+        if partitions is not None
+        else spark.sparkContext.defaultParallelism
+    )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    ranged = (
+        df.repartitionByRange(par, *cols)
+        .withColumn("__gpid", F.spark_partition_id())
+        .transform(scoped_cache)
+    )
+    totals = ranged.groupBy("__gpid").agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    ).collect()
+    acc = {c: 0 for c in sum_cols}
+    offsets: dict[int, dict[str, int]] = {}
+    for r in sorted(totals, key=lambda r: r["__gpid"]):
+        offsets[r["__gpid"]] = dict(acc)
+        for c in sum_cols:
+            acc[c] += r[c] or 0
+    w = (
+        Window.partitionBy("__gpid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = ranged
+    for c in sum_cols:
+        mapping = F.create_map(
+            *[F.lit(v) for g, offs in offsets.items() for v in (g, offs[c])]
+        )
+        out = out.withColumn(
+            f"cum_{c}", F.sum(c).over(w) + mapping[F.col("__gpid")]
+        )
+    return out.drop("__gpid")
+
+
 def ntile_from_row_number(rn: Column, total: int, buckets: int) -> Column:
     """Closed-form NTILE(buckets) from a 1-based global row number.
 

@@ -6818,6 +6818,120 @@ def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- KS two-sample drift + series autocorrelation ----
+
+_KS_ORACLE = """
+WITH s AS (
+  SELECT c_acctbal AS v,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS in_a
+  FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+g AS (
+  SELECT v, SUM(in_a) AS ca, SUM(1 - in_a) AS cb
+  FROM s GROUP BY v),
+r AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM g),
+t AS (SELECT (SELECT SUM(ca) FROM g) AS n_a, (SELECT SUM(cb) FROM g) AS n_b)
+SELECT round(MAX(abs(CAST(cum_a AS DOUBLE) / n_a
+                     - CAST(cum_b AS DOUBLE) / n_b)), 6) AS d_stat,
+       CAST(MAX(n_a) AS BIGINT) AS n_a, CAST(MAX(n_b) AS BIGINT) AS n_b
+FROM r CROSS JOIN t
+"""
+
+
+@query("ks_two_sample_acctbal", _KS_ORACLE)
+def ks_two_sample_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov two-sample statistic between two segments'
+    account balances — the nonparametric drift primitive next to PSI
+    (`distribution_drift_psi`) and Welch (`welch_ttest_acctbal`). One
+    scan → per-distinct-value group counts → running ECDFs via the
+    distributed range-partition-plus-offsets running sum
+    (`windows.with_global_running_sums` — NO single-partition window;
+    integer partials are merge-order-exact) → max ECDF gap. Integer
+    counts until the one final division."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    in_a = (F.col("c_mktsegment") == "BUILDING").cast("long")
+    g = (
+        c.select(F.col("c_acctbal").alias("v"), in_a.alias("in_a"))
+        .groupBy("v")
+        .agg(
+            F.sum("in_a").alias("ca"),
+            F.sum(F.lit(1) - F.col("in_a")).alias("cb"),
+        )
+    )
+    r = windows.with_global_running_sums(g, ["v"], ["ca", "cb"]).select(
+        "v",
+        F.col("cum_ca").alias("cum_a"),
+        F.col("cum_cb").alias("cum_b"),
+    )
+    tot = g.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_a").cast("double") / F.col("n_a")
+                        - F.col("cum_b").cast("double") / F.col("n_b")
+                    )
+                ),
+                6,
+            ).alias("d_stat"),
+            F.max("n_a").cast("bigint").alias("n_a"),
+            F.max("n_b").cast("bigint").alias("n_b"),
+        )
+    )
+
+
+_AUTOCORR_ORACLE = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1),
+l AS (
+  SELECT rev,
+         lag(rev, 1) OVER (ORDER BY day) AS rev_1,
+         lag(rev, 7) OVER (ORDER BY day) AS rev_7
+  FROM d)
+SELECT round(corr(rev, rev_1), 6) AS autocorr_lag1,
+       round(corr(rev, rev_7), 6) AS autocorr_lag7,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM l
+"""
+
+
+@query("daily_revenue_autocorr", _AUTOCORR_ORACLE)
+def daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 / lag-7 autocorrelation of the daily revenue series — the
+    seasonality-detection primitive behind forecasting sanity checks.
+    The only row-proportional work is the daily rollup (map-side partial
+    decimal sums); the lag window and corr run over the calendar-bounded
+    series. corr is merge-order sensitive in the last ulps only —
+    6-decimal rounding absorbs it."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        exact_sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("day")
+    series = d.select(
+        "rev",
+        F.lag("rev", 1).over(w).alias("rev_1"),
+        F.lag("rev", 7).over(w).alias("rev_7"),
+    )
+    return series.agg(
+        F.round(F.corr("rev", "rev_1"), 6).alias("autocorr_lag1"),
+        F.round(F.corr("rev", "rev_7"), 6).alias("autocorr_lag7"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================

@@ -531,3 +531,30 @@ def test_drop_partitions_before(spark, tmp_path):
     assert remaining == {d for d in dates if d >= cutoff}
     expected = e.filter(F.to_date("ts").cast("string") >= cutoff).count()
     assert back.count() == expected
+
+
+def test_with_global_running_sums_matches_serial(spark):
+    """Distributed running sums == serial prefix sums for any partition
+    count (integer partials are merge-order exact)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.operators import windows
+
+    rnd = random.Random(7)
+    rows = [(float(v), rnd.randint(0, 5), rnd.randint(0, 3))
+            for v in rnd.sample(range(1000), 200)]
+    df = spark.createDataFrame(rows, "v double, a long, b long")
+    for par in (1, 3, 8):
+        got = {
+            r.v: (r.cum_a, r.cum_b)
+            for r in windows.with_global_running_sums(
+                df, ["v"], ["a", "b"], partitions=par
+            ).collect()
+        }
+        acc_a = acc_b = 0
+        for v, a, b in sorted(rows):
+            acc_a += a
+            acc_b += b
+            assert got[v] == (acc_a, acc_b), (par, v)
