@@ -1061,3 +1061,33 @@ def near_dup_candidates_from_index(
             ).alias("est_jaccard"),
         )
     )
+
+
+def append_to_band_index(
+    batch: DataFrame,
+    table: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental band-index maintenance: signature + band keys for the
+    batch computed with the PERSISTED hash parameters (a batch can never
+    disagree with the build), inserted into the bucketed layout — the
+    same daily-ingest shape as ``ann_index.append_to_lsh_index``. Per-
+    batch cost is one pass over the batch; the corpus is never touched.
+    Id uniqueness across batches is the caller's contract."""
+    from etl_bigquery_pipeline_spark.operators import ann_index
+
+    spark = batch.sparkSession
+    meta = ann_index._read_meta(spark, table)
+    sig = minhash_signatures(
+        batch,
+        meta["id_col"],
+        text_col,
+        num_hashes=meta["num_hashes"],
+        shingle_n=meta["shingle_n"],
+    )
+    bk = minhash_band_keys(sig, meta["id_col"], bands=meta["bands"])
+    # insertInto resolves by POSITION; this join mirrors the build
+    # projection (id, band, band_key, signature) exactly
+    bk.join(sig, meta["id_col"]).write.insertInto(table, overwrite=False)

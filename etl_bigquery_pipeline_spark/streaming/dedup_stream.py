@@ -1,0 +1,104 @@
+"""Streaming near-dup dedup against a persisted corpus: the daily-ingest
+loop run continuously. A document feed probes the persisted MinHash band
+index (`dedup.build_band_index`) per micro-batch; near-dups of the
+corpus route to a duplicates sink with their match evidence, novel
+documents land in the curated output AND their bands append to the index
+— so a near-copy arriving in a LATER batch collides with them.
+
+Per micro-batch work: exact in-batch dedup (content-hash groupBy on the
+batch only), one broadcast probe of the batch's band keys against the
+bucketed index (pruned scan — corpus never re-tokenizes or shuffles,
+see `dedup.near_dup_candidates_from_index`), and one pass to append the
+novel bands. Nothing scales with corpus size.
+
+Exactly-once: parquet outputs write to a `batch_id=N` directory with
+overwrite (idempotent under replay); the band-index INSERT is not
+naturally idempotent, so an applied-batch marker commits AFTER the
+insert and a replayed batch whose marker exists is skipped whole — the
+same discipline (and the same documented local-rename trade) as
+`streaming/ann_stream.py`.
+
+Within-batch NEAR-dups (beyond exact) are not collapsed here — both
+copies probe the corpus independently and, if novel, both enter the
+index; the periodic batch compaction (`minhash_cluster_canonicals`)
+owns that, keeping the streaming path one-pass.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def incremental_dedup_sink(
+    docs: DataFrame,
+    index_table: str,
+    checkpoint: str,
+    out_dir: str,
+    dup_dir: str,
+    *,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Start the dedup stream; returns the StreamingQuery.
+
+    ``index_table`` must exist (`dedup.build_band_index` owns the hash
+    parameters). Novel docs -> ``out_dir/batch_id=N``; corpus near-dups
+    -> ``dup_dir/batch_id=N`` as (id, corpus_id, est_jaccard).
+    """
+    from etl_bigquery_pipeline_spark.operators import dedup
+
+    marker_dir = os.path.join(checkpoint, "__applied_batches")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):  # replay of an applied batch: skip
+            return
+        spark = batch_df.sparkSession
+        batch = dedup.dedup_exact_text(batch_df, id_col, text_col)
+        cands = dedup.near_dup_candidates_from_index(
+            spark, batch, index_table, id_col=id_col, text_col=text_col
+        )
+        dups = cands.filter(F.col("est_jaccard") >= threshold)
+        # one id can collide with many corpus docs: keep the strongest
+        # match as evidence, route the doc once
+        best = (
+            dups.groupBy("batch_id")
+            .agg(F.max(F.struct("est_jaccard", "corpus_id")).alias("m"))
+            .select(
+                F.col("batch_id").alias(id_col),
+                F.col("m.corpus_id").alias("corpus_id"),
+                F.col("m.est_jaccard").alias("est_jaccard"),
+            )
+        )
+        best.write.mode("overwrite").parquet(
+            os.path.join(dup_dir, f"batch_id={batch_id}")
+        )
+        novel = batch.join(
+            best.select(id_col), id_col, "left_anti"
+        )
+        novel.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        # novel docs become part of the corpus for every later batch
+        dedup.append_to_band_index(
+            spark.read.parquet(os.path.join(out_dir, f"batch_id={batch_id}")),
+            index_table,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        staging = marker + ".__tmp"
+        with open(staging, "w"):
+            pass
+        os.rename(staging, marker)  # marker lands only after the insert
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
