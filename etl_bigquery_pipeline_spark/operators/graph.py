@@ -1,0 +1,78 @@
+"""Graph analytics on DataFrames: triangle counting with degree-ordered
+orientation (the MapReduce-era standard — Suri & Vassilvitskii 2011,
+public — expressed as two Catalyst joins).
+
+Why orientation matters at 100 TB: counting each triangle once via plain
+id-ordering (u<v<w) fans every hub vertex's edge list into O(deg^2)
+wedges — a power-law hub with 10^6 neighbors creates 10^12 wedge rows.
+Orienting every edge from its (degree, id)-SMALLER endpoint to the
+larger one caps out-degree at O(sqrt(m)), so the wedge join is bounded
+by m^1.5 total work regardless of skew — the difference between a job
+that finishes and one that dies on the first hub.
+
+Both stages are ordinary shuffle hash joins on vertex keys; AQE handles
+residual skew. Counts are integers — exact oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirected_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Canonicalize to distinct (u, v) with u < v (self-loops dropped)."""
+    return (
+        pairs.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+
+
+def orient_by_degree(edges: DataFrame) -> DataFrame:
+    """(src, dst): each undirected edge directed from its (degree, id)-
+    smaller endpoint — a total order, so every edge gets exactly one
+    direction and out-degrees are O(sqrt(m))-bounded."""
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.join(deg.withColumnsRenamed({"n": "u", "d": "du"}), "u")
+        .join(deg.withColumnsRenamed({"n": "v", "d": "dv"}), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """One row (n_edges, n_triangles). Wedge join on the oriented graph
+    (src shared), closed by a second join checking the far edge — each
+    triangle materializes exactly once at its (degree,id)-minimal apex."""
+    oriented = orient_by_degree(edges)
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    # unordered far pair, canonicalized to id order so the closure is a
+    # PURE EQUI-JOIN against the canonical (u < v) edge set — an OR over
+    # both orientations would degrade to a nested-loop join
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.dst") < F.col("e2.dst")),
+    ).select(F.col("e1.dst").alias("u"), F.col("e2.dst").alias("v"))
+    n_tri = wedges.join(edges, ["u", "v"]).count()
+    n_edges = edges.count()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n_edges, n_tri)], "n_edges bigint, n_triangles bigint"
+    )

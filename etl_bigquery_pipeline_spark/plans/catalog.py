@@ -6932,6 +6932,44 @@ def daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- graph analytics: triangle counting on the co-purchase graph ----
+
+_TRIANGLES_ORACLE = """
+WITH pr AS (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2),
+e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM pr a JOIN pr b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM e e1
+             JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+             JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS BIGINT)
+         AS n_triangles
+"""
+
+
+@query("copurchase_triangles", _TRIANGLES_ORACLE)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-purchase graph (parts sharing an
+    order are adjacent) via DEGREE-ORDERED orientation
+    (operators/graph.py): out-degrees bound at O(sqrt(m)), so the wedge
+    join does m^1.5 work regardless of hub skew — the oracle counts the
+    same triangles with the simple id-ordered method, proving the
+    orientation machinery exact. Integer counts end to end."""
+    from etl_bigquery_pipeline_spark.operators import graph
+
+    l = _t(spark, sf_dir, "lineitem")
+    pr = l.select("l_orderkey", "l_partkey").distinct()
+    pairs = pr.alias("a").join(
+        pr.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+    )
+    edges = graph.undirected_edges(pairs, "pa", "pb")
+    return graph.triangle_count(edges)
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================

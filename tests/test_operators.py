@@ -558,3 +558,24 @@ def test_with_global_running_sums_matches_serial(spark):
             acc_a += a
             acc_b += b
             assert got[v] == (acc_a, acc_b), (par, v)
+
+
+def test_triangle_count_known_graphs(spark):
+    from etl_bigquery_pipeline_spark.operators import graph
+
+    def count(pairs):
+        df = spark.createDataFrame(pairs, "a long, b long")
+        e = graph.undirected_edges(df, "a", "b")
+        r = graph.triangle_count(e).first()
+        return r.n_edges, r.n_triangles
+
+    # K4: 6 edges, 4 triangles (duplicate/reversed pairs collapse)
+    k4 = [(i, j) for i in range(4) for j in range(4) if i != j]
+    assert count(k4) == (6, 4)
+    # path graph: no triangles
+    assert count([(1, 2), (2, 3), (3, 4)]) == (3, 0)
+    # triangle + pendant edge + hub star (skew: hub 0 in every edge)
+    star = [(0, k) for k in range(1, 20)] + [(1, 2)]
+    assert count(star) == (20, 1)
+    # self-loops are dropped
+    assert count([(1, 1), (1, 2), (2, 3), (1, 3)]) == (3, 1)
