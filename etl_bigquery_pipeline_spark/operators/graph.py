@@ -76,3 +76,45 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         [(n_edges, n_tri)], "n_edges bigint, n_triangles bigint"
     )
+
+
+def pagerank_scaled(
+    edges: DataFrame, *, iters: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """(node, pr): PageRank on the undirected graph in the N-scaled form
+    (uniform start = 1.0, update pr' = (1-d) + d * sum(pr_in/deg_in)) so
+    scores stay O(1) and 6-decimal rounding — which absorbs the
+    distributed sum's merge-order residual each iteration — costs no
+    relative precision. Rankings are identical to the 1/N-normalized
+    form.
+
+    Per iteration: one join of the adjacency list with the current score
+    vector (both keyed by vertex — co-partitioned after the first
+    shuffle) and one groupBy(dst) partial-sum aggregate; the score
+    lineage is truncated per round (localCheckpoint, |V| rows) — the same
+    iterative-algorithm hygiene as the k-means tier. On an undirected
+    graph every vertex has degree >= 1, so there is no dangling mass."""
+    adj = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pr = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            adj.join(deg, "src")
+            .join(pr.withColumnRenamed("node", "src"), "src")
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        # teleport term as the ROUNDED decimal (python 1.0-0.85 is
+        # 0.15000000000000002 — not the double an SQL 0.15 literal
+        # denotes; round() restores the shared nearest-to-0.15 double)
+        teleport = round(1.0 - damping, 6)
+        pr = contrib.select(
+            F.col("dst").alias("node"),
+            F.round(
+                F.lit(teleport) + F.lit(damping) * F.col("s"), 6
+            ).alias("pr"),
+        ).localCheckpoint()
+    return pr

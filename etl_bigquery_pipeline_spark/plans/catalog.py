@@ -6970,6 +6970,61 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(edges)
 
 
+def _pagerank_oracle(iters: int = 3) -> str:
+    parts = [
+        "__pr AS (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2)",
+        "__e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+        "FROM __pr a JOIN __pr b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey)",
+        "__adj AS (SELECT u AS src, v AS dst FROM __e "
+        "UNION ALL SELECT v AS src, u AS dst FROM __e)",
+        "__deg AS (SELECT src, COUNT(*) AS deg FROM __adj GROUP BY src)",
+        "p0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS pr FROM __deg)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"p{i} AS (SELECT a.dst AS node, "
+            f"round(0.15 + 0.85 * SUM(p.pr / d.deg), 6) AS pr "
+            f"FROM __adj a JOIN __deg d ON a.src = d.src "
+            f"JOIN p{i-1} p ON a.src = p.node GROUP BY a.dst)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        f"SELECT node, pr, rnk FROM ("
+        f"SELECT node, pr, CAST(ROW_NUMBER() OVER "
+        f"(ORDER BY pr DESC, node ASC) AS BIGINT) AS rnk FROM p{iters}) "
+        f"WHERE rnk <= 20"
+    )
+
+
+@query("copurchase_pagerank_top20", _pagerank_oracle(3))
+def copurchase_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85, N-scaled form) on the co-purchase
+    graph via operators/graph.pagerank_scaled — per iteration one
+    vertex-keyed join + one partial-sum aggregate, lineage truncated per
+    round. Scores round to 6 decimals each iteration (absorbing the
+    distributed sum's merge order), so the oracle's unrolled replay
+    hash-matches. Top-20 via TakeOrdered — no global-sort window."""
+    from etl_bigquery_pipeline_spark.operators import graph
+
+    l = _t(spark, sf_dir, "lineitem")
+    pr_tbl = l.select("l_orderkey", "l_partkey").distinct()
+    pairs = pr_tbl.alias("a").join(
+        pr_tbl.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+    )
+    edges = graph.undirected_edges(pairs, "pa", "pb")
+    ranks = graph.pagerank_scaled(edges, iters=3, damping=0.85)
+    top = ranks.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(20)
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return top.select(
+        "node", "pr", F.row_number().over(w).cast("bigint").alias("rnk")
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================

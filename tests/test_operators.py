@@ -579,3 +579,27 @@ def test_triangle_count_known_graphs(spark):
     assert count(star) == (20, 1)
     # self-loops are dropped
     assert count([(1, 1), (1, 2), (2, 3), (1, 3)]) == (3, 1)
+
+
+def test_pagerank_structure_and_symmetry(spark):
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.operators import graph
+
+    # star: hub must outrank leaves; all leaves tie exactly
+    star = spark.createDataFrame(
+        [(0, k) for k in range(1, 9)], "a long, b long"
+    )
+    pr = {r.node: r.pr for r in graph.pagerank_scaled(
+        graph.undirected_edges(star, "a", "b")).collect()}
+    assert pr[0] > max(pr[k] for k in range(1, 9))
+    assert len({pr[k] for k in range(1, 9)}) == 1
+    # total mass conserved (teleport form): sum pr ~= N
+    assert abs(sum(pr.values()) - 9) < 1e-3
+    # vertex-transitive cycle: every node identical
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "a long, b long"
+    )
+    prc = {r.node: r.pr for r in graph.pagerank_scaled(
+        graph.undirected_edges(cyc, "a", "b")).collect()}
+    assert len(set(prc.values())) == 1
