@@ -7,12 +7,12 @@ All decode / feature-extract steps are Arrow-batched Pandas iterators via
 row-at-a-time, and each batch is one contiguous Arrow buffer.
 
 Codec policy: formats that genuinely need an external library
-(progressive JPEG, exotic PNG variants, real video codecs) are gated —
-header sniffing is real (pure struct reads), pixel decode raises with a
-clear message. Everything else decodes FOR REAL with numpy + stdlib:
-PPM (P6), 24-bit BMP, 8-bit PNG both non-interlaced and Adam7 (zlib
-inflate + scanline-filter inversion), baseline JPEG (multimodal/jpeg.py),
-and first-frame GIF (pure-python LZW).
+(arithmetic-coded JPEG, exotic PNG variants, real video codecs) are
+gated — header sniffing is real (pure struct reads), pixel decode raises
+with a clear message. Everything else decodes FOR REAL with numpy +
+stdlib: PPM (P6), 24-bit BMP, 8-bit PNG both non-interlaced and Adam7
+(zlib inflate + scanline-filter inversion), baseline AND progressive
+JPEG (multimodal/jpeg.py), and first-frame GIF (pure-python LZW).
 ``resize_images`` does actual nearest-neighbor resampling on decodable
 payloads and ``channel_stats`` computes true per-channel pixel statistics
 — the whole decode→transform→feature pipeline executes end-to-end in this

@@ -87,6 +87,16 @@ AC_CHROMA = (
 )
 
 
+# Complete AC symbol table for progressive scans: Annex K baseline AC
+# tables lack the EOBn (0x10..0xE0) symbols progressive EOB runs need.
+# 255 symbols at 8 bits + 1 at 9 bits (Kraft 0.998, all-ones pattern
+# unused per T.81 C.2).
+FLAT_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
 def _codes(bits, values):
     """Canonical codes: symbol -> (code, length)."""
     out = {}
@@ -294,4 +304,271 @@ def encode_baseline_jpeg(
     wtr.flush()
     out += wtr.buf
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _component_coefs(arr: np.ndarray, subsampling: str):
+    """Shared front half of encoding: color transform, subsampling, MCU
+    padding, per-block quantized stream-order coefficients. Returns
+    (h, w, comps=[(cid, hi, vi, tq)], coefs=[ndarray(by,bx,64)], qts)."""
+    arr = np.asarray(arr, dtype=np.float64)
+    gray = subsampling == "gray" or arr.ndim == 2
+    h, w = arr.shape[0], arr.shape[1]
+    if arr.ndim == 2:
+        y = arr
+        cb = cr = None
+    else:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    if gray:
+        comps = [(1, 1, 1, 0, y)]
+    elif subsampling == "444":
+        comps = [(1, 1, 1, 0, y), (2, 1, 1, 1, cb), (3, 1, 1, 1, cr)]
+    elif subsampling == "420":
+        cbp = _pad_to(cb, 2, 2)
+        crp = _pad_to(cr, 2, 2)
+        cb2 = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean((1, 3))
+        cr2 = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
+        comps = [(1, 2, 2, 0, y), (2, 1, 1, 1, cb2), (3, 1, 1, 1, cr2)]
+    elif subsampling == "422":
+        cbp = _pad_to(cb, 1, 2)
+        crp = _pad_to(cr, 1, 2)
+        cb2 = cbp.reshape(cbp.shape[0], cbp.shape[1] // 2, 2).mean(2)
+        cr2 = crp.reshape(crp.shape[0], crp.shape[1] // 2, 2).mean(2)
+        comps = [(1, 2, 1, 0, y), (2, 1, 1, 1, cb2), (3, 1, 1, 1, cr2)]
+    else:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    qts = [QT_LUMA] + ([] if gray else [QT_CHROMA])
+    meta = []
+    coefs = []
+    for cid, hi, vi, tq, plane in comps:
+        p = _pad_to(plane, mcus_y * vi * 8, mcus_x * hi * 8)[
+            : mcus_y * vi * 8, : mcus_x * hi * 8
+        ] - 128.0
+        by, bx = mcus_y * vi, mcus_x * hi
+        zz = np.zeros((by, bx, 64), dtype=np.int64)
+        for r0 in range(by):
+            for c0 in range(bx):
+                zz[r0, c0] = _zigzag_quant(
+                    p[r0 * 8 : r0 * 8 + 8, c0 * 8 : c0 * 8 + 8],
+                    qts[min(tq, len(qts) - 1)],
+                )
+        meta.append((cid, hi, vi, tq))
+        coefs.append(zz)
+    return h, w, meta, coefs, qts
+
+
+class _EobState:
+    """Cross-block EOB-run state for progressive AC scans (the encoder
+    half of libjpeg's EOBRUN/BE machinery)."""
+
+    def __init__(self, w: "_BitWriter", ac_codes: dict):
+        self.w = w
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.run_bits: list[int] = []
+
+    def flush(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            c, ln = self.ac[r << 4]
+            self.w.write(c, ln)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+            for b in self.run_bits:
+                self.w.write(b, 1)
+            self.run_bits = []
+
+
+def _ac_first_block_enc(st: _EobState, zz, Ss, Se, Al) -> None:
+    t = [
+        (1 if zz[k] > 0 else -1) * (abs(int(zz[k])) >> Al)
+        for k in range(Ss, Se + 1)
+    ]
+    last = max((i for i, v in enumerate(t) if v), default=None)
+    if last is None:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush()
+        return
+    st.flush()
+    r = 0
+    for i in range(last + 1):
+        v = t[i]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            c, ln = st.ac[0xF0]
+            st.w.write(c, ln)
+            r -= 16
+        s, bits = _magnitude(v)
+        c, ln = st.ac[(r << 4) | s]
+        st.w.write(c, ln)
+        st.w.write(bits, s)
+        r = 0
+    if last < Se - Ss:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush()
+
+
+def _ac_refine_block_enc(st: _EobState, zz, Ss, Se, Al) -> None:
+    t = [abs(int(zz[k])) >> Al for k in range(Ss, Se + 1)]
+    eob = max((i for i, v in enumerate(t) if v == 1), default=-1)
+    bits_cur: list[int] = []
+    r = 0
+    for i in range(len(t)):
+        temp = t[i]
+        if temp == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            st.flush()
+            c, ln = st.ac[0xF0]
+            st.w.write(c, ln)
+            r -= 16
+            for b in bits_cur:
+                st.w.write(b, 1)
+            bits_cur = []
+        if temp > 1:  # already significant: correction bit only
+            bits_cur.append(temp & 1)
+            continue
+        st.flush()
+        c, ln = st.ac[(r << 4) | 1]
+        st.w.write(c, ln)
+        st.w.write(1 if zz[Ss + i] >= 0 else 0, 1)
+        for b in bits_cur:
+            st.w.write(b, 1)
+        bits_cur = []
+        r = 0
+    if r > 0 or bits_cur:
+        st.eobrun += 1
+        st.run_bits += bits_cur
+        if st.eobrun == 0x7FFF:
+            st.flush()
+
+
+def encode_progressive_jpeg(
+    arr: np.ndarray,
+    *,
+    subsampling: str = "444",
+    script: str = "sa",
+) -> bytes:
+    """Real progressive (SOF2) encoder. ``script``:
+
+    - "spectral": spectral selection only — DC scan then one full AC band
+      per component (Al=0 everywhere; exercises SOF2 + EOB runs).
+    - "sa": successive approximation — DC at Al=1 + refinement, AC in two
+      luma bands at Al=2 refined twice, chroma at Al=1 refined once
+      (exercises DC/AC refinement incl. the buffered-correction-bit
+      machinery).
+
+    Both scripts deliver every coefficient at full precision, so the
+    decoded pixels must EQUAL the baseline encoding's decode.
+    """
+    h, w, comps, coefs, qts = _component_coefs(arr, subsampling)
+    gray = len(comps) == 1
+    dc_codes = [_codes(*DC_LUMA), _codes(*DC_CHROMA)]
+    flat = _codes(*FLAT_AC)
+    ac_codes = [flat, flat]
+
+    out = bytearray(b"\xff\xd8")
+    for tq, qt in enumerate(qts):
+        out += _seg(0xDB, bytes([tq]) + bytes(int(qt[z]) for z in ZIGZAG))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([len(comps)])
+    for cid, hi, vi, tq in comps:
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    out += _seg(0xC2, sof)
+    for tc, tables in ((0, (DC_LUMA, DC_CHROMA)), (1, (FLAT_AC, FLAT_AC))):
+        for th in range(1 if gray else 2):
+            bits, values = tables[th]
+            out += _seg(
+                0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+            )
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    def sos_header(comp_ids, Ss, Se, Ah, Al) -> bytes:
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            cid = comps[ci][0]
+            t = min(ci, 1)
+            sos += bytes([cid, (t << 4) | t])
+        sos += bytes([Ss, Se, (Ah << 4) | Al])
+        return _seg(0xDA, sos)
+
+    def dc_scan(Ah, Al) -> bytes:
+        wtr = _BitWriter()
+        pred = [0] * len(comps)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (_cid, hi, vi, _tq) in enumerate(comps):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            v = int(coefs[ci][my * vi + by, mx * hi + bx, 0])
+                            if Ah == 0:  # initial: diff of v >> Al
+                                d = (v >> Al) - pred[ci]
+                                pred[ci] = v >> Al
+                                s, bits = _magnitude(d)
+                                c, ln = dc_codes[min(ci, 1)][s]
+                                wtr.write(c, ln)
+                                if s:
+                                    wtr.write(bits, s)
+                            else:  # refinement: the Al bit
+                                wtr.write((v >> Al) & 1, 1)
+        wtr.flush()
+        return bytes(wtr.buf)
+
+    def ac_scan(ci, Ss, Se, Ah, Al) -> bytes:
+        _cid, hi, vi, _tq = comps[ci]
+        comp_w = -((-w * hi) // hmax)
+        comp_h = -((-h * vi) // vmax)
+        wb = -((-comp_w) // 8)
+        hb = -((-comp_h) // 8)
+        wtr = _BitWriter()
+        st = _EobState(wtr, ac_codes[min(ci, 1)])
+        for by in range(hb):
+            for bx in range(wb):
+                zz = coefs[ci][by, bx]
+                if Ah == 0:
+                    _ac_first_block_enc(st, zz, Ss, Se, Al)
+                else:
+                    _ac_refine_block_enc(st, zz, Ss, Se, Al)
+        st.flush()
+        wtr.flush()
+        return bytes(wtr.buf)
+
+    all_comps = list(range(len(comps)))
+    if script == "spectral":
+        out += sos_header(all_comps, 0, 0, 0, 0) + dc_scan(0, 0)
+        for ci in all_comps:
+            out += sos_header([ci], 1, 63, 0, 0) + ac_scan(ci, 1, 63, 0, 0)
+    elif script == "sa":
+        out += sos_header(all_comps, 0, 0, 0, 1) + dc_scan(0, 1)
+        out += sos_header([0], 1, 5, 0, 2) + ac_scan(0, 1, 5, 0, 2)
+        out += sos_header([0], 6, 63, 0, 2) + ac_scan(0, 6, 63, 0, 2)
+        for ci in all_comps[1:]:
+            out += sos_header([ci], 1, 63, 0, 1) + ac_scan(ci, 1, 63, 0, 1)
+        out += sos_header(all_comps, 0, 0, 1, 0) + dc_scan(1, 0)
+        out += sos_header([0], 1, 5, 2, 1) + ac_scan(0, 1, 5, 2, 1)
+        out += sos_header([0], 6, 63, 2, 1) + ac_scan(0, 6, 63, 2, 1)
+        out += sos_header([0], 1, 5, 1, 0) + ac_scan(0, 1, 5, 1, 0)
+        out += sos_header([0], 6, 63, 1, 0) + ac_scan(0, 6, 63, 1, 0)
+        for ci in all_comps[1:]:
+            out += sos_header([ci], 1, 63, 1, 0) + ac_scan(ci, 1, 63, 1, 0)
+    else:
+        raise ValueError(f"unknown script {script!r}")
+    out += b"\xff\xd9"
     return bytes(out)

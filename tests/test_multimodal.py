@@ -176,14 +176,21 @@ def test_decode_codec_gated_formats():
     # unknown format bytes stay gated behind NotImplementedError
     with pytest.raises(NotImplementedError, match="codec library"):
         binary_ops.decode_image(b"II*\x00 not a supported format")
-    # progressive JPEG (SOF2) stays gated; baseline decodes for real now
+    # arithmetic coding (SOF9) stays gated; a baseline stream RELABELED
+    # as progressive is malformed (its scan header violates G.1) and
+    # must fail loudly rather than decode garbage
     from tests.jpeg_fixture import encode_baseline_jpeg
 
-    prog = encode_baseline_jpeg(_rng_image(8, 8)).replace(
+    arith = encode_baseline_jpeg(_rng_image(8, 8)).replace(
+        b"\xff\xc0", b"\xff\xc9", 1
+    )
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        binary_ops.decode_image(arith)
+    fake_prog = encode_baseline_jpeg(_rng_image(8, 8)).replace(
         b"\xff\xc0", b"\xff\xc2", 1
     )
-    with pytest.raises(NotImplementedError, match="progressive"):
-        binary_ops.decode_image(prog)
+    with pytest.raises(ValueError, match="progressive band"):
+        binary_ops.decode_image(fake_prog)
     # 16-bit PNG: a real variant this decoder doesn't cover
     deep = _encode_png(_rng_image(2, 2), [0])
     deep = deep.replace(struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0),
@@ -506,3 +513,44 @@ def test_gif_gif87a_version():
 def test_gif_malformed_raises_value_error():
     with pytest.raises(ValueError):
         binary_ops.decode_image(_gif(4, 4))  # header-only stub
+
+
+def test_progressive_jpeg_equals_baseline_decode():
+    """Progressive scans deliver the SAME coefficients as baseline, so
+    the decoded pixels must be identical — both scan scripts, all
+    subsamplings, odd shapes (empty-band/partial-MCU edges)."""
+    from tests.jpeg_fixture import encode_baseline_jpeg, encode_progressive_jpeg
+
+    for (h, w) in ((17, 23), (8, 8), (1, 1), (9, 33)):
+        arr = _rng_image(h, w, seed=h * 31 + w)
+        for ss in ("444", "420", "422", "gray"):
+            base = binary_ops.decode_image(
+                encode_baseline_jpeg(arr, subsampling=ss)
+            )
+            for script in ("spectral", "sa"):
+                got = binary_ops.decode_image(
+                    encode_progressive_jpeg(arr, subsampling=ss, script=script)
+                )
+                assert np.array_equal(got, base), (h, w, ss, script)
+
+
+def test_progressive_jpeg_eob_runs_on_smooth_images():
+    """Smooth gradients quantize to mostly-zero AC blocks — long EOB
+    runs (EOBn > EOB0) plus the buffered-correction-bit refinement path."""
+    from tests.jpeg_fixture import encode_baseline_jpeg, encode_progressive_jpeg
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    smooth = np.stack(
+        [(yy * 2 + xx) % 256, (xx * 3) % 256, (yy + 128) % 256], axis=2
+    ).astype(np.uint8)
+    base = binary_ops.decode_image(encode_baseline_jpeg(smooth))
+    for script in ("spectral", "sa"):
+        got = binary_ops.decode_image(
+            encode_progressive_jpeg(smooth, script=script)
+        )
+        assert np.array_equal(got, base), script
+    # constant image: every AC block is one long EOB run
+    flat = np.full((24, 24, 3), 77, dtype=np.uint8)
+    base = binary_ops.decode_image(encode_baseline_jpeg(flat))
+    got = binary_ops.decode_image(encode_progressive_jpeg(flat, script="sa"))
+    assert np.array_equal(got, base)

@@ -237,3 +237,32 @@ def test_bpe_merge_preserves_characters(spark, ws):
     vocab = bpe.segment_words(bpe.to_symbols(bpe.word_vocab(docs)), merges)
     for r in vocab.collect():
         assert r.sym.replace(" ", "") == r.word
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 10_000),
+    ss=st.sampled_from(["444", "420", "422", "gray"]),
+    script=st.sampled_from(["spectral", "sa"]),
+)
+def test_progressive_jpeg_equals_baseline_any_shape(h, w, seed, ss, script):
+    """For any image, a progressive encoding decodes to EXACTLY the same
+    pixels as the baseline encoding (identical coefficients by
+    construction) — covers empty bands, partial MCUs, EOB-run edges."""
+    import numpy as np
+
+    from etl_bigquery_pipeline_spark.multimodal.jpeg import decode_jpeg
+    from tests.jpeg_fixture import (
+        encode_baseline_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_baseline_jpeg(arr, subsampling=ss))
+    got = decode_jpeg(
+        encode_progressive_jpeg(arr, subsampling=ss, script=script)
+    )
+    assert np.array_equal(got, base)
