@@ -131,6 +131,13 @@ BENCH_QUERIES = [
     "bloom_pruned_join_parity",
     "truncated_dim_topk",
     "bpe_vocab_merges",
+    # round-4 wave 3: tokenization inference, drift, time series, graph
+    # (copurchase_triangles represents the graph family; pagerank shares
+    # its edge build and shows up in the coverage field)
+    "bpe_token_counts",
+    "ks_two_sample_acctbal",
+    "daily_revenue_autocorr",
+    "copurchase_triangles",
 ]
 
 
