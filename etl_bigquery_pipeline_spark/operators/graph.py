@@ -118,3 +118,16 @@ def pagerank_scaled(
             ).alias("pr"),
         ).localCheckpoint()
     return pr
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """(node, component_id) over undirected (u, v) edges — component_id
+    is the component's minimum node id. Delegates to the pointer-doubled
+    min-label propagation that powers near-dup cluster closure
+    (operators/dedup.near_dup_clusters): O(log diameter) rounds of
+    (id, label) equi-joins; node payloads never shuffle."""
+    from etl_bigquery_pipeline_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        edges, left_col="u", right_col="v", max_iterations=max_iterations
+    ).select("node", F.col("cluster_id").alias("component_id"))

@@ -7026,6 +7026,62 @@ def copurchase_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COMPONENTS_ORACLE = """
+WITH RECURSIVE pr AS (
+  SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2),
+e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pr a JOIN pr b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+edges AS (SELECT u AS src, v AS dst FROM e0 UNION SELECT v, u FROM e0),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+comp AS (SELECT node, MIN(label) AS cid FROM reach GROUP BY node),
+sizes AS (SELECT cid, COUNT(*) AS sz FROM comp GROUP BY cid)
+SELECT CAST(sz AS BIGINT) AS component_size,
+       CAST(COUNT(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY sz
+"""
+
+
+@query("copurchase_components", _COMPONENTS_ORACLE)
+def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the STRONG co-purchase graph (parts
+    co-ordered >= 2 times): pointer-doubled min-label propagation
+    (graph.connected_components, O(log diameter) rounds of long-keyed
+    equi-joins) vs the oracle's recursive-CTE closure. Emits the
+    component-size histogram — the market-basket community structure.
+    Integer-exact."""
+    from etl_bigquery_pipeline_spark.operators import graph
+
+    l = _t(spark, sf_dir, "lineitem")
+    pr_tbl = l.select("l_orderkey", "l_partkey").distinct()
+    strong = (
+        pr_tbl.alias("a")
+        .join(
+            pr_tbl.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    comp = graph.connected_components(strong)
+    return (
+        comp.groupBy("component_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy(F.col("sz").cast("bigint").alias("component_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_components"))
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================

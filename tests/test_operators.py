@@ -603,3 +603,23 @@ def test_pagerank_structure_and_symmetry(spark):
     prc = {r.node: r.pr for r in graph.pagerank_scaled(
         graph.undirected_edges(cyc, "a", "b")).collect()}
     assert len(set(prc.values())) == 1
+
+
+def test_connected_components_known_graphs(spark):
+    from etl_bigquery_pipeline_spark.operators import graph
+
+    def comp(pairs):
+        df = spark.createDataFrame(pairs, "a long, b long")
+        e = graph.undirected_edges(df, "a", "b")
+        return {r.node: r.component_id
+                for r in graph.connected_components(e).collect()}
+
+    # two separate chains + an isolated pair
+    got = comp([(1, 2), (2, 3), (10, 11), (11, 12), (20, 21)])
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12] == 10
+    assert got[20] == got[21] == 20
+    # a long path (pointer doubling must converge within log rounds)
+    path = [(i, i + 1) for i in range(100)]
+    got = comp(path)
+    assert set(got.values()) == {0} and len(got) == 101
