@@ -7082,6 +7082,94 @@ def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MANNWHITNEY_ORACLE = """
+WITH s AS (
+  SELECT c_acctbal AS v,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS in_a
+  FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+g AS (
+  SELECT v, SUM(in_a) AS ca, SUM(1 - in_a) AS cb, COUNT(*) AS cnt
+  FROM s GROUP BY v),
+r AS (
+  SELECT v, ca, cb, cnt,
+         SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cnt
+           AS cum_before
+  FROM g),
+agg AS (
+  SELECT SUM(ca) AS n_a, SUM(cb) AS n_b,
+         SUM(ca * (2 * cum_before + cnt + 1)) AS r2a,
+         SUM(cnt * cnt * cnt - cnt) AS tie3
+  FROM r)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2,
+       round(
+         (CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+          - CAST(n_a AS DOUBLE) * n_b / 2.0)
+         / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                * ((n_a + n_b + 1)
+                   - CAST(tie3 AS DOUBLE)
+                     / ((n_a + n_b) * (n_a + n_b - 1.0)))),
+         6) AS z_score
+FROM agg
+"""
+
+
+@query("mannwhitney_u_acctbal", _MANNWHITNEY_ORACLE)
+def mannwhitney_u_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test between two segments' balances — the
+    nonparametric counterpart to `welch_ttest_acctbal`, with tie-corrected
+    normal approximation. The rank sum stays INTEGER throughout (2*R_A =
+    sum ca*(2*cum_before + cnt + 1) over per-distinct-value counts with
+    the distributed running sum from the KS query); only the final
+    z-score divides. No single-partition window."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    in_a = (F.col("c_mktsegment") == "BUILDING").cast("long")
+    g = (
+        c.select(F.col("c_acctbal").alias("v"), in_a.alias("in_a"))
+        .groupBy("v")
+        .agg(
+            F.sum("in_a").alias("ca"),
+            F.sum(F.lit(1) - F.col("in_a")).alias("cb"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    r = windows.with_global_running_sums(g, ["v"], ["cnt"]).select(
+        "v", "ca", "cb", "cnt",
+        (F.col("cum_cnt") - F.col("cnt")).alias("cum_before"),
+    )
+    agg = r.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(
+            F.col("ca") * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        ).alias("r2a"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie3"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    u2 = F.col("r2a") - n_a * (n_a + 1)
+    ntot = n_a + n_b
+    z = (
+        u2.cast("double") / 2.0 - n_a.cast("double") * n_b / 2.0
+    ) / F.sqrt(
+        n_a.cast("double") * n_b / 12.0
+        * (
+            (ntot + 1)
+            - F.col("tie3").cast("double") / (ntot * (ntot - F.lit(1.0)))
+        )
+    )
+    return agg.select(
+        n_a.cast("bigint").alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        u2.cast("bigint").alias("u2"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================

@@ -623,3 +623,39 @@ def test_connected_components_known_graphs(spark):
     path = [(i, i + 1) for i in range(100)]
     got = comp(path)
     assert set(got.values()) == {0} and len(got) == 101
+
+
+def test_mannwhitney_matches_independent_reference(spark):
+    """The distributed U statistic equals a serial, independently-written
+    average-rank implementation on the same data (guards against a
+    same-formula-twice bug between the query and its SQL oracle)."""
+    import math
+
+    from etl_bigquery_pipeline_spark.plans import catalog
+
+    df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    rows = df.filter(
+        "c_mktsegment IN ('BUILDING','MACHINERY')"
+    ).select("c_mktsegment", "c_acctbal").collect()
+    a = sorted(r.c_acctbal for r in rows if r.c_mktsegment == "BUILDING")
+    b = sorted(r.c_acctbal for r in rows if r.c_mktsegment == "MACHINERY")
+    # serial reference: sort combined, assign average ranks, sum over A
+    combined = sorted([(v, 0) for v in a] + [(v, 1) for v in b])
+    ranks = {}
+    i = 0
+    while i < len(combined):
+        j = i
+        while j < len(combined) and combined[j][0] == combined[i][0]:
+            j += 1
+        avg_rank = (i + 1 + j) / 2.0  # mean of ranks i+1..j
+        ranks[combined[i][0]] = avg_rank
+        i = j
+    r_a = sum(ranks[v] for v in a)
+    u_a = r_a - len(a) * (len(a) + 1) / 2.0
+
+    got = catalog.QUERIES["mannwhitney_u_acctbal"](
+        spark, "/root/testdata/sf0.001"
+    ).first()
+    assert got.n_a == len(a) and got.n_b == len(b)
+    assert got.u2 == int(round(2 * u_a))
+    assert math.isfinite(got.z_score)
