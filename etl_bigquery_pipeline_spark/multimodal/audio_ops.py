@@ -79,7 +79,11 @@ def parse_wav_header(
             _fmt, ch, sr = struct.unpack("<HHI", payload[i + 8 : i + 16])
             (bits,) = struct.unpack("<H", payload[i + 22 : i + 24])
         elif cid == b"data" and ch and bits:
-            n_frames = clen // (ch * (bits // 8))
+            if bits >= 8:
+                n_frames = clen // (ch * (bits // 8))
+            else:  # sub-byte codecs (4-bit ADPCM): nibble estimate,
+                # ignoring block headers — decode_wav owns exact framing
+                n_frames = clen * (8 // bits) // ch
         i += 8 + clen + (clen % 2)  # chunks are word-aligned
     return "wav", sr, ch, bits, n_frames, n
 
@@ -106,6 +110,68 @@ def _g711_table(*, mu: bool) -> "np.ndarray":
     return np.where(sign == 1, mag, -mag)
 
 
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def _ima_step(pred: int, idx: int, n: int) -> tuple[int, int]:
+    """One IMA ADPCM nibble: (new predictor, new step index)."""
+    step = _IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if n & 1:
+        diff += step >> 2
+    if n & 2:
+        diff += step >> 1
+    if n & 4:
+        diff += step
+    pred = pred - diff if n & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX_TABLE[n & 7]))
+    return pred, idx
+
+
+def _decode_ima_adpcm(raw: bytes, ch: int, block_align: int) -> "np.ndarray":
+    """IMA/DVI ADPCM (WAV format 0x11) block decode -> int16 samples,
+    channel-interleaved. Per block and channel: a 4-byte header
+    (predictor int16, step index, reserved) then nibble data; stereo
+    alternates 4-byte (8-nibble) groups per channel. Low nibble first."""
+    if block_align <= 4 * ch:
+        raise ValueError(f"bad ADPCM block_align {block_align}")
+    out: list[int] = []
+    for b0 in range(0, len(raw) - 4 * ch + 1, block_align):
+        block = raw[b0 : b0 + block_align]
+        pred = [0] * ch
+        idx = [0] * ch
+        chans: list[list[int]] = []
+        for c in range(ch):
+            o = 4 * c
+            (p,) = struct.unpack("<h", block[o : o + 2])
+            ix = min(88, block[o + 2])
+            pred[c], idx[c] = p, ix
+            chans.append([p])  # the header predictor IS sample 0
+        data = block[4 * ch :]
+        # nibbles arrive in 4-byte per-channel groups
+        for g0 in range(0, len(data) - 4 * ch + 1, 4 * ch):
+            for c in range(ch):
+                for byte in data[g0 + 4 * c : g0 + 4 * c + 4]:
+                    for n in (byte & 0x0F, byte >> 4):
+                        pred[c], idx[c] = _ima_step(pred[c], idx[c], n)
+                        chans[c].append(pred[c])
+        frames = min(len(s) for s in chans)
+        for f in range(frames):
+            for c in range(ch):
+                out.append(chans[c][f])
+    return np.asarray(out, dtype=np.int16)
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """(samples float32 [-1,1] of shape (frames, channels), sample_rate).
 
@@ -125,11 +191,16 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     i, n = 12, len(payload)
     raw = None
     audio_fmt = 1
+    block_align = 0
     while i + 8 <= n:
         cid = payload[i : i + 4]
         (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
         if cid == b"fmt ":
             (audio_fmt,) = struct.unpack("<H", payload[i + 8 : i + 10])
+            if clen >= 14:
+                (block_align,) = struct.unpack(
+                    "<H", payload[i + 20 : i + 22]
+                )
         elif cid == b"data":
             raw = payload[i + 8 : i + 8 + clen]
             break
@@ -149,6 +220,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         # byte-for-byte against the CPython audioop reference in tests
         table = _g711_table(mu=audio_fmt == 7)
         x = table[np.frombuffer(raw, dtype=np.uint8)].astype(np.float32) / 32768.0
+    elif audio_fmt == 0x11 and bits == 4:
+        # IMA/DVI ADPCM: 4-bit block-coded, pure-integer state machine
+        pcm = _decode_ima_adpcm(raw, ch, block_align)
+        return pcm.astype(np.float32).reshape(-1, ch) / 32768.0, sr
     else:
         raise NotImplementedError(
             f"WAV audio_format={audio_fmt} bits={bits} needs an external codec"

@@ -391,6 +391,21 @@ def decode_image(payload: bytes) -> "object":
     required library — the same signature a PIL-backed decode slots
     into.
     """
+    import zlib
+
+    import numpy as np
+
+    # truncated/corrupt streams surface as zlib/struct/index errors deep
+    # in the codecs; normalize them to ValueError so the batch paths
+    # (resize_images, audio/feature extractors) can pass malformed
+    # payloads through instead of crashing the whole Spark task
+    try:
+        return _decode_image_inner(payload)
+    except (zlib.error, struct.error, IndexError) as e:
+        raise ValueError(f"corrupt or truncated image payload: {e}") from e
+
+
+def _decode_image_inner(payload: bytes) -> "object":
     import numpy as np
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":

@@ -137,3 +137,113 @@ def test_g711_mulaw_alaw_decode_matches_audioop():
     assert sr == 8000 and y.shape == (len(x), 1)
     # mu-law is ~14-bit log PCM: generous but meaningful tolerance
     assert np.abs(y[:, 0] - x).max() < 0.02
+
+
+def _encode_ima_wav(samples, sr, groups_per_block=8):
+    """IMA ADPCM WAV encoder for fixtures: spec quantizer, per-block
+    headers carrying (predictor, step index). Returns (payload,
+    reconstruction int16 array) — the reconstruction is the predictor
+    sequence a correct decoder must reproduce EXACTLY."""
+    import struct
+
+    import numpy as np
+
+    from etl_bigquery_pipeline_spark.multimodal.audio_ops import (
+        _IMA_STEP_TABLE,
+        _ima_step,
+    )
+
+    samples = np.asarray(samples, dtype=np.int16)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    frames, ch = samples.shape
+    fpb = 1 + 8 * groups_per_block
+    block_align = 4 * ch * (1 + groups_per_block)
+    data = bytearray()
+    recon = []
+    idx = [0] * ch
+    f = 0
+    while f + fpb <= frames:
+        pred = [int(samples[f, c]) for c in range(ch)]
+        for c in range(ch):
+            data += struct.pack("<hBB", pred[c], idx[c], 0)
+        block_recon = [list(pred[c : c + 1]) for c in range(ch)]
+        nibbles = [[] for _ in range(ch)]
+        for k in range(1, fpb):
+            for c in range(ch):
+                step = _IMA_STEP_TABLE[idx[c]]
+                diff = int(samples[f + k, c]) - pred[c]
+                n = 0
+                if diff < 0:
+                    n = 8
+                    diff = -diff
+                if diff >= step:
+                    n |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    n |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    n |= 1
+                pred[c], idx[c] = _ima_step(pred[c], idx[c], n)
+                nibbles[c].append(n)
+                block_recon[c].append(pred[c])
+        for g in range(groups_per_block):
+            for c in range(ch):
+                for j in range(4):
+                    lo = nibbles[c][g * 8 + 2 * j]
+                    hi = nibbles[c][g * 8 + 2 * j + 1]
+                    data.append(lo | (hi << 4))
+        for k in range(fpb):
+            for c in range(ch):
+                recon.append(block_recon[c][k])
+        f += fpb
+    fmt = struct.pack(
+        "<HHIIHH", 0x11, ch, sr, sr * block_align // fpb, block_align, 4
+    )
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+    return payload, np.asarray(recon, dtype=np.int16).reshape(-1, ch)
+
+
+def test_ima_adpcm_decode_exact_and_faithful():
+    """decode_wav reproduces the encoder's predictor sequence exactly
+    (container/packing/state machine), and the lossy round-trip still
+    correlates >0.99 with the source sine (independent fidelity check)."""
+    import numpy as np
+
+    from etl_bigquery_pipeline_spark.multimodal import audio_ops
+
+    t = np.arange(2000)
+    sine = (np.sin(t / 20.0) * 12000).astype(np.int16)
+    payload, recon = _encode_ima_wav(sine, 8000)
+    got, sr = audio_ops.decode_wav(payload)
+    assert sr == 8000
+    got_i16 = np.round(got[:, 0] * 32768.0).astype(np.int64)
+    assert len(got_i16) == len(recon)
+    assert np.array_equal(got_i16, recon[:, 0].astype(np.int64))
+    m = min(len(got_i16), len(sine))
+    corr = np.corrcoef(got_i16[:m], sine[:m].astype(np.int64))[0, 1]
+    assert corr > 0.99
+
+
+def test_ima_adpcm_stereo_channels_independent():
+    import numpy as np
+
+    from etl_bigquery_pipeline_spark.multimodal import audio_ops
+
+    t = np.arange(1500)
+    left = (np.sin(t / 15.0) * 9000).astype(np.int16)
+    right = (np.sin(t / 40.0 + 1.0) * 5000).astype(np.int16)
+    stereo = np.stack([left, right], axis=1)
+    payload, recon = _encode_ima_wav(stereo, 16000)
+    got, sr = audio_ops.decode_wav(payload)
+    assert sr == 16000 and got.shape[1] == 2
+    got_i16 = np.round(got * 32768.0).astype(np.int64)
+    assert np.array_equal(got_i16, recon.astype(np.int64))
+    m = len(got_i16)
+    assert np.corrcoef(got_i16[:, 0], left[:m].astype(np.int64))[0, 1] > 0.99
+    assert np.corrcoef(got_i16[:, 1], right[:m].astype(np.int64))[0, 1] > 0.99

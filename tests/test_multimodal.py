@@ -554,3 +554,27 @@ def test_progressive_jpeg_eob_runs_on_smooth_images():
     base = binary_ops.decode_image(encode_baseline_jpeg(flat))
     got = binary_ops.decode_image(encode_progressive_jpeg(flat, script="sa"))
     assert np.array_equal(got, base)
+
+
+def test_truncated_compressed_payloads_fail_cleanly():
+    """Truncation must raise (ValueError/NotImplementedError), never hang
+    or return garbage silently — the resize/feature paths rely on this
+    contract to pass malformed payloads through."""
+    from tests.gif_fixture import encode_gif
+    from tests.jpeg_fixture import encode_progressive_jpeg
+
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    rows = rng.randint(0, 16, (12, 12)).astype(np.uint8)
+    gif = encode_gif(rows, pal)
+    prog = encode_progressive_jpeg(_rng_image(16, 16))
+    png = _encode_png(_rng_image(8, 8), [1, 2], interlace=True)
+    for payload in (gif, prog, png):
+        for cut in (len(payload) // 4, len(payload) // 2, len(payload) - 3):
+            try:
+                out = binary_ops.decode_image(payload[:cut])
+                # a decode that "succeeds" on a truncated stream must at
+                # least produce the declared canvas, never crash later
+                assert out.ndim == 3 and out.shape[2] == 3
+            except (ValueError, NotImplementedError, IndexError):
+                pass
