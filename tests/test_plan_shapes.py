@@ -285,3 +285,55 @@ def test_repeat_rate_broadcasts_dimension(spark, sf_dir):
     plan = _plan(spark, "repeat_purchase_rate_by_segment", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_logreg_scoring_is_pure_projection(spark, sf_dir):
+    """Scoring under trained weights must be one scan + projection: no
+    Exchange, no join, no Python UDF in the plan."""
+    from etl_bigquery_pipeline_spark.operators import quality_model
+    from etl_bigquery_pipeline_spark.sources.readers import read_table
+
+    feats = quality_model.doc_features(read_table(spark, sf_dir, "documents"))
+    scored = quality_model.score_documents(
+        feats, [0.1, 0.2, 0.1, -0.05]
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_bloom_prune_and_truncated_topk_broadcast_not_shuffle(spark, sf_dir):
+    plan = _plan(spark, "bloom_pruned_join_parity", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    plan = _plan(spark, "truncated_dim_topk", sf_dir)
+    # candidates and queries broadcast back to the corpus scan: the
+    # corpus must never reach a sort-merge join
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_and_mannwhitney_have_no_global_window(spark, sf_dir):
+    for name in ("ks_two_sample_acctbal", "mannwhitney_u_acctbal"):
+        plan = _plan(spark, name, sf_dir)
+        # running sums ride the range-partition + offsets helper; a bare
+        # Window.orderBy would show as an empty partition spec
+        assert "Window [" not in plan or "partitionBy" not in plan
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition()" in line:
+                raise AssertionError(f"global window in {name}: {line}")
+
+
+def test_graph_queries_plan_hash_joins_only(spark, sf_dir):
+    for name in ("copurchase_triangles", "copurchase_pagerank_top20",
+                 "copurchase_components"):
+        plan = _plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bpe_token_counts_broadcasts_vocab(spark, sf_dir):
+    plan = _plan(spark, "bpe_token_counts", sf_dir)
+    # the segmented vocab joins back to the exploded corpus by broadcast;
+    # the corpus side must not sort-merge
+    assert "BroadcastHashJoin" in plan
