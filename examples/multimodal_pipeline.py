@@ -83,6 +83,19 @@ def _demo_corpus(spark):
         rows.append((i, "image", encode_baseline_jpeg(base // 2 * 2)))
     rows.append((10, "image", binary_ops.encode_ppm(rng.randint(0, 255, (16, 16, 3)).astype("uint8"))))
     rows.append((11, "image", bmp(rng.randint(0, 255, (12, 12, 3)).astype("uint8"))))
+    # the full decode matrix: progressive JPEG, Adam7 PNG, GIF
+    from gif_fixture import encode_gif
+    from jpeg_fixture import encode_progressive_jpeg
+    from test_multimodal import _encode_png
+
+    rows.append((12, "image", encode_progressive_jpeg(
+        rng.randint(0, 200, (20, 20, 3)).astype(np.uint8), script="sa")))
+    rows.append((13, "image", _encode_png(
+        rng.randint(0, 255, (14, 14, 3)).astype(np.uint8), [0, 1, 2, 3, 4],
+        interlace=True)))
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    rows.append((14, "image", encode_gif(
+        rng.randint(0, 16, (10, 10)).astype(np.uint8), pal)))
     frames = [
         encode_baseline_jpeg(
             np.full((16, 16, 3), (40 * k, 80, 120), dtype=np.uint8)

@@ -217,9 +217,10 @@ def test_example_multimodal_pipeline_runs(spark, tmp_path):
 
     out = str(tmp_path / "mm")
     stats = run(spark, out)
-    assert stats["n_payloads"] == 10
-    assert stats["n_resized"] == 10  # 8 images + 2 sampled MJPEG frames
+    assert stats["n_payloads"] == 13
+    # 11 images (incl. progressive JPEG, Adam7 PNG, GIF) + 2 MJPEG frames
+    assert stats["n_resized"] == 13
     assert stats["n_candidate_pairs"] >= 0
     back = spark.read.parquet(out)
-    assert back.filter("resized").count() == 10
+    assert back.filter("resized").count() == 13
     assert set(back.columns) == {"id", "payload", "width", "height", "resized"}
