@@ -22,6 +22,16 @@ SF0001 = "/root/testdata/sf0.001"
 # The driver samples the first N registered queries per round. Queries that
 # do not yet have a green CORRECTNESS row in any prior round are listed here
 # so they are sampled first; everything else follows in catalog order.
+#
+# ROUND-5 NOTE: after CORRECTNESS_r04 lands, rebuild this list from the
+# still-uncovered set. Expected stragglers: the ~10 names past r04's
+# 50-sample window (embedding_norm_outliers .. lsh_cosine_topk below)
+# plus the late-round-4 additions (logreg_*, bloom_pruned_join_parity,
+# truncated_dim_*, top_bpe_merge_pairs, bpe_vocab_merges,
+# bpe_token_counts, ks_two_sample_acctbal, daily_revenue_autocorr,
+# copurchase_triangles, copurchase_pagerank_top20,
+# copurchase_components, mannwhitney_u_acctbal) — all sf0.01
+# oracle-verified green when written.
 _SAMPLE_FIRST = [
     # red row in r03 (array-column canonicalizer err, now reshaped):
     "top3_customers_nested",
