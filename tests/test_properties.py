@@ -133,7 +133,9 @@ def test_heavy_hitters_from_counts_invariants(spark, counts, k):
     assert [r.rnk for r in out] == list(range(1, min(k, len(counts)) + 1))
     ns = [r.n for r in out]
     assert ns == sorted(ns, reverse=True)
-    assert sum(r.share for r in out) <= 1.0 + 1e-6
+    # each share is rounded to 6 decimals, so the sum can exceed 1.0 by
+    # up to half an ulp-of-rounding per row
+    assert sum(r.share for r in out) <= 1.0 + 5e-7 * max(len(out), 1)
     cums = [r.cum_share for r in out]
     assert all(b >= a - 1e-9 for a, b in zip(cums, cums[1:]))
     assert abs(cums[-1] - sum(r.share for r in out)) < 1e-4
