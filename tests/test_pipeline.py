@@ -224,3 +224,21 @@ def test_example_multimodal_pipeline_runs(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.filter("resized").count() == 13
     assert set(back.columns) == {"id", "payload", "width", "height", "resized"}
+
+
+def test_example_continuous_ingest_runs(spark, tmp_path):
+    """The continuous-ingest example end-to-end: bootstrap (index +
+    trained model + data-driven threshold), one drained stream, correct
+    batch triage."""
+    import sys
+
+    sys.path.insert(0, "examples")
+    try:
+        from continuous_ingest import INDEX_TABLE, run
+    finally:
+        sys.path.pop(0)
+
+    stats = run(spark, "/root/testdata/sf0.001", str(tmp_path / "ci"))
+    assert stats == {"curated": 1, "duplicates": 2, "rejects": 1}
+    spark.sql(f"DROP TABLE IF EXISTS {INDEX_TABLE}")
+    spark.sql(f"DROP TABLE IF EXISTS {INDEX_TABLE}__meta")
