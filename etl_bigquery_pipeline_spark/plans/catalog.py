@@ -7170,6 +7170,56 @@ def mannwhitney_u_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNIGRAM_XENT_ORACLE = """
+WITH dw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                t -> t <> '')) AS word
+  FROM documents),
+vocab AS (SELECT word, COUNT(*) AS wc FROM dw GROUP BY word),
+tot AS (SELECT SUM(wc) AS n, COUNT(*) AS v FROM vocab),
+lp AS (
+  SELECT word, ln((wc + 1) / CAST(t.n + t.v AS DOUBLE)) AS logp
+  FROM vocab CROSS JOIN tot t)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(-AVG(l.logp), 6) AS xent
+FROM dw d JOIN lp l ON d.word = l.word
+GROUP BY d.doc_id
+"""
+
+
+@query("unigram_xent_scores", _UNIGRAM_XENT_ORACLE)
+def unigram_xent_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own add-one-smoothed
+    unigram LM — the perplexity-proxy quality signal (CCNet-style: docs
+    whose token distribution diverges from the corpus score high). One
+    corpus-token shuffle builds the vocab, log-probs join back by word
+    (vocab-bounded), per-doc mean via map-side partial aggregation. Only
+    the per-doc AVG is merge-order-sensitive — rounded at 6."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    dw = d.select("doc_id", F.explode(toks).alias("word"))
+    vocab = dw.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    tot = vocab.agg(
+        F.sum("wc").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.log(
+            (F.col("wc") + 1) / (F.col("n") + F.col("v")).cast("double")
+        ).alias("logp"),
+    )
+    return (
+        dw.join(lp, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(-F.avg("logp"), 6).alias("xent"),
+        )
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================

@@ -659,3 +659,41 @@ def test_mannwhitney_matches_independent_reference(spark):
     assert got.n_a == len(a) and got.n_b == len(b)
     assert got.u2 == int(round(2 * u_a))
     assert math.isfinite(got.z_score)
+
+
+def test_unigram_xent_matches_independent_reference(spark):
+    """The distributed cross-entropy equals a serial pure-python unigram
+    LM on the same corpus (independent implementation, exact to 6dp)."""
+    import math
+    from collections import Counter
+
+    from etl_bigquery_pipeline_spark.plans import catalog
+
+    docs = {
+        r.doc_id: r.text.split()
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).collect()
+    }
+    vocab = Counter(w for toks in docs.values() for w in toks)
+    n = sum(vocab.values())
+    v = len(vocab)
+    want = {
+        d: round(
+            -sum(math.log((vocab[w] + 1) / (n + v)) for w in toks)
+            / len(toks),
+            6,
+        )
+        for d, toks in docs.items()
+        if toks
+    }
+    got = {
+        r.doc_id: r.xent
+        for r in catalog.QUERIES["unigram_xent_scores"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(got) == set(want)
+    off = [d for d in want if abs(got[d] - want[d]) > 2e-6]
+    assert not off, off[:5]
+    assert all(x > 0 for x in got.values())
