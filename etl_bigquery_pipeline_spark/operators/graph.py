@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_bigquery_pipeline_spark.operators.caching import scoped_cache
+
 
 def undirected_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
     """Canonicalize to distinct (u, v) with u < v (self-loops dropped)."""
@@ -59,7 +61,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     """One row (n_edges, n_triangles). Wedge join on the oriented graph
     (src shared), closed by a second join checking the far edge — each
     triangle materializes exactly once at its (degree,id)-minimal apex."""
-    oriented = orient_by_degree(edges)
+    # both stages re-consume the (often expensive) edge lineage and the
+    # oriented projection: cache them for the duration of the caller's
+    # cache_scope instead of recomputing the edge build three times
+    edges = scoped_cache(edges)
+    oriented = scoped_cache(orient_by_degree(edges))
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     # unordered far pair, canonicalized to id order so the closure is a
@@ -94,10 +100,17 @@ def pagerank_scaled(
     lineage is truncated per round (localCheckpoint, |V| rows) — the same
     iterative-algorithm hygiene as the k-means tier. On an undirected
     graph every vertex has degree >= 1, so there is no dangling mass."""
-    adj = edges.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # the adjacency and degree tables are loop-invariant; without a
+    # cache every iteration replays the full edge build
+    adj = scoped_cache(
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+    )
+    deg = scoped_cache(
+        adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    )
     pr = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
     for _ in range(iters):
         contrib = (
