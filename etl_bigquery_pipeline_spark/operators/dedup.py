@@ -595,6 +595,10 @@ def simhash_near_dup_pairs(
     banded = sh.select(id_col, "__sh", F.explode(band_arr).alias("band_key"))
     if max_band_bucket is not None:
         banded = _drop_hot_buckets(banded, ["band_key"], max_band_bucket)
+    # the md5-per-token fingerprint pass is the expensive stage and the
+    # self-join consumes it on BOTH sides; without a cache Spark computes
+    # it twice (no exchange reuse once AQE broadcasts one side)
+    banded = scoped_cache(banded)
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
         l.join(
