@@ -4364,7 +4364,9 @@ def kmeans_inertia_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each iteration is one lazy plan. Gate: inertia must be
     non-increasing (Lloyd guarantee — violated only if the steps are
     miswired), checked with a tolerance for float merge order."""
-    e = _t(spark, sf_dir, "embeddings")
+    # every Lloyd round consumes e for assign AND re-center; cache the
+    # (small) vector table instead of rescanning parquet 7 times
+    e = scoped_cache(_t(spark, sf_dir, "embeddings"))
     cent = _centroids(e)
     inertias = []
     for _ in range(3):
