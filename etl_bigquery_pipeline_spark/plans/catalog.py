@@ -7222,6 +7222,97 @@ def unigram_xent_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _leakage_safe_split_oracle() -> str:
+    """Extend the cluster-closure oracle: split by CLUSTER key so near-dup
+    clusters can never straddle train/test."""
+    hexs = "0123456789abcdef"
+    terms = " + ".join(
+        f"(strpos('{hexs}', substring(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    tail = (
+        "SELECT node AS doc_id, MIN(label) AS cluster_id "
+        "FROM reach GROUP BY node"
+    )
+    assert tail in _CLUSTERS_ORACLE
+    return _CLUSTERS_ORACLE.replace(
+        tail,
+        f""",
+clusters AS ({tail}),
+assigned AS (
+  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS gkey
+  FROM docs d LEFT JOIN clusters cl ON d.doc_id = cl.doc_id),
+bkt AS (
+  SELECT doc_id, gkey,
+         substring(md5('split:' || CAST(gkey AS VARCHAR)), 1, 8) AS h
+  FROM assigned),
+vv AS (SELECT doc_id, gkey, ({terms}) % 10000 AS bucket FROM bkt),
+ss AS (
+  SELECT doc_id, gkey,
+         CASE WHEN bucket < 8000 THEN 'train'
+              WHEN bucket < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM vv),
+leak AS (
+  SELECT COUNT(*) AS n_span FROM (
+    SELECT gkey FROM ss GROUP BY gkey
+    HAVING COUNT(DISTINCT split) > 1))
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST((SELECT n_span FROM leak) AS BIGINT) AS n_spanning_clusters
+FROM ss GROUP BY split""",
+    )
+
+
+@query("leakage_safe_split", _leakage_safe_split_oracle())
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: docs are first closed into
+    near-dup clusters (minhash pairs -> pointer-doubled components), then
+    the md5 hash split keys on the CLUSTER id — so a document and its
+    near-copies can never straddle train and test (the classic silent
+    leakage path that inflates eval numbers). Unclustered docs key on
+    their own id. Emits per-split counts plus the spanning-cluster count
+    (zero by construction, verified through both engines)."""
+    from etl_bigquery_pipeline_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
+    )
+    corpus = d.unionAll(planted)
+    pairs = dedup.minhash_near_dup_pairs(
+        corpus, "doc_id", "text",
+        num_hashes=16, bands=4, shingle_n=3, threshold=0.6,
+        max_band_bucket=None,  # exact-recall parity with the SQL replay
+    )
+    clusters = dedup.near_dup_clusters(pairs)
+    assigned = corpus.join(
+        clusters.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("gkey"),
+    )
+    split = sampling.hash_split(
+        assigned, "gkey", weights={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    leak = (
+        split.groupBy("gkey")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.sum((F.col("ns") > 1).cast("long")).alias("n_span")
+        )
+    )
+    return (
+        split.groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "split", "n_docs",
+            F.col("n_span").cast("bigint").alias("n_spanning_clusters"),
+        )
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================

@@ -153,3 +153,43 @@ def test_weighted_sample_deterministic_and_monotone(spark, sf_dir):
     half = {r.doc_id for r in sampling.weighted_sample(d, F.lit(0.4), "doc_id").collect()}
     more = {r.doc_id for r in sampling.weighted_sample(d, F.lit(0.8), "doc_id").collect()}
     assert half <= more
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Planted near-copies must land in the SAME split as their source
+    doc (cluster-keyed assignment), and the spanning count is zero."""
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.plans import catalog
+
+    out = {r.split: (r.n_docs, r.n_spanning_clusters)
+           for r in catalog.QUERIES["leakage_safe_split"](
+               spark, "/root/testdata/sf0.001").collect()}
+    assert sum(n for n, _ in out.values()) > 0
+    assert all(s == 0 for _, s in out.values())
+    # independent check of the invariant: recompute cluster->splits map
+    from etl_bigquery_pipeline_spark.operators import dedup, sampling
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
+    )
+    corpus = d.unionAll(planted)
+    pairs = dedup.minhash_near_dup_pairs(
+        corpus, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3,
+        threshold=0.6, max_band_bucket=None,
+    )
+    clusters = dedup.near_dup_clusters(pairs)
+    assigned = corpus.join(
+        clusters.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select("doc_id", F.coalesce("cluster_id", "doc_id").alias("gkey"))
+    split = sampling.hash_split(
+        assigned, "gkey", weights={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    split_of = {r.doc_id: r.split for r in split.collect()}
+    planted_ids = [r.doc_id for r in planted.collect()]
+    assert planted_ids
+    for pid in planted_ids:
+        assert split_of[pid] == split_of[pid - 1000000], pid
