@@ -138,6 +138,9 @@ BENCH_QUERIES = [
     "ks_two_sample_acctbal",
     "daily_revenue_autocorr",
     "copurchase_triangles",
+    # round-4 wave 5: LM quality signal, leakage-safe splitting
+    "unigram_xent_scores",
+    "leakage_safe_split",
 ]
 
 
