@@ -7313,6 +7313,135 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIGRAM_XENT_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts
+  FROM documents),
+dw AS (SELECT doc_id, unnest(ts) AS word FROM tok),
+uni AS (SELECT word, COUNT(*) AS c1 FROM dw GROUP BY word),
+tot AS (SELECT SUM(c1) AS n, COUNT(*) AS v FROM uni),
+bg AS (
+  SELECT unnest([ts[i] || ' ' || ts[i+1]
+                 for i in generate_series(1, len(ts) - 1)]) AS bigram
+  FROM tok),
+big AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram),
+probes AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'orig' ELSE 'reversed' END AS kind,
+         CASE WHEN doc_id % 2 = 0 THEN ts ELSE list_reverse(ts) END AS ts
+  FROM tok),
+pb AS (
+  SELECT doc_id, kind,
+         unnest([{'w1': ts[i], 'w2': ts[i+1]}
+                 for i in generate_series(1, len(ts) - 1)]) AS p
+  FROM probes),
+scored AS (
+  SELECT pb.doc_id, pb.kind,
+         CASE WHEN b.c2 IS NOT NULL
+              THEN ln(b.c2 / CAST(u1.c1 AS DOUBLE))
+              ELSE ln(0.4) + ln((COALESCE(u2.c1, 0) + 1)
+                                / CAST(t.n + t.v AS DOUBLE))
+         END AS logp
+  FROM pb
+  LEFT JOIN big b ON b.bigram = p.w1 || ' ' || p.w2
+  JOIN uni u1 ON u1.word = p.w1
+  LEFT JOIN uni u2 ON u2.word = p.w2
+  CROSS JOIN tot t),
+per_doc AS (
+  SELECT doc_id, kind, round(-AVG(logp), 6) AS xent2
+  FROM scored GROUP BY doc_id, kind)
+SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(AVG(xent2), 6) AS avg_xent2
+FROM per_doc GROUP BY kind
+"""
+
+
+@query("bigram_backoff_xent", _BIGRAM_XENT_ORACLE)
+def bigram_backoff_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM with stupid backoff (Brants et al. 2007, public):
+    P(w2|w1) = c(w1 w2)/c(w1), backing off to 0.4 * add-one unigram when
+    the bigram is unseen. Probes: every even doc as-is (all bigrams in-
+    corpus), every odd doc TOKEN-REVERSED (novel bigrams force the
+    backoff path) — reversed text must score strictly worse, the
+    word-order sensitivity a unigram LM cannot see. Counts corpus-token-
+    bounded; probe scoring joins by bigram/word keys; only the AVGs are
+    merge-order-sensitive (rounded 6)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    tok = d.select("doc_id", toks.alias("ts")).transform(scoped_cache)
+    dw = tok.select("doc_id", F.explode("ts").alias("word"))
+    uni = dw.groupBy("word").agg(F.count(F.lit(1)).alias("c1")).transform(
+        scoped_cache
+    )
+    tot = uni.agg(F.sum("c1").alias("n"), F.count(F.lit(1)).alias("v"))
+    bigrams_of = F.expr(
+        "zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    big = (
+        tok.select(F.explode(bigrams_of).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    probes = tok.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "orig")
+        .otherwise("reversed")
+        .alias("kind"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("ts"))
+        .otherwise(F.reverse("ts"))
+        .alias("ts"),
+    )
+    pairs = probes.select(
+        "doc_id", "kind",
+        F.explode(
+            F.expr(
+                "zip_with(slice(ts, 1, size(ts) - 1), "
+                "slice(ts, 2, size(ts) - 1), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "kind", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    scored = (
+        pairs.join(
+            big,
+            F.concat(F.col("w1"), F.lit(" "), F.col("w2"))
+            == F.col("bigram"),
+            "left",
+        )
+        .join(uni.withColumnsRenamed({"word": "w1", "c1": "c1_w1"}), "w1")
+        .join(
+            uni.withColumnsRenamed({"word": "w2", "c1": "c1_w2"}),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id", "kind",
+            F.when(
+                F.col("c2").isNotNull(),
+                F.log(F.col("c2") / F.col("c1_w1").cast("double")),
+            )
+            .otherwise(
+                F.log(F.lit(0.4))
+                + F.log(
+                    (F.coalesce(F.col("c1_w2"), F.lit(0)) + 1)
+                    / (F.col("n") + F.col("v")).cast("double")
+                )
+            )
+            .alias("logp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "kind").agg(
+        F.round(-F.avg("logp"), 6).alias("xent2")
+    )
+    return per_doc.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("xent2"), 6).alias("avg_xent2"),
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================

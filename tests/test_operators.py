@@ -697,3 +697,59 @@ def test_unigram_xent_matches_independent_reference(spark):
     off = [d for d in want if abs(got[d] - want[d]) > 2e-6]
     assert not off, off[:5]
     assert all(x > 0 for x in got.values())
+
+
+def test_bigram_backoff_matches_independent_reference(spark):
+    """Distributed bigram-LM scoring equals a serial pure-python stupid-
+    backoff implementation, and reversed probes score worse than
+    originals (word-order sensitivity the unigram LM cannot see)."""
+    import math
+    from collections import Counter
+
+    from etl_bigquery_pipeline_spark.plans import catalog
+
+    docs = {
+        r.doc_id: r.text.split()
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).collect()
+    }
+    uni = Counter(w for ts in docs.values() for w in ts)
+    n, v = sum(uni.values()), len(uni)
+    big = Counter(
+        (ts[i], ts[i + 1]) for ts in docs.values() for i in range(len(ts) - 1)
+    )
+
+    def score(ts):
+        lps = []
+        for i in range(len(ts) - 1):
+            w1, w2 = ts[i], ts[i + 1]
+            if (w1, w2) in big:
+                lps.append(math.log(big[(w1, w2)] / uni[w1]))
+            else:
+                lps.append(
+                    math.log(0.4) + math.log((uni.get(w2, 0) + 1) / (n + v))
+                )
+        return round(-sum(lps) / len(lps), 6)
+
+    by_kind = {"orig": [], "reversed": []}
+    for d, ts in docs.items():
+        if len(ts) < 2:
+            continue
+        if d % 2 == 0:
+            by_kind["orig"].append(score(ts))
+        else:
+            by_kind["reversed"].append(score(list(reversed(ts))))
+    want = {
+        k: (len(vs), round(sum(vs) / len(vs), 6)) for k, vs in by_kind.items()
+    }
+    got = {
+        r.kind: (r.n_docs, r.avg_xent2)
+        for r in catalog.QUERIES["bigram_backoff_xent"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 5e-6, (k, got[k], want[k])
+    assert got["reversed"][1] > got["orig"][1]
