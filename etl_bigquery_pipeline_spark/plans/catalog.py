@@ -7442,6 +7442,77 @@ def bigram_backoff_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SOURCE_PROFILE_ORACLE = """
+WITH dw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                t -> t <> '')) AS word
+  FROM documents),
+vocab AS (SELECT word, COUNT(*) AS wc FROM dw GROUP BY word),
+tot AS (SELECT SUM(wc) AS n, COUNT(*) AS v FROM vocab),
+lp AS (
+  SELECT word, ln((wc + 1) / CAST(t.n + t.v AS DOUBLE)) AS logp
+  FROM vocab CROSS JOIN tot t),
+per_doc AS (
+  SELECT d.doc_id, COUNT(*) AS n_tok,
+         COUNT(DISTINCT d.word) AS n_dis,
+         round(-AVG(l.logp), 6) AS xent
+  FROM dw d JOIN lp l ON d.word = l.word
+  GROUP BY d.doc_id)
+SELECT doc.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(AVG(p.n_tok), 4) AS avg_tokens,
+       round(AVG(CAST(p.n_dis AS DOUBLE) / p.n_tok), 6)
+         AS avg_distinct_ratio,
+       round(AVG(p.xent), 6) AS avg_xent
+FROM per_doc p JOIN documents doc ON doc.doc_id = p.doc_id
+GROUP BY doc.source
+"""
+
+
+@query("source_quality_profile", _SOURCE_PROFILE_ORACLE)
+def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: document counts, token lengths,
+    lexical diversity, and unigram-LM cross-entropy rolled up by source —
+    the view that decides per-domain mixture weights and which feeds need
+    attention. Composes the xent machinery; everything after the per-doc
+    aggregate is source-cardinality-bounded."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    dw = d.select("doc_id", F.explode(toks).alias("word")).transform(
+        scoped_cache
+    )
+    vocab = dw.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    tot = vocab.agg(F.sum("wc").alias("n"), F.count(F.lit(1)).alias("v"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.log(
+            (F.col("wc") + 1) / (F.col("n") + F.col("v")).cast("double")
+        ).alias("logp"),
+    )
+    per_doc = (
+        dw.join(lp, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.countDistinct("word").alias("n_dis"),
+            F.round(-F.avg("logp"), 6).alias("xent"),
+        )
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.round(
+                F.avg(F.col("n_dis").cast("double") / F.col("n_tok")), 6
+            ).alias("avg_distinct_ratio"),
+            F.round(F.avg("xent"), 6).alias("avg_xent"),
+        )
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
