@@ -7513,6 +7513,72 @@ def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LOGREG_AUC_ORACLE = _LOGREG_ORACLE.replace(
+    "SELECT doc_id, score, score >= 0.5 AS pred_high_quality FROM scored",
+    """,
+g AS (
+  SELECT s.score, SUM(f.y) AS ca, SUM(1 - f.y) AS cb
+  FROM scored s JOIN feats f ON f.doc_id = s.doc_id
+  GROUP BY s.score),
+r AS (
+  SELECT score, ca, cb,
+         SUM(cb) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) - cb
+           AS cumb_before
+  FROM g),
+agg AS (
+  SELECT SUM(ca) AS n_pos, SUM(cb) AS n_neg,
+         SUM(ca * (2 * cumb_before + cb)) AS num2
+  FROM r)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       round(num2 / (2.0 * n_pos * n_neg), 6) AS auc
+FROM agg""",
+)
+
+
+@query("logreg_auc", _LOGREG_AUC_ORACLE)
+def logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed AUC of the learned quality model — the rank statistic
+    (P(score_pos > score_neg), ties half-credit), computed exactly via
+    per-distinct-score counts + the distributed running sum: the doubled
+    numerator sum ca*(2*cumb_before + cb) stays INTEGER, one division at
+    the end. The oracle replays training AND the rank arithmetic. At
+    scale this is a model-eval primitive that never collects a score.
+    (On THIS corpus AUC is exactly 1.0 — the label is a threshold of a
+    monotone feature, so perfect ranking is the correct answer, verified
+    through both engines; with human labels the same machinery reports
+    the honest number.)"""
+    d = _t(spark, sf_dir, "documents")
+    feats = quality_model.doc_features(d).transform(scoped_cache)
+    trained = quality_model.train_logreg(feats)
+    scored = quality_model.score_documents(feats, trained.weights)
+    g = (
+        scored.join(feats.select("doc_id", "y"), "doc_id")
+        .groupBy("score")
+        .agg(
+            F.sum("y").cast("long").alias("ca"),
+            F.sum(F.lit(1.0) - F.col("y")).cast("long").alias("cb"),
+        )
+    )
+    r = windows.with_global_running_sums(g, ["score"], ["cb"]).select(
+        "score", "ca", "cb",
+        (F.col("cum_cb") - F.col("cb")).alias("cumb_before"),
+    )
+    agg = r.agg(
+        F.sum("ca").alias("n_pos"),
+        F.sum("cb").alias("n_neg"),
+        F.sum(
+            F.col("ca") * (2 * F.col("cumb_before") + F.col("cb"))
+        ).alias("num2"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.round(
+            F.col("num2") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
+        ).alias("auc"),
+    )
+
+
 # ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
