@@ -138,9 +138,13 @@ BENCH_QUERIES = [
     "ks_two_sample_acctbal",
     "daily_revenue_autocorr",
     "copurchase_triangles",
-    # round-4 wave 5: LM quality signal, leakage-safe splitting
+    # round-4 wave 5: LM quality signals, leakage-safe splitting,
+    # model eval
     "unigram_xent_scores",
     "leakage_safe_split",
+    "bigram_backoff_xent",
+    "source_quality_profile",
+    "logreg_auc",
 ]
 
 
