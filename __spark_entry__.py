@@ -30,8 +30,15 @@ SF0001 = "/root/testdata/sf0.001"
 # truncated_dim_*, top_bpe_merge_pairs, bpe_vocab_merges,
 # bpe_token_counts, ks_two_sample_acctbal, daily_revenue_autocorr,
 # copurchase_triangles, copurchase_pagerank_top20,
-# copurchase_components, mannwhitney_u_acctbal) — all sf0.01
-# oracle-verified green when written.
+# copurchase_components, mannwhitney_u_acctbal, and the wave 5-6
+# additions: unigram_xent_scores, bigram_backoff_xent,
+# source_quality_profile, logreg_auc, leakage_safe_split,
+# prefix_jaccard_pairs, hard_negative_mining, corpus_datasheet,
+# epoch_shuffle_order, length_bucket_batches, candidate_key_profile,
+# logreg_calibration_bins, quarantine_counts,
+# compression_quality_gate; compression_ratio_quality is rows-only by
+# design, zlib is not SQL-expressible) — all sf0.01 oracle-verified
+# green when written.
 _SAMPLE_FIRST = [
     # red row in r03 (array-column canonicalizer err, now reshaped):
     "top3_customers_nested",

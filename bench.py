@@ -145,6 +145,17 @@ BENCH_QUERIES = [
     "bigram_backoff_xent",
     "source_quality_profile",
     "logreg_auc",
+    # round-4 wave 6: prefix-filter similarity join (the scale-critical
+    # one — exact near-dup without LSH), hard negatives, datasheet,
+    # epoch ordering (representatives; the rest land in coverage)
+    "prefix_jaccard_pairs",
+    "hard_negative_mining",
+    "corpus_datasheet",
+    "epoch_shuffle_order",
+    # round-4 wave 7: quarantine + the Arrow-batch zlib signal (the one
+    # Python-UDF hot path in the catalog — its cost must stay visible)
+    "quarantine_counts",
+    "compression_ratio_quality",
 ]
 
 

@@ -98,3 +98,24 @@ def trimmed_mean_by_group(
         agg,
         f"{group_col} {group_type}, trimmed_mean double, n_used long, n_total long",
     )
+
+
+@pandas_udf(T.DoubleType())
+def compression_ratio_udf(text: pd.Series) -> pd.Series:
+    """Per-document zlib compression ratio (compressed/raw bytes, level 6)
+    — the classic low-information-content detector (highly repetitive or
+    template text compresses far below ~0.4; random text stays near 1).
+    Genuinely needs Python (a codec), so it is the sanctioned Arrow-batch
+    escape hatch: one zlib call per row inside a batch, no per-row
+    serialization. Empty documents surface as SQL NULL (NaN crosses Arrow as null)."""
+    import zlib
+
+    def ratio(s):
+        if s is None:
+            return float("nan")
+        raw = s.encode("utf-8")
+        if not raw:
+            return float("nan")
+        return len(zlib.compress(raw, 6)) / len(raw)
+
+    return text.map(ratio).astype("float64")

@@ -1095,3 +1095,107 @@ def append_to_band_index(
     # insertInto resolves by POSITION; this join mirrors the build
     # projection (id, band, band_key, signature) exactly
     bk.join(sig, meta["id_col"]).write.insertInto(table, overwrite=False)
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """AllPairs/PPJoin-style prefix-filtered token-set similarity self-join:
+    exact Jaccard >= ``threshold`` pairs WITHOUT a quadratic candidate
+    step and without MinHash's false-negative risk.
+
+    The filter family (Bayardo et al., "Scaling Up All Pairs Similarity
+    Search", WWW'07; public technique): order each document's distinct
+    token set by ascending global document frequency (rarest first, ties
+    by token string so the order is engine-reproducible); a pair with
+    jaccard >= t MUST share a token within each side's first
+    m - ceil(t*m) + 1 tokens (prefix filter), and their set sizes must
+    satisfy t*|a| <= |b| <= |a|/t (length filter). So the self-join joins
+    only exploded PREFIX tokens — frequency-ordering makes prefixes hit
+    the long tail of rare tokens, collapsing candidate fan-out versus
+    joining on arbitrary tokens — then verifies candidates exactly.
+
+    Scale shape: two shuffles that matter — the token-frequency groupBy
+    (token cardinality, not corpus size) and the prefix equi-join whose
+    fan-out the rarest-first ordering bounds; the exact verify joins full
+    token arrays only for surviving candidate pairs. No all-pairs stage
+    anywhere; stop-word-like ultra-frequent tokens never enter a prefix
+    unless a document is nearly all stop words. Complements MinHash-LSH:
+    exact (zero false negatives) where LSH is probabilistic, at the cost
+    of the frequency-ranking pass.
+    """
+    base = (
+        widen_if_narrow(df, id_col)
+        .select(F.col(id_col).alias("__id"), F.array_distinct(tokens(text_col)).alias("__toks"))
+        .select("__id", "__toks", F.size("__toks").alias("__m"))
+        .transform(scoped_cache)
+    )
+    ex = base.select("__id", "__m", F.explode("__toks").alias("__tok"))
+    tok_df = ex.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    from pyspark.sql import Window as _W
+
+    pos = (
+        ex.join(tok_df, "__tok")
+        .withColumn(
+            "__pos",
+            F.row_number().over(
+                _W.partitionBy("__id").orderBy(F.col("__df").asc(), F.col("__tok").asc())
+            ),
+        )
+        # prefix length = m - ceil(t*m) + 1
+        .filter(F.col("__pos") <= F.col("__m") - F.ceil(F.lit(threshold) * F.col("__m")) + 1)
+        .select("__id", "__m", "__tok")
+        .transform(scoped_cache)
+    )
+    a = pos.select(
+        F.col("__id").alias("id_a"), F.col("__m").alias("na"), "__tok"
+    )
+    b = pos.select(
+        F.col("__id").alias("id_b"), F.col("__m").alias("nb"), "__tok"
+    )
+    cand = (
+        a.join(b, "__tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("nb") * F.lit(threshold) <= F.col("na"))
+            & (F.col("na") * F.lit(threshold) <= F.col("nb"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # verify only surviving candidates: semi-filter the token arrays to
+    # candidate ids first (candidate id set is small — AQE broadcasts the
+    # semi join), so corpus token arrays never shuffle wholesale
+    cand_ids = (
+        cand.select(F.col("id_a").alias("__id"))
+        .union(cand.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    slim = base.join(cand_ids, "__id", "left_semi")
+    ta = slim.select(F.col("__id").alias("id_a"), F.col("__toks").alias("__ta"))
+    tb = slim.select(F.col("__id").alias("id_b"), F.col("__toks").alias("__tb"))
+    scored = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__ta", "__tb")).alias("__i"),
+            F.size("__ta").alias("__na"),
+            F.size("__tb").alias("__nb"),
+        )
+        .filter(F.col("__na") + F.col("__nb") - F.col("__i") > 0)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    return scored

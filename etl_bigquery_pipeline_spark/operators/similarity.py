@@ -416,3 +416,59 @@ def truncated_prefilter_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "sim", "rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors whose LABEL DIFFERS
+    from the query's (the classic in-batch-negatives upgrade — the
+    negatives that look most like positives are the informative ones).
+
+    Same execution shape as cosine_topk: queries broadcast with
+    precomputed norms, corpus scanned once (never shuffled), the label
+    inequality fused into the join predicate so same-label pairs are
+    dropped before the dot product is even evaluated. Ranking is on the
+    rounded similarity with neighbor-id tie-break (total order,
+    engine-reproducible). At 100 TB the per-executor cost is
+    |queries| dot products per corpus row — batch the query set if it
+    outgrows a broadcast."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(label_col).alias("__qlab"),
+        F.col(vec_col).alias("__qvec"),
+        norm(vec_col).alias("__qnorm"),
+    )
+    c = widen_if_narrow(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__clab"),
+        F.col(vec_col).alias("__cvec"),
+        norm(vec_col).alias("__cnorm"),
+    )
+    sim = F.round(
+        F.try_divide(
+            dot(F.col("__qvec"), F.col("__cvec")),
+            F.col("__qnorm") * F.col("__cnorm"),
+        ),
+        sim_decimals,
+    ).alias("sim")
+    scored = c.join(
+        F.broadcast(q), F.col("__qlab") != F.col("__clab")
+    ).select(query_id_col, "neighbor_id", sim)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "sim", "rank")
+    )

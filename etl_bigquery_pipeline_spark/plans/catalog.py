@@ -7580,6 +7580,487 @@ def logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 6 — prefix-filter similarity join, hard negatives,
+# corpus datasheet, reproducible training order, length bucketing,
+# key discovery, model calibration
+# ===================================================================
+
+# ---- AllPairs/PPJoin prefix-filtered exact Jaccard self-join ----
+
+_PREFIX_JACCARD_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzz extra' FROM documents WHERE doc_id < 25),
+t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '')) AS toks
+  FROM docs),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.toks, b.toks)) AS i,
+         len(a.toks) AS na, len(b.toks) AS nb
+  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+s AS (
+  SELECT id_a, id_b,
+         round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+  FROM p WHERE na + nb - i > 0)
+SELECT id_a, id_b, jaccard FROM s WHERE jaccard >= 0.5
+"""
+
+
+@query("prefix_jaccard_pairs", _PREFIX_JACCARD_ORACLE)
+def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard >= 0.5 pairs via the AllPairs/PPJoin prefix
+    filter (operators.dedup.prefix_filter_jaccard_pairs): rarest-first
+    token ordering, prefix + length filters, exact verify on candidates
+    only. The oracle is the deliberately-quadratic brute force, so a green
+    hash proves the prefix filter is LOSSLESS (zero false negatives) at
+    this threshold — the property that distinguishes it from MinHash-LSH.
+    Planted: 25 near-dup copies (two appended tokens, shifted ids)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra")).alias("text"),
+    )
+    corpus = d.unionAll(planted)
+    return dedup.prefix_filter_jaccard_pairs(
+        corpus, "doc_id", "text", threshold=0.5
+    )
+
+
+# ---- hard-negative mining over embeddings ----
+
+_HARD_NEG_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, label AS qlab, embedding AS qv
+           FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS neighbor_id, label AS clab, embedding AS cv
+      FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, {_cosine_sql("qv", "cv")} AS sim
+  FROM q JOIN c ON q.qlab <> c.clab),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
+  FROM s)
+SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 3
+"""
+
+
+@query("hard_negative_mining", _HARD_NEG_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives (similarity.hard_negatives):
+    per probe vector, the top-3 most-cosine-similar vectors with a
+    DIFFERENT label — broadcast probes, one corpus scan, label inequality
+    fused into the join predicate. The negatives that look most like
+    positives are the ones a contrastive batch actually learns from."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    out = similarity.hard_negatives(
+        emb, probes, k=3, id_col="vec_id", vec_col="embedding",
+        label_col="label", query_id_col="query_id",
+    )
+    return out.select(
+        "query_id", "neighbor_id", "sim",
+        F.col("rank").cast("bigint").alias("rnk"),
+    )
+
+
+# ---- corpus datasheet: the one-scan dataset card ----
+
+_DATASHEET_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       round(AVG(n_chars), 4) AS avg_chars,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+       round(AVG(CASE WHEN n_chars < 100 THEN 1.0 ELSE 0.0 END), 6)
+         AS short_frac,
+       CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> ''))) AS BIGINT) AS total_tokens
+FROM documents
+"""
+
+
+@query("corpus_datasheet", _DATASHEET_ORACLE)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary in ONE corpus scan (datasheets-for-datasets
+    style): volume, source/lang diversity, length distribution (exact
+    interpolated percentiles), short-doc fraction, and total whitespace
+    tokens. The two distinct-aggregates expand the scan 2x map-side but
+    group to a single row — the shuffle is a handful of partial states,
+    so the scan cost dominates at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+        F.round(
+            F.avg(F.when(F.col("n_chars") < 100, 1.0).otherwise(0.0)), 6
+        ).alias("short_frac"),
+        F.sum(TX.token_count("text")).cast("bigint").alias("total_tokens"),
+    )
+
+
+# ---- reproducible per-epoch global shuffle order ----
+
+_EPOCH_SHUFFLE_ORACLE = """
+WITH e AS (
+  SELECT doc_id, g.e AS epoch,
+         md5('epoch:' || CAST(g.e AS VARCHAR) || ':'
+             || CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents CROSS JOIN generate_series(0, 1) AS g(e)),
+r AS (
+  SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, skey,
+         CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY skey ASC)
+              AS BIGINT) AS rnk
+  FROM e)
+SELECT epoch, rnk, doc_id, skey FROM r WHERE rnk <= 10
+"""
+
+
+@query("epoch_shuffle_order", _EPOCH_SHUFFLE_ORACLE)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order generation: every epoch re-shuffles
+    the corpus by ordering on md5(epoch:doc_id) — a different but fully
+    reproducible permutation per epoch, identical on any cluster size
+    (no RNG state, no driver). At scale the ORDER BY is a range
+    partition on the hash key, i.e. the epoch's shard files fall out of
+    a single sort; here the query surfaces the head of two epochs'
+    orders as evidence the permutations differ and replay exactly."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = d.select(
+        "doc_id",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch"),
+    ).select(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit("epoch:"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("skey"),
+    )
+    w = Window.partitionBy("epoch").orderBy(F.col("skey").asc())
+    return (
+        e.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+        .select("epoch", "rnk", "doc_id", "skey")
+    )
+
+
+# ---- length-bucketed batching for sequence training ----
+
+_LENGTH_BUCKET_ORACLE = """
+WITH t AS (
+  SELECT len(list_filter(regexp_split_to_array(text, '\\s+'),
+             x -> x <> '')) AS n_tok
+  FROM documents),
+b AS (
+  SELECT n_tok,
+         CASE WHEN n_tok < 16 THEN 'lt16' WHEN n_tok < 32 THEN 'lt32'
+              WHEN n_tok < 64 THEN 'lt64' WHEN n_tok < 128 THEN 'lt128'
+              WHEN n_tok < 256 THEN 'lt256' ELSE 'ge256' END AS bucket
+  FROM t)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(CEIL(COUNT(*) / 32.0) AS BIGINT) AS n_batches,
+       CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       round(1.0 - CAST(SUM(n_tok) AS DOUBLE)
+                   / (COUNT(*) * MAX(n_tok)), 6) AS pad_waste
+FROM b GROUP BY bucket
+"""
+
+
+@query("length_bucket_batches", _LENGTH_BUCKET_ORACLE)
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching plan (the pad-to-longest alternative to
+    token_budget_packing): bucket documents by token count into fixed
+    power-of-two ranges, then per bucket report batch count at size 32
+    and the padding waste if every sequence pads to the bucket max.
+    Single scan + tiny groupBy; the bucket column is the partition key
+    a writer would use to emit homogeneous-length shards."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(TX.token_count("text").alias("n_tok"))
+    bucket = (
+        F.when(F.col("n_tok") < 16, "lt16")
+        .when(F.col("n_tok") < 32, "lt32")
+        .when(F.col("n_tok") < 64, "lt64")
+        .when(F.col("n_tok") < 128, "lt128")
+        .when(F.col("n_tok") < 256, "lt256")
+        .otherwise("ge256")
+    )
+    return (
+        t.select(F.col("n_tok"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.ceil(F.count(F.lit(1)) / 32.0).cast("bigint").alias("n_batches"),
+            F.max("n_tok").cast("bigint").alias("max_tok"),
+            F.sum("n_tok").cast("bigint").alias("sum_tok"),
+            F.round(
+                1.0
+                - F.sum("n_tok").cast("double")
+                / (F.count(F.lit(1)) * F.max("n_tok")),
+                6,
+            ).alias("pad_waste"),
+        )
+    )
+
+
+# ---- candidate-key discovery (data profiling) ----
+
+_CANDIDATE_KEY_ORACLE = """
+WITH t AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(DISTINCT o_orderkey) AS d1,
+         COUNT(DISTINCT o_custkey) AS d2,
+         COUNT(DISTINCT CAST(o_custkey AS VARCHAR) || '|'
+               || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS d3,
+         COUNT(DISTINCT o_orderstatus || '|' || o_orderpriority) AS d4
+  FROM orders)
+SELECT combo, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       n_distinct = n_rows AS is_key
+FROM (
+  SELECT 'o_orderkey' AS combo, n_rows, d1 AS n_distinct FROM t
+  UNION ALL SELECT 'o_custkey', n_rows, d2 FROM t
+  UNION ALL SELECT 'o_custkey|o_orderdate', n_rows, d3 FROM t
+  UNION ALL SELECT 'o_orderstatus|o_orderpriority', n_rows, d4 FROM t)
+"""
+
+
+@query("candidate_key_profile", _CANDIDATE_KEY_ORACLE)
+def candidate_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery over a fixed combo lattice: exact distinct
+    counts for four column combinations in ONE scan (Spark plans the
+    multi-distinct agg as a 4x Expand — one pass over the data, partial
+    aggregation map-side), then unpivoted to one row per combo with the
+    uniqueness verdict. The profiling step that decides dedup keys and
+    upsert merge keys before a pipeline hardcodes them."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("d1"),
+        F.countDistinct("o_custkey").alias("d2"),
+        F.countDistinct(
+            F.concat(
+                F.col("o_custkey").cast("string"),
+                F.lit("|"),
+                F.col("o_orderdate").cast("date").cast("string"),
+            )
+        ).alias("d3"),
+        F.countDistinct(
+            F.concat(F.col("o_orderstatus"), F.lit("|"), F.col("o_orderpriority"))
+        ).alias("d4"),
+    )
+    combos = agg.select(
+        F.col("n_rows"),
+        F.expr(
+            "stack(4, 'o_orderkey', d1, 'o_custkey', d2, "
+            "'o_custkey|o_orderdate', d3, "
+            "'o_orderstatus|o_orderpriority', d4) AS (combo, n_distinct)"
+        ),
+    )
+    return combos.select(
+        "combo",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        (F.col("n_distinct") == F.col("n_rows")).alias("is_key"),
+    )
+
+
+# ---- calibration of the learned quality model ----
+
+_CALIBRATION_ORACLE = _LOGREG_ORACLE.replace(
+    "SELECT doc_id, score, score >= 0.5 AS pred_high_quality FROM scored",
+    """SELECT CAST(least(CAST(floor(score * 10) AS BIGINT), 9) AS BIGINT)
+         AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(AVG(score), 6) AS mean_score,
+       round(AVG(y), 6) AS frac_high
+FROM scored s JOIN feats f USING (doc_id)
+GROUP BY 1""",
+)
+
+
+@query("logreg_calibration_bins", _CALIBRATION_ORACLE)
+def logreg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the learned quality filter: decile-bin the
+    predicted score and compare mean prediction to the empirical
+    high-quality rate per bin — the calibration check that decides
+    whether a score threshold is trustworthy as a keep-probability.
+    Same distributed training as logreg_quality_scores (3 GD steps, one
+    4-scalar aggregate each), then one groupBy over <=10 bins."""
+    d = _t(spark, sf_dir, "documents")
+    feats = quality_model.doc_features(d).transform(scoped_cache)
+    trained = quality_model.train_logreg(feats)
+    scored = quality_model.score_documents(feats, trained.weights)
+    joined = scored.join(feats.select("doc_id", "y"), "doc_id")
+    return (
+        joined.select(
+            F.least(F.floor(F.col("score") * 10).cast("bigint"), F.lit(9).cast("bigint"))
+            .cast("bigint")
+            .alias("bin"),
+            "score",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+            F.round(F.avg("y"), 6).alias("frac_high"),
+        )
+    )
+
+
+# ===================================================================
+# Round-4 wave 7 — row-level quarantine, compression-ratio quality,
+# ingestion breadth (ORC / binaryFile exercised in tests)
+# ===================================================================
+
+# ---- row-level quarantine with violation signatures ----
+
+_QUARANTINE_ORACLE = """
+WITH p AS (
+  SELECT CASE WHEN l_orderkey % 50 = 0 THEN -l_quantity
+              ELSE l_quantity END AS q,
+         CASE WHEN l_orderkey % 77 = 0 THEN 0.0
+              ELSE l_extendedprice END AS ep,
+         CASE WHEN l_orderkey % 91 = 0 THEN NULL
+              ELSE l_discount END AS disc
+  FROM lineitem),
+f AS (
+  SELECT list_sort(list_filter([
+           CASE WHEN coalesce(q < 0, true) THEN 'neg_quantity' END,
+           CASE WHEN coalesce(ep <= 0, true) THEN 'nonpos_price' END,
+           CASE WHEN coalesce(disc < 0 OR disc > 0.6, true)
+                THEN 'bad_discount' END],
+         x -> x IS NOT NULL)) AS v
+  FROM p)
+SELECT CASE WHEN len(v) = 0 THEN '__none__'
+            ELSE array_to_string(v, ',') END AS violations,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM f GROUP BY 1
+"""
+
+
+@query("quarantine_counts", _QUARANTINE_ORACLE)
+def quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch quarantine (dq.quarantine_split — the batch twin of the
+    streaming DLQ): violations are seeded in-query (negated quantities,
+    zeroed prices, NULLed discounts on modular orderkeys), rows split
+    good/bad in one map-side flags projection, and the bad side grouped
+    by its sorted violation signature. The NULLed discounts exercise the
+    three-valued-logic posture: a NULL-evaluating rule is a violation
+    (unknown is not a pass), so corrupt rows can't slip through."""
+    li = _t(spark, sf_dir, "lineitem")
+    planted = li.select(
+        F.when(F.col("l_orderkey") % 50 == 0, -F.col("l_quantity"))
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity"),
+        F.when(F.col("l_orderkey") % 77 == 0, F.lit(0.0))
+        .otherwise(F.col("l_extendedprice"))
+        .alias("l_extendedprice"),
+        F.when(F.col("l_orderkey") % 91 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("l_discount"))
+        .alias("l_discount"),
+    )
+    good, bad = dq.quarantine_split(
+        planted,
+        {
+            "neg_quantity": F.col("l_quantity") < 0,
+            "nonpos_price": F.col("l_extendedprice") <= 0,
+            "bad_discount": (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 0.6),
+        },
+    )
+    bad_counts = bad.groupBy("violations").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    good_count = good.agg(
+        F.lit("__none__").alias("violations"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return bad_counts.unionAll(good_count)
+
+
+# ---- compression-ratio quality signal (Arrow-batched zlib) ----
+
+
+@query("compression_ratio_quality")  # rows-only: zlib is not SQL-expressible
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source compression-ratio profile
+    (functions.pandas_udfs.compression_ratio_udf): zlib ratio per
+    document — the low-information-content detector (boilerplate and
+    template spam compress far below normal prose). The codec genuinely
+    needs Python, so this is the sanctioned Arrow-batch escape hatch;
+    pytest pins the UDF bit-for-bit to a serial zlib run, and the
+    distributed gate below is the oracled correctness signal."""
+    from etl_bigquery_pipeline_spark.functions.pandas_udfs import (
+        compression_ratio_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    r = d.select("source", compression_ratio_udf(F.col("text")).alias("ratio"))
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+            F.round(F.min("ratio"), 4).alias("min_ratio"),
+            F.round(F.max("ratio"), 4).alias("max_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "compression_quality_gate",
+    "SELECT true AS spam_below_corpus, true AS ratios_bounded",
+)
+def compression_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled gate for the zlib signal: a planted maximally-repetitive
+    document must compress far below the corpus average (the property the
+    filter exploits), and every ratio must be positive and bounded. Both
+    reductions are distributed aggregates over the UDF column; only two
+    booleans reach the driver."""
+    from etl_bigquery_pipeline_spark.functions.pandas_udfs import (
+        compression_ratio_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    spam = spark.range(1).select(
+        F.lit(9000001).cast("bigint").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("spam"), 500)).alias("text"),
+    )
+    r = d.unionAll(spam).select(
+        "doc_id", compression_ratio_udf(F.col("text")).alias("ratio")
+    )
+    agg = r.agg(
+        F.min(F.when(F.col("doc_id") == 9000001, F.col("ratio"))).alias("spam_r"),
+        F.avg(F.when(F.col("doc_id") != 9000001, F.col("ratio"))).alias("corpus_r"),
+        F.min("ratio").alias("lo"),
+        F.max("ratio").alias("hi"),
+    )
+    return agg.select(
+        (F.col("spam_r") < F.col("corpus_r") * 0.5).alias("spam_below_corpus"),
+        ((F.col("lo") > 0) & (F.col("hi") <= 1.2)).alias("ratios_bounded"),
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order

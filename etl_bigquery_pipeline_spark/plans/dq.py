@@ -291,3 +291,36 @@ def report_df(spark: SparkSession, results: list[CheckResult]) -> DataFrame:
 def enforce(results: list[CheckResult]) -> None:
     if any(not r.passed and r.severity == Severity.CRITICAL for r in results):
         raise CriticalDQFailure(results)
+
+
+def quarantine_split(
+    df: DataFrame, rules: dict[str, Column | str]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level quarantine (the batch twin of the streaming DLQ): split
+    ``df`` into (good, bad) under named violation predicates. A rule
+    predicate is TRUE when the row VIOLATES it; a NULL-evaluating
+    predicate counts as a violation (three-valued logic: unknown is not a
+    pass — the delete_where lesson applied in reverse, so a corrupt row
+    can never slip into `good` because its predicate was NULL).
+
+    ``bad`` carries a ``violations`` column — the comma-joined sorted rule
+    names — so the quarantine sink is self-describing and groupable by
+    failure signature. Both sides are complementary filters over ONE
+    lineage (the flags projection is computed once per row, map-side,
+    no shuffle); at 100 TB this is a single pass each, and callers
+    writing both sides should cache the flagged frame or write
+    good/bad from one ``foreachBatch``-style pass."""
+    flags = []
+    for name in sorted(rules):
+        pred = rules[name]
+        col = F.expr(pred) if isinstance(pred, str) else pred
+        flags.append(
+            F.when(F.coalesce(col, F.lit(True)), F.lit(name)).otherwise(
+                F.lit(None).cast("string")
+            )
+        )
+    tags = F.array_join(F.array_sort(F.array_compact(F.array(*flags))), ",")
+    flagged = df.withColumn("violations", tags)
+    good = flagged.filter(F.col("violations") == "").drop("violations")
+    bad = flagged.filter(F.col("violations") != "")
+    return good, bad

@@ -106,6 +106,50 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    *,
+    merge_schema: bool = False,
+    **options: str,
+) -> DataFrame:
+    """ORC scan: the other columnar lake format (Hive-ecosystem hand-off).
+    Same pushdown/pruning posture as parquet — predicate pushdown and
+    column pruning reach the ORC reader, and vectorized decoding is on by
+    default (spark.sql.orc.enableVectorizedReader)."""
+    reader = spark.read.option("mergeSchema", str(merge_schema).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Multimodal ingestion scan: every file under ``path`` as one row of
+    (path, modificationTime, length, content binary) via Spark's
+    binaryFile source — the entry point that feeds multimodal.binary_ops
+    (decode/resize run downstream as Arrow-batched mapInPandas over the
+    ``content`` column).
+
+    Scale posture: the source splits by FILE (a file never splits), and
+    spark.sql.files.maxPartitionBytes bounds how many files coalesce into
+    one task — so partitions stay payload-sized without manual tuning.
+    Filters on path/length/modificationTime push down to the listing
+    (never reading file bodies); pair with a length ceiling to keep one
+    giant artifact from skewing a task."""
+    reader = spark.read.format("binaryFile").option(
+        "recursiveFileLookup", str(recursive).lower()
+    )
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def read_json(
     spark: SparkSession,
     path: str,

@@ -44,6 +44,23 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    compression: str = "zstd",
+) -> None:
+    """ORC sink — same truncate-and-reload + partition-pruning posture as
+    write_parquet, for Hive-ecosystem consumers. zstd by default (ORC's
+    best size/speed trade on modern Spark)."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 class WarehouseSink:
     """Interface: truncate-reload a table + read it back for validation."""
 

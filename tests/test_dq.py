@@ -150,3 +150,41 @@ def test_observed_write_collects_metrics_in_one_pass(spark, tmp_path):
         li.agg(F.sum(F.col("l_quantity").cast("decimal(18,4)"))).first()[0]
     )
     assert spark.read.parquet(dest).count() == n
+
+
+def test_quarantine_split_signatures_and_null_logic(spark):
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.plans.dq import quarantine_split
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 1.0), (2, -1.0, 1.0), (3, -2.0, None), (4, 2.0, None)],
+        "id long, qty double, price double",
+    )
+    good, bad = quarantine_split(
+        df,
+        {
+            "neg_qty": F.col("qty") < 0,
+            "null_price": F.col("price").isNull(),
+        },
+    )
+    assert [r.id for r in good.collect()] == [1]
+    got = {r.id: r.violations for r in bad.collect()}
+    # multi-violation signature is sorted and stable
+    assert got == {2: "neg_qty", 3: "neg_qty,null_price", 4: "null_price"}
+
+
+def test_quarantine_split_null_predicate_is_violation(spark):
+    """A rule whose predicate evaluates NULL must quarantine the row
+    (three-valued logic: unknown is not a pass)."""
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.plans.dq import quarantine_split
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None)], "id long, v double"
+    )
+    good, bad = quarantine_split(df, {"v_high": F.col("v") > 5})
+    # v > 5 is TRUE for row 1 (violation) and NULL for row 2 (violation)
+    assert good.count() == 0
+    assert sorted(r.id for r in bad.collect()) == [1, 2]

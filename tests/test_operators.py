@@ -753,3 +753,37 @@ def test_bigram_backoff_matches_independent_reference(spark):
         assert got[k][0] == want[k][0], k
         assert abs(got[k][1] - want[k][1]) < 5e-6, (k, got[k], want[k])
     assert got["reversed"][1] > got["orig"][1]
+
+
+def test_prefix_filter_jaccard_is_lossless(spark):
+    """The prefix+length filters must lose NO pair above threshold:
+    compare against brute-force Jaccard on a corpus with known overlaps."""
+    from itertools import combinations
+
+    from etl_bigquery_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),      # 4/6 with doc 1
+        (3, "alpha beta gamma delta epsilon"),   # identical to doc 1
+        (4, "one two three four five"),
+        (5, "one two three four six"),           # 4/6 with doc 4
+        (6, "totally different words here now"),
+        (7, "alpha beta unrelated tail words"),  # 2/8 with doc 1 — below
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    t = 0.5
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(df, threshold=t).collect()
+    }
+    sets = {i: set(s.split()) for i, s in docs}
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        j = inter / len(sets[a] | sets[b])
+        if j >= t:
+            want[(a, b)] = round(j, 6)
+    assert got == want

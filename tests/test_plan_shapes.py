@@ -337,3 +337,31 @@ def test_bpe_token_counts_broadcasts_vocab(spark, sf_dir):
     # the segmented vocab joins back to the exploded corpus by broadcast;
     # the corpus side must not sort-merge
     assert "BroadcastHashJoin" in plan
+
+
+def test_prefix_jaccard_plans_equi_joins_only(spark, sf_dir):
+    # the prefix filter must never degenerate to all-pairs: every join in
+    # the plan is an equi hash join (prefix-token key, candidate ids)
+    plan = _plan(spark, "prefix_jaccard_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hard_negatives_broadcast_probes_no_corpus_shuffle(spark, sf_dir):
+    # probes broadcast; the corpus is scanned, never exchanged
+    plan = _plan(spark, "hard_negative_mining", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan  # label != predicate on a broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_datasheet_single_aggregate(spark, sf_dir):
+    # one scan; the distinct aggregates expand map-side, no join anywhere
+    plan = _plan(spark, "corpus_datasheet", sf_dir)
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_epoch_shuffle_order_no_single_partition_sort(spark, sf_dir):
+    # per-epoch windows partition by epoch; no global 1-partition Exchange
+    plan = _plan(spark, "epoch_shuffle_order", sf_dir)
+    assert "Exchange SinglePartition" not in plan

@@ -162,3 +162,25 @@ def test_truncated_prefilter_full_prefix_equals_exact(spark, sf_dir):
         id_col="vec_id", vec_col="embedding", query_id_col="query_id",
     )
     assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, same.collect()))
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], "a"),
+        (2, [0.99, 0.1, 0.0, 0.0], "a"),   # most similar overall — same label
+        (3, [0.9, 0.2, 0.0, 0.0], "b"),    # hardest negative
+        (4, [0.0, 1.0, 0.0, 0.0], "b"),
+        (5, [0.0, 0.0, 1.0, 0.0], "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = similarity.hard_negatives(
+        df, df.filter("vec_id = 1"), k=2, id_col="vec_id"
+    ).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    # 2 (same label) must be skipped even though it is the nearest vector
+    assert ranked == [3, 5] or ranked[0] == 3
+    assert 2 not in ranked
+    labels = {1: "a", 2: "a", 3: "b", 4: "b", 5: "c"}
+    assert all(labels[r.neighbor_id] != "a" for r in out)

@@ -569,3 +569,42 @@ def test_xlsx_datasource_explicit_schema_and_sheet(spark, tmp_path):
     # downstream coercion layer owns typing (reference P6 shape)
     typed = df.select(F.col("k").cast("bigint").alias("k")).collect()
     assert sorted(r.k for r in typed) == [1, 2, 3]
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    from etl_bigquery_pipeline_spark.sources.readers import read_orc
+    from etl_bigquery_pipeline_spark.sources.sinks import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "id long, grp string, v double",
+    )
+    dest = str(tmp_path / "orc")
+    write_orc(df, dest, partition_by=("grp",))
+    back = read_orc(spark, dest)
+    assert sorted((r.id, r.v) for r in back.collect()) == [
+        (1, 10.0), (2, 20.0), (3, 30.0)
+    ]
+    # partition pruning: grp filter prunes to one directory
+    import os
+    assert sorted(
+        d for d in os.listdir(dest) if d.startswith("grp=")
+    ) == ["grp=a", "grp=b"]
+
+
+def test_read_binary_dir_schema_and_glob(spark, tmp_path):
+    from etl_bigquery_pipeline_spark.sources.readers import read_binary_dir
+
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01payload-a")
+    (tmp_path / "sub" / "b.bin").write_bytes(b"payload-b")
+    (tmp_path / "notes.txt").write_text("skip me")
+
+    df = read_binary_dir(spark, str(tmp_path), glob="*.bin")
+    rows = {r.path.split("/")[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}  # recursive + glob-filtered
+    assert bytes(rows["a.bin"].content) == b"\x00\x01payload-a"
+    assert rows["b.bin"].length == 9
+    # non-recursive listing sees only the top level
+    flat = read_binary_dir(spark, str(tmp_path), glob="*.bin", recursive=False)
+    assert [r.path.split("/")[-1] for r in flat.collect()] == ["a.bin"]

@@ -162,3 +162,34 @@ def test_cogrouped_applyinpandas(spark):
     assert out[1] == (100.0, 100.0)
     assert out[2] == (50.0, 0.0)
     assert out[3] == (0.0, 10.0)
+
+
+def test_compression_ratio_udf_matches_serial_zlib(spark):
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.functions.pandas_udfs import (
+        compression_ratio_udf,
+    )
+
+    texts = [
+        "spam " * 200,
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "abc123 " + "x" * 50 + " varied tail content here",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    got = {
+        r.id: r.ratio
+        for r in df.select("id", compression_ratio_udf(F.col("text")).alias("ratio")).collect()
+    }
+    for i, t in enumerate(texts):
+        raw = t.encode()
+        if not raw:
+            assert got[i] is None  # NaN crosses Arrow as SQL NULL
+        else:
+            assert got[i] == len(zlib.compress(raw, 6)) / len(raw)
+    # the repetitive doc compresses far below the prose doc
+    assert got[0] < got[1] * 0.5
