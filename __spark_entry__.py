@@ -36,7 +36,8 @@ SF0001 = "/root/testdata/sf0.001"
 # prefix_jaccard_pairs, hard_negative_mining, corpus_datasheet,
 # epoch_shuffle_order, length_bucket_batches, candidate_key_profile,
 # logreg_calibration_bins, quarantine_counts,
-# compression_quality_gate; compression_ratio_quality is rows-only by
+# compression_quality_gate, mixture_waterfill_rates,
+# mixed_language_docs; compression_ratio_quality is rows-only by
 # design, zlib is not SQL-expressible) — all sf0.01 oracle-verified
 # green when written.
 _SAMPLE_FIRST = [

@@ -156,6 +156,9 @@ BENCH_QUERIES = [
     # Python-UDF hot path in the catalog — its cost must stay visible)
     "quarantine_counts",
     "compression_ratio_quality",
+    # round-4 wave 8: mixture optimizer + chunk-level lang coherence
+    "mixture_waterfill_rates",
+    "mixed_language_docs",
 ]
 
 

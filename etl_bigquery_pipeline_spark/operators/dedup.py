@@ -1103,34 +1103,54 @@ def prefix_filter_jaccard_pairs(
     text_col: str = "text",
     *,
     threshold: float = 0.5,
+    shingle_n: int | None = 3,
 ) -> DataFrame:
-    """AllPairs/PPJoin-style prefix-filtered token-set similarity self-join:
+    """AllPairs/PPJoin-style prefix-filtered set-similarity self-join:
     exact Jaccard >= ``threshold`` pairs WITHOUT a quadratic candidate
     step and without MinHash's false-negative risk.
 
     The filter family (Bayardo et al., "Scaling Up All Pairs Similarity
-    Search", WWW'07; public technique): order each document's distinct
-    token set by ascending global document frequency (rarest first, ties
-    by token string so the order is engine-reproducible); a pair with
-    jaccard >= t MUST share a token within each side's first
-    m - ceil(t*m) + 1 tokens (prefix filter), and their set sizes must
-    satisfy t*|a| <= |b| <= |a|/t (length filter). So the self-join joins
-    only exploded PREFIX tokens — frequency-ordering makes prefixes hit
-    the long tail of rare tokens, collapsing candidate fan-out versus
-    joining on arbitrary tokens — then verifies candidates exactly.
+    Search", WWW'07; public technique): represent each document as a
+    set — word ``shingle_n``-grams by default (pass ``shingle_n=None``
+    for single-token sets; shingles are the discriminative choice for
+    text, where raw vocabularies are small enough that most pairs share
+    most words) — order each set by ascending global element frequency
+    (rarest first, ties by element hash so the order is
+    engine-reproducible). A pair with jaccard >= t MUST share an element
+    within each side's first m - ceil(t*m) + 1 elements (prefix filter),
+    and their set sizes must satisfy t*|a| <= |b| <= |a|/t (length
+    filter). The self-join therefore joins only exploded PREFIX
+    elements — frequency-ordering makes prefixes hit the long tail of
+    rare elements, collapsing candidate fan-out versus joining on
+    arbitrary elements.
 
-    Scale shape: two shuffles that matter — the token-frequency groupBy
-    (token cardinality, not corpus size) and the prefix equi-join whose
-    fan-out the rarest-first ordering bounds; the exact verify joins full
-    token arrays only for surviving candidate pairs. No all-pairs stage
-    anywhere; stop-word-like ultra-frequent tokens never enter a prefix
-    unless a document is nearly all stop words. Complements MinHash-LSH:
-    exact (zero false negatives) where LSH is probabilistic, at the cost
-    of the frequency-ranking pass.
+    Candidate pairs are produced by a groupBy COUNT over the prefix
+    matches (never a distinct over per-element pair rows), with the
+    sound overlap upper bound c + (|a|-p_a) + (|b|-p_b) >= ceil(
+    t/(1+t) * (|a|+|b|)) applied before anything touches full element
+    arrays (every shared element outside the count is missing from at
+    least one prefix, hence lives in that side's suffix).
+
+    Scale shape: two shuffles proportional to corpus shingle mass — the
+    element-frequency groupBy (element-hash cardinality) and the prefix
+    equi-join + pair-count — and an exact verify join over only the
+    surviving pairs with semi-filtered element arrays. Elements are
+    xxhash64-hashed once per document: join/shuffle keys and verify
+    intersections compare int64s, never strings. No all-pairs stage
+    anywhere. Complements MinHash-LSH: exact (zero false negatives)
+    where LSH is probabilistic, at the cost of the frequency-ranking
+    pass.
     """
+    toks = F.array_distinct(tokens(text_col))
+    elems = toks if shingle_n is None else shingles(text_col, shingle_n)
     base = (
         widen_if_narrow(df, id_col)
-        .select(F.col(id_col).alias("__id"), F.array_distinct(tokens(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(
+                F.transform(elems, lambda t: F.xxhash64(t))
+            ).alias("__toks"),
+        )
         .select("__id", "__toks", F.size("__toks").alias("__m"))
         .transform(scoped_cache)
     )
@@ -1138,6 +1158,8 @@ def prefix_filter_jaccard_pairs(
     tok_df = ex.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
     from pyspark.sql import Window as _W
 
+    # prefix length p = m - ceil(t*m) + 1 is a pure function of m
+    plen = lambda m: m - F.ceil(F.lit(threshold) * m) + 1  # noqa: E731
     pos = (
         ex.join(tok_df, "__tok")
         .withColumn(
@@ -1146,17 +1168,14 @@ def prefix_filter_jaccard_pairs(
                 _W.partitionBy("__id").orderBy(F.col("__df").asc(), F.col("__tok").asc())
             ),
         )
-        # prefix length = m - ceil(t*m) + 1
-        .filter(F.col("__pos") <= F.col("__m") - F.ceil(F.lit(threshold) * F.col("__m")) + 1)
+        .filter(F.col("__pos") <= plen(F.col("__m")))
         .select("__id", "__m", "__tok")
+        # consumed twice by the a/b self-join branches: uncached, the
+        # explode + df-join + window replays per branch
         .transform(scoped_cache)
     )
-    a = pos.select(
-        F.col("__id").alias("id_a"), F.col("__m").alias("na"), "__tok"
-    )
-    b = pos.select(
-        F.col("__id").alias("id_b"), F.col("__m").alias("nb"), "__tok"
-    )
+    a = pos.select(F.col("__id").alias("id_a"), F.col("__m").alias("na"), "__tok")
+    b = pos.select(F.col("__id").alias("id_b"), F.col("__m").alias("nb"), "__tok")
     cand = (
         a.join(b, "__tok")
         .filter(
@@ -1164,12 +1183,21 @@ def prefix_filter_jaccard_pairs(
             & (F.col("nb") * F.lit(threshold) <= F.col("na"))
             & (F.col("na") * F.lit(threshold) <= F.col("nb"))
         )
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(
+            F.col("__c")
+            + (F.col("na") - plen(F.col("na")))
+            + (F.col("nb") - plen(F.col("nb")))
+            >= F.ceil(
+                F.lit(threshold) / (1.0 + threshold) * (F.col("na") + F.col("nb"))
+            )
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
-    # verify only surviving candidates: semi-filter the token arrays to
+    # verify only surviving candidates: semi-filter the element arrays to
     # candidate ids first (candidate id set is small — AQE broadcasts the
-    # semi join), so corpus token arrays never shuffle wholesale
+    # semi join), so corpus element arrays never shuffle wholesale
     cand_ids = (
         cand.select(F.col("id_a").alias("__id"))
         .union(cand.select(F.col("id_b").alias("__id")))

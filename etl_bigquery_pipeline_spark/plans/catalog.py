@@ -7592,11 +7592,16 @@ WITH docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000, text || ' zzz extra' FROM documents WHERE doc_id < 25),
+tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM docs),
 t AS (
   SELECT doc_id,
-         list_distinct(list_filter(regexp_split_to_array(text, '\\s+'),
-                                   x -> x <> '')) AS toks
-  FROM docs),
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(t) - 2, 1))])
+           AS toks
+  FROM tk),
 p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          len(list_intersect(a.toks, b.toks)) AS i,
@@ -7612,13 +7617,19 @@ SELECT id_a, id_b, jaccard FROM s WHERE jaccard >= 0.5
 
 @query("prefix_jaccard_pairs", _PREFIX_JACCARD_ORACLE)
 def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard >= 0.5 pairs via the AllPairs/PPJoin prefix
-    filter (operators.dedup.prefix_filter_jaccard_pairs): rarest-first
-    token ordering, prefix + length filters, exact verify on candidates
-    only. The oracle is the deliberately-quadratic brute force, so a green
-    hash proves the prefix filter is LOSSLESS (zero false negatives) at
-    this threshold — the property that distinguishes it from MinHash-LSH.
-    Planted: 25 near-dup copies (two appended tokens, shifted ids)."""
+    """Exact 3-shingle-set Jaccard >= 0.5 pairs via the AllPairs/PPJoin
+    prefix filter (operators.dedup.prefix_filter_jaccard_pairs):
+    rarest-first element ordering, prefix + length + overlap-bound
+    filters, exact verify on candidates only. Shingle sets (not raw
+    token sets) are the discriminative representation: the synthetic
+    corpus draws words from a small vocabulary, so nearly every doc
+    PAIR shares most single tokens — shingling restores a long-tailed
+    element space where prefixes actually prune. The oracle is the
+    deliberately-quadratic brute force over the same shingle sets, so a
+    green hash proves the prefix filter is LOSSLESS (zero false
+    negatives) at this threshold — the property that distinguishes it
+    from MinHash-LSH. Planted: 25 near-dup copies (two appended tokens
+    -> two extra shingles, shifted ids)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     planted = d.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -7626,7 +7637,7 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.unionAll(planted)
     return dedup.prefix_filter_jaccard_pairs(
-        corpus, "doc_id", "text", threshold=0.5
+        corpus, "doc_id", "text", threshold=0.5, shingle_n=3
     )
 
 
@@ -8057,6 +8068,207 @@ def compression_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         (F.col("spam_r") < F.col("corpus_r") * 0.5).alias("spam_below_corpus"),
         ((F.col("lo") > 0) & (F.col("hi") <= 1.2)).alias("ratios_bounded"),
+    )
+
+
+# ===================================================================
+# Round-4 wave 8 — waterfilling mixture optimizer, mixed-language
+# detection, sharded JSONL export (sink exercised in tests)
+# ===================================================================
+
+# ---- waterfilling: sampling rates under per-source capacity caps ----
+
+_WATERFILL_ORACLE = """
+WITH caps AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> ''))) AS DOUBLE) AS cap
+  FROM documents GROUP BY source),
+t AS (SELECT COUNT(*) AS n, SUM(cap) AS total FROM caps),
+o AS (
+  SELECT c.source, c.cap, 1.0 / t.n AS w, c.cap * t.n AS ratio,
+         0.8 * t.total AS b
+  FROM caps c CROSS JOIN t),
+r AS (
+  SELECT *,
+         SUM(cap) OVER (ORDER BY ratio, source
+                        ROWS UNBOUNDED PRECEDING) AS cumc,
+         SUM(w) OVER (ORDER BY ratio, source
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+         lag(ratio, 1, 0.0) OVER (ORDER BY ratio, source) AS prev_ratio
+  FROM o),
+s AS (
+  SELECT *, (b - (cumc - cap)) / (1.0 - (cumw - w)) AS rj FROM r),
+star AS (
+  SELECT min(rj) AS rstar FROM s
+  WHERE rj >= prev_ratio AND rj <= ratio)
+SELECT o.source, CAST(o.cap AS BIGINT) AS tokens,
+       round(least(o.cap, star.rstar * o.w), 4) AS alloc_tokens,
+       round(least(o.cap, star.rstar * o.w) / o.cap, 6) AS sample_rate,
+       o.cap <= star.rstar * o.w AS capped
+FROM o CROSS JOIN star
+"""
+
+
+@query("mixture_waterfill_rates", _WATERFILL_ORACLE)
+def mixture_waterfill_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture optimizer under per-source capacity caps (the Dolma/Pile
+    mixing problem): target uniform source weights, budget = 80% of the
+    corpus tokens; sources too small to supply their share are capped at
+    capacity and the surplus waterfalls to the rest. Closed-form
+    waterfilling: sort sources by capacity/weight, prefix-sum, pick the
+    unique breakpoint where the implied water level lands inside its
+    interval — no iteration, no driver loop, and the whole computation
+    runs on the per-SOURCE aggregate (thousands of rows at any corpus
+    scale, so the post-agg global window is trivially bounded). Emits
+    per-source allocation, sampling rate, and the capped verdict."""
+    d = _t(spark, sf_dir, "documents")
+    caps = d.groupBy("source").agg(
+        F.sum(TX.token_count("text")).cast("double").alias("cap")
+    )
+    t = caps.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cap").alias("total")
+    )
+    o = caps.crossJoin(F.broadcast(t)).select(
+        "source",
+        "cap",
+        (F.lit(1.0) / F.col("n")).alias("w"),
+        (F.col("cap") * F.col("n")).alias("ratio"),
+        (F.lit(0.8) * F.col("total")).alias("b"),
+    )
+    ww = Window.orderBy("ratio", "source")
+    cum = Window.orderBy("ratio", "source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = o.select(
+        "*",
+        F.sum("cap").over(cum).alias("cumc"),
+        F.sum("w").over(cum).alias("cumw"),
+        F.lag("ratio", 1, 0.0).over(ww).alias("prev_ratio"),
+    ).withColumn(
+        "rj",
+        (F.col("b") - (F.col("cumc") - F.col("cap")))
+        / (F.lit(1.0) - (F.col("cumw") - F.col("w"))),
+    )
+    star = (
+        s.filter((F.col("rj") >= F.col("prev_ratio")) & (F.col("rj") <= F.col("ratio")))
+        .agg(F.min("rj").alias("rstar"))
+    )
+    return o.crossJoin(F.broadcast(star)).select(
+        "source",
+        F.col("cap").cast("bigint").alias("tokens"),
+        F.round(F.least(F.col("cap"), F.col("rstar") * F.col("w")), 4).alias(
+            "alloc_tokens"
+        ),
+        F.round(
+            F.least(F.col("cap"), F.col("rstar") * F.col("w")) / F.col("cap"), 6
+        ).alias("sample_rate"),
+        (F.col("cap") <= F.col("rstar") * F.col("w")).alias("capped"),
+    )
+
+
+# ---- mixed-language detection: chunk-level lang-ID disagreement ----
+
+
+def _mixed_lang_oracle() -> str:
+    from etl_bigquery_pipeline_spark.functions.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        markers = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(ctoks, x -> list_contains([{markers}], x)))"
+            f" AS s_{lang}"
+        )
+    first, rest = langs[0], langs[1:]
+    guess_expr = f"'{first}'"
+    best_expr = f"s_{first}"
+    for lang in rest:
+        guess_expr = (
+            f"CASE WHEN s_{lang} > {best_expr} THEN '{lang}' ELSE {guess_expr} END"
+        )
+        best_expr = f"greatest({best_expr}, s_{lang})"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+n AS (
+  SELECT doc_id, toks,
+         greatest(CAST(ceil(len(toks) / 32.0) AS INT), 1) AS n_chunks
+  FROM t),
+c AS (
+  SELECT doc_id,
+         unnest([list_transform(toks[i*32 + 1 : i*32 + 32], x -> lower(x))
+                 for i in generate_series(0, n_chunks - 1)]) AS ctoks
+  FROM n),
+g AS (SELECT doc_id, {", ".join(score_cols)} FROM c),
+cl AS (SELECT doc_id, {guess_expr} AS clang FROM g),
+per AS (SELECT doc_id, clang, COUNT(*) AS cnt FROM cl GROUP BY 1, 2),
+stats AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+         CAST(COUNT(*) AS BIGINT) AS n_langs
+  FROM per GROUP BY 1),
+top AS (
+  SELECT doc_id, clang AS majority_lang, cnt,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, clang ASC) AS rn
+  FROM per)
+SELECT s.doc_id, s.n_chunks, s.n_langs, top.majority_lang,
+       round(CAST(top.cnt AS DOUBLE) / s.n_chunks, 6) AS majority_frac
+FROM stats s JOIN top ON top.doc_id = s.doc_id AND top.rn = 1
+WHERE s.n_chunks >= 2
+"""
+
+
+@query("mixed_language_docs", _mixed_lang_oracle())
+def mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level language coherence (the curation signal behind
+    splitting or dropping code-switched / concatenated-crawl documents):
+    run the stopword-marker lang-ID per 32-token chunk and report, per
+    multi-chunk document, how many distinct languages its chunks vote
+    for and the majority share. Pure explode + two small groupBys keyed
+    by doc_id; the per-doc window ranks at most a handful of language
+    rows. Docs with n_langs > 1 are the mixed-language candidates."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = (
+        d.select("doc_id", TX.tokens("text").alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                TX.token_chunks_of(F.col("__toks"), chunk_tokens=32, overlap=0)
+            ).alias("c"),
+        )
+        .select("doc_id", TX.lang_guess(F.col("c.chunk")).alias("clang"))
+    )
+    per = chunks.groupBy("doc_id", "clang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = per.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("clang").asc()
+    )
+    top = (
+        per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("clang").alias("majority_lang"), "cnt")
+    )
+    return (
+        stats.join(top, "doc_id")
+        .filter(F.col("n_chunks") >= 2)
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_langs",
+            "majority_lang",
+            F.round(F.col("cnt").cast("double") / F.col("n_chunks"), 6).alias(
+                "majority_frac"
+            ),
+        )
     )
 
 

@@ -298,3 +298,64 @@ class BigQueryWarehouse(WarehouseSink):
         for k, v in self.read_options(table).items():
             reader = reader.option(k, v)
         return reader.load()  # pragma: no cover - needs connector + network
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    shards: int,
+    shard_key: str,
+    compression: str | None = "gzip",
+) -> dict:
+    """Training-data export: hash-sharded JSONL (the interchange format
+    most training loaders consume) plus a ``manifest.json`` naming every
+    shard with its row count and byte size (underscore-prefixed like
+    _SUCCESS, so directory-level readers skip it) — the contract that lets a
+    downstream loader verify completeness without re-scanning data.
+
+    Sharding is ``repartition(shards, hash(shard_key))`` — deterministic
+    membership (a given key always lands in the same shard for a fixed
+    shard count), one output file per shard. Row counts come from ONE
+    aggregate over the same sharded frame (spark_partition_id ==
+    output-file ordinal under direct one-file-per-partition JSON write),
+    not a post-hoc rescan of the written text.
+
+    The manifest is written driver-side via the local filesystem — for
+    object stores, swap the two ``open``/``os`` calls for the Hadoop FS
+    API; everything else is storage-agnostic."""
+    import json as _json
+
+    sharded = df.repartition(shards, F.col(shard_key))
+    writer = sharded.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+    counts = {
+        int(r["pid"]): int(r["n"])
+        for r in sharded.groupBy(
+            F.spark_partition_id().alias("pid")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    files = sorted(
+        f for f in os.listdir(path)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    manifest = {
+        "format": "jsonl",
+        "compression": compression,
+        "shards": [
+            {
+                "file": f,
+                # part-00007-... -> partition ordinal 7
+                "rows": counts.get(int(f.split("-")[1]), 0),
+                "bytes": os.path.getsize(os.path.join(path, f)),
+            }
+            for f in files
+        ],
+        "total_rows": sum(counts.values()),
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        _json.dump(manifest, fh, indent=2, sort_keys=True)
+    return manifest

@@ -777,7 +777,7 @@ def test_prefix_filter_jaccard_is_lossless(spark):
     t = 0.5
     got = {
         (r.id_a, r.id_b): r.jaccard
-        for r in prefix_filter_jaccard_pairs(df, threshold=t).collect()
+        for r in prefix_filter_jaccard_pairs(df, threshold=t, shingle_n=None).collect()
     }
     sets = {i: set(s.split()) for i, s in docs}
     want = {}

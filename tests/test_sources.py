@@ -608,3 +608,44 @@ def test_read_binary_dir_schema_and_glob(spark, tmp_path):
     # non-recursive listing sees only the top level
     flat = read_binary_dir(spark, str(tmp_path), glob="*.bin", recursive=False)
     assert [r.path.split("/")[-1] for r in flat.collect()] == ["a.bin"]
+
+
+def test_write_jsonl_shards_manifest_and_determinism(spark, tmp_path):
+    import gzip
+    import json
+    import os
+
+    from etl_bigquery_pipeline_spark.sources.sinks import write_jsonl_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc-{i}") for i in range(100)], "doc_id long, text string"
+    )
+    dest = str(tmp_path / "export")
+    manifest = write_jsonl_shards(df, dest, shards=4, shard_key="doc_id")
+
+    assert manifest["total_rows"] == 100
+    assert sum(s["rows"] for s in manifest["shards"]) == 100
+    on_disk = json.load(open(os.path.join(dest, "_manifest.json")))
+    assert on_disk == manifest
+
+    # per-shard counts in the manifest match the actual file contents
+    rows = 0
+    by_file = {}
+    for s in manifest["shards"]:
+        with gzip.open(os.path.join(dest, s["file"]), "rt") as fh:
+            n = sum(1 for _ in fh)
+        assert n == s["rows"], s["file"]
+        by_file[s["file"]] = n
+        rows += n
+    assert rows == 100
+
+    # deterministic membership: re-export → identical per-shard counts
+    dest2 = str(tmp_path / "export2")
+    m2 = write_jsonl_shards(df, dest2, shards=4, shard_key="doc_id")
+    assert [s["rows"] for s in m2["shards"]] == [
+        s["rows"] for s in manifest["shards"]
+    ]
+
+    # round trip through the JSONL reader
+    back = spark.read.json(dest)
+    assert back.count() == 100
