@@ -37,7 +37,8 @@ SF0001 = "/root/testdata/sf0.001"
 # epoch_shuffle_order, length_bucket_batches, candidate_key_profile,
 # logreg_calibration_bins, quarantine_counts,
 # compression_quality_gate, mixture_waterfill_rates,
-# mixed_language_docs; compression_ratio_quality is rows-only by
+# mixed_language_docs, nation_trade_flows, market_share_by_year,
+# promo_revenue_share, complex_predicate_revenue, idle_rich_customers; compression_ratio_quality is rows-only by
 # design, zlib is not SQL-expressible) — all sf0.01 oracle-verified
 # green when written.
 _SAMPLE_FIRST = [

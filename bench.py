@@ -159,6 +159,10 @@ BENCH_QUERIES = [
     # round-4 wave 8: mixture optimizer + chunk-level lang coherence
     "mixture_waterfill_rates",
     "mixed_language_docs",
+    # round-4 wave 9: TPC-H multi-join breadth (Q7 + Q22 represent;
+    # Q8/Q14/Q19 share the same star-join machinery)
+    "nation_trade_flows",
+    "idle_rich_customers",
 ]
 
 

@@ -8231,16 +8231,58 @@ def mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for and the majority share. Pure explode + two small groupBys keyed
     by doc_id; the per-doc window ranks at most a handful of language
     rows. Docs with n_langs > 1 are the mixed-language candidates."""
+    from etl_bigquery_pipeline_spark.functions.text import STOPWORDS
+
     d = _t(spark, sf_dir, "documents")
-    chunks = (
-        d.select("doc_id", TX.tokens("text").alias("__toks"))
-        .select(
-            "doc_id",
-            F.explode(
-                TX.token_chunks_of(F.col("__toks"), chunk_tokens=32, overlap=0)
-            ).alias("c"),
+    # scalable lang scoring: instead of lang_guess's per-language
+    # higher-order filters (interpreted lambdas, K x |markers| work per
+    # chunk), explode chunk tokens once and count marker hits through a
+    # broadcast (marker-word, lang) join — identical semantics (marker
+    # hit-count argmax, ties alphabetical, zero-hit chunks default to the
+    # first language), hash-join speed
+    langs = sorted(STOPWORDS)
+    markers = F.broadcast(
+        spark.createDataFrame(
+            [(w, lang) for lang in langs for w in sorted(set(STOPWORDS[lang]))],
+            "__w string, __lang string",
         )
-        .select("doc_id", TX.lang_guess(F.col("c.chunk")).alias("clang"))
+    )
+    toks = d.select("doc_id", TX.tokens("text").alias("__toks")).select(
+        "doc_id",
+        F.transform("__toks", F.lower).alias("__lt"),
+        F.size("__toks").alias("__nt"),
+    )
+    spine = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.ceil(F.col("__nt") / 32.0).cast("int"), F.lit(1))
+                - 1,
+            )
+        ).alias("__ci"),
+        "__lt",
+    ).select(
+        "doc_id", "__ci", F.slice("__lt", F.col("__ci") * 32 + 1, 32).alias("__ct")
+    ).transform(scoped_cache)
+    hits = (
+        spine.select("doc_id", "__ci", F.explode("__ct").alias("__w"))
+        .join(markers, "__w")
+        .groupBy("doc_id", "__ci", "__lang")
+        .agg(F.count(F.lit(1)).alias("__s"))
+    )
+    bw = Window.partitionBy("doc_id", "__ci").orderBy(
+        F.col("__s").desc(), F.col("__lang").asc()
+    )
+    best = (
+        hits.withColumn("__rn", F.row_number().over(bw))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "__ci", F.col("__lang").alias("clang"))
+    )
+    chunks = spine.select("doc_id", "__ci").join(
+        best, ["doc_id", "__ci"], "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("clang"), F.lit(langs[0])).alias("clang")
     )
     per = chunks.groupBy("doc_id", "clang").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -8268,6 +8310,278 @@ def mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cnt").cast("double") / F.col("n_chunks"), 6).alias(
                 "majority_frac"
             ),
+        )
+    )
+
+
+# ===================================================================
+# Round-4 wave 9 — TPC-H-shaped multi-join analytics breadth
+# (Q7/Q8/Q14/Q19/Q22 adaptations to this schema)
+# ===================================================================
+
+_Q7_ORACLE = """
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+@query("nation_trade_flows", _Q7_ORACLE)
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between every
+    CROSS-nation (customer-nation, supplier-nation) pair by ship year.
+    Five-way join: nation broadcast twice under different aliases,
+    customer/supplier broadcast, the only big shuffle is
+    lineitem-orders on orderkey; the date filter pushes down to the
+    lineitem scan."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    n1 = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("snk"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+_Q8_ORACLE = """
+WITH flows AS (
+  SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         n2.n_name AS supp_nation,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA')
+SELECT l_year,
+       round(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
+FROM flows GROUP BY l_year
+"""
+
+
+@query("market_share_by_year", _Q8_ORACLE)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_7 suppliers' share
+    of all revenue delivered into ASIA customers, per ship year — the
+    conditional-aggregate-over-star-join pattern. Every dimension
+    broadcasts; the share is a ratio of two decimal-exact sums computed
+    in ONE aggregate (no second pass for the denominator)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    asia_nk = F.broadcast(
+        n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+            F.col("n_nationkey").alias("cnk")
+        )
+    )
+    n2 = F.broadcast(
+        n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(asia_nk, F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(n2, F.col("s_nationkey") == F.col("snk"))
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+_Q14_ORACLE = """
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS l_month,
+       round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2
+"""
+
+
+@query("promo_revenue_share", _Q14_ORACLE)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): PROMO parts' percentage of
+    revenue per ship month. Part broadcasts (dimension); numerator and
+    denominator fuse into one aggregate over the single fact scan."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            F.month("l_shipdate").cast("bigint").alias("l_month"),
+        )
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+_Q19_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#2' AND p_size <= 20
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 30
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+@query("complex_predicate_revenue", _Q19_ORACLE)
+def complex_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): an OR-of-ANDs predicate
+    spanning both join sides. The join itself stays a plain broadcast
+    equi-join on partkey; the disjunction is a post-join filter — the
+    plan Catalyst picks when the residual cannot be pushed into either
+    side. One scalar row out."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 10)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") <= 30)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+_Q22_ORACLE = """
+WITH cutoff AS (
+  SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0),
+idle AS (
+  SELECT c.c_mktsegment, c.c_acctbal
+  FROM customer c CROSS JOIN cutoff
+  WHERE c.c_acctbal > cutoff.avg_bal
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+FROM idle GROUP BY c_mktsegment
+"""
+
+
+@query("idle_rich_customers", _Q22_ORACLE)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers whose
+    balance beats the positive-balance average but who have never
+    ordered, grouped by market segment. Scalar-subquery cutoff (1-row
+    broadcast cross join) + broadcast LEFT ANTI against the orders
+    custkey projection — the anti join ships only the distinct custkey
+    column, never order rows."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    cutoff = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            exact_sum("c_acctbal").alias("total_bal"),
         )
     )
 

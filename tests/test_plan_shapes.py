@@ -365,3 +365,20 @@ def test_epoch_shuffle_order_no_single_partition_sort(spark, sf_dir):
     # per-epoch windows partition by epoch; no global 1-partition Exchange
     plan = _plan(spark, "epoch_shuffle_order", sf_dir)
     assert "Exchange SinglePartition" not in plan
+
+
+def test_tpch_star_joins_broadcast_all_dimensions(spark, sf_dir):
+    # Q7/Q8/Q22 shapes: dims broadcast; only lineitem-orders may sort-merge
+    for name in ("nation_trade_flows", "market_share_by_year"):
+        plan = _plan(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, name
+        assert plan.count("SortMergeJoin") <= 1, name
+    plan = _plan(spark, "idle_rich_customers", sf_dir)
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_predicate_stays_on_broadcast_join(spark, sf_dir):
+    plan = _plan(spark, "complex_predicate_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
