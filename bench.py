@@ -163,6 +163,9 @@ BENCH_QUERIES = [
     # Q8/Q14/Q19 share the same star-join machinery)
     "nation_trade_flows",
     "idle_rich_customers",
+    # round-4 wave 10: graph-ML corpus generation + exactly-k sampling
+    "deterministic_random_walks",
+    "weighted_reservoir_sample",
 ]
 
 

@@ -144,3 +144,105 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     return near_dup_clusters(
         edges, left_col="u", right_col="v", max_iterations=max_iterations
     ).select("node", F.col("cluster_id").alias("component_id"))
+
+
+def negative_samples(
+    edges: DataFrame,
+    probes: DataFrame,
+    *,
+    k: int = 5,
+    salt: str = "negs",
+) -> DataFrame:
+    """Deterministic negative sampling for link-prediction training: for
+    each probe node, the ``k`` non-adjacent nodes ranked first by
+    md5(salt:probe:candidate) — a reproducible pseudo-random draw with
+    no RNG state, identical on any cluster size (the same determinism
+    contract as operators.sampling).
+
+    ``edges`` is the canonical undirected (u, v) u<v set; ``probes`` a
+    1-column frame of probe node ids (small — broadcast). Work per probe
+    is one pass over the vertex set (probes x |V| hashed candidates), the
+    true-edge anti-join ships only (probe, candidate) id pairs. Returns
+    (probe, negative, rnk)."""
+    from pyspark.sql import Window as _W
+
+    nodes = (
+        edges.select(F.col("u").alias("cand"))
+        .unionAll(edges.select(F.col("v").alias("cand")))
+        .distinct()
+    )
+    p = probes.select(F.col(probes.columns[0]).alias("probe"))
+    cands = nodes.crossJoin(F.broadcast(p)).filter(
+        F.col("cand") != F.col("probe")
+    )
+    # anti-join both orientations against the canonical edge set
+    cu = F.least("probe", "cand")
+    cv = F.greatest("probe", "cand")
+    non_adj = cands.withColumns({"u": cu, "v": cv}).join(
+        edges, ["u", "v"], "left_anti"
+    )
+    key = F.md5(
+        F.concat(
+            F.lit(f"{salt}:"),
+            F.col("probe").cast("string"),
+            F.lit(":"),
+            F.col("cand").cast("string"),
+        )
+    )
+    w = _W.partitionBy("probe").orderBy(key.asc(), F.col("cand").asc())
+    return (
+        non_adj.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("probe", F.col("cand").alias("negative"), "rnk")
+    )
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    *,
+    steps: int = 3,
+    salt: str = "walk",
+) -> DataFrame:
+    """Hash-deterministic random walks (the corpus-generation step of
+    DeepWalk/node2vec-style embedding training, made reproducible): from
+    each start node, ``steps`` hops where the hop from u picks the
+    neighbor v minimizing md5(salt:walk:step:u:v) — a fixed pseudo-random
+    choice, so the walk corpus is identical across runs and engines and
+    SQL-replayable.
+
+    Each hop is ONE join of the current frontier (|walks| rows) against
+    the adjacency list keyed by source node, plus a groupBy argmin per
+    walk — the iterative frontier-join shape shared with pagerank_scaled;
+    adjacency is built once. Dead-end nodes terminate their walk early.
+    Returns (walk_id, step, node) with step 0 = the start node."""
+    adj = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("nbr")))
+    adj = scoped_cache(adj)
+    frontier = starts.select(
+        F.col(starts.columns[0]).alias("walk_id"),
+        F.col(starts.columns[0]).alias("node"),
+    )
+    out = frontier.withColumn("step", F.lit(0).cast("bigint"))
+    for s in range(1, steps + 1):
+        key = F.md5(
+            F.concat(
+                F.lit(f"{salt}:"),
+                F.col("walk_id").cast("string"),
+                F.lit(f":{s}:"),
+                F.col("src").cast("string"),
+                F.lit(":"),
+                F.col("nbr").cast("string"),
+            )
+        )
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["src"])
+            .select("walk_id", key.alias("__k"), "nbr")
+            .groupBy("walk_id")
+            .agg(F.min(F.struct("__k", "nbr")).alias("__best"))
+            .select("walk_id", F.col("__best.nbr").alias("node"))
+        )
+        out = out.unionAll(nxt.withColumn("step", F.lit(s).cast("bigint")))
+        frontier = nxt
+    return out.select("walk_id", "step", "node")

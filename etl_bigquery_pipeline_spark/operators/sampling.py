@@ -209,3 +209,52 @@ def weighted_sample(
         % 10000
     )
     return df.filter(bucket < w * 10000)
+
+
+def weighted_reservoir_topk(
+    df: DataFrame,
+    weight_col,
+    key_col: str,
+    *,
+    k: int,
+    salt: str = "ares",
+) -> DataFrame:
+    """EXACTLY-k weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES, public technique): each row draws the deterministic
+    uniform u = md5(salt:key) mapped into (0, 1) and scores
+    key = -ln(u) / w; the k SMALLEST scores are the sample. Inclusion
+    probability is proportional to weight, and unlike weighted_sample
+    (per-row Bernoulli, variable output size) the output size is fixed —
+    the guarantee training-set builders usually need.
+
+    Deterministic and engine-replayable: the score is a pure expression
+    of (salt, key, weight), rounded with a key tie-break so ranking
+    survives last-ulp libm differences across engines. The global top-k
+    is orderBy + limit — Spark plans TakeOrderedAndProject (per-partition
+    top-k, merged k-way), NOT a single-partition global window; ranks are
+    assigned afterwards over only the k survivors. One scan, no RNG
+    state."""
+    from pyspark.sql import Window as _W
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100000
+        + 1
+    ) / 100001.0
+    score = F.round(-F.log(u) / w, 6)
+    top = (
+        df.withColumn("score", score)
+        .orderBy(F.col("score").asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+    win = _W.orderBy(F.col("score").asc(), F.col(key_col).asc())
+    return top.withColumn("rnk", F.row_number().over(win).cast("bigint"))

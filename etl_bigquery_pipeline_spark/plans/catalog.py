@@ -8587,6 +8587,164 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 10 — graph-ML training data (negative sampling,
+# deterministic walks) + exactly-k weighted reservoir sampling
+# ===================================================================
+
+_COPURCHASE_EDGE_CTE = """
+__pr AS (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2),
+__e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM __pr a JOIN __pr b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+__nodes AS (SELECT u AS node FROM __e UNION SELECT v FROM __e)
+"""
+
+_NEG_SAMPLE_ORACLE = f"""
+WITH {_COPURCHASE_EDGE_CTE},
+probes AS (SELECT node AS probe FROM __nodes WHERE node % 500 = 0),
+cands AS (
+  SELECT p.probe, n.node AS cand
+  FROM probes p CROSS JOIN __nodes n WHERE n.node <> p.probe),
+non_adj AS (
+  SELECT probe, cand FROM cands c
+  WHERE NOT EXISTS (SELECT 1 FROM __e
+                    WHERE u = least(c.probe, c.cand)
+                      AND v = greatest(c.probe, c.cand))),
+r AS (
+  SELECT probe, cand,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY probe
+           ORDER BY md5('negs:' || CAST(probe AS VARCHAR) || ':'
+                        || CAST(cand AS VARCHAR)) ASC, cand ASC)
+         AS BIGINT) AS rnk
+  FROM non_adj)
+SELECT probe, cand AS negative, rnk FROM r WHERE rnk <= 5
+"""
+
+
+@query("graph_negative_samples", _NEG_SAMPLE_ORACLE)
+def graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction negative sampling over the part co-purchase graph
+    (operators.graph.negative_samples): per probe node, the 5
+    non-adjacent nodes ranked first by a salted md5 — a reproducible
+    pseudo-random draw with no RNG state, so the training pairs are
+    identical on any cluster and replayable by the oracle. Probe work is
+    linear in |V| (broadcast probes x vertex set), the true-edge check a
+    single anti-join of id pairs."""
+    from etl_bigquery_pipeline_spark.operators import graph
+
+    l = _t(spark, sf_dir, "lineitem")
+    pr = l.select("l_orderkey", "l_partkey").distinct()
+    pairs = pr.alias("a").join(
+        pr.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+    )
+    edges = scoped_cache(graph.undirected_edges(pairs, "pa", "pb"))
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    probes = nodes.filter(F.col("node") % 500 == 0)
+    return graph.negative_samples(edges, probes, k=5, salt="negs")
+
+
+def _walks_oracle(steps: int = 3) -> str:
+    parts = [
+        "__adj AS (SELECT u AS src, v AS nbr FROM __e "
+        "UNION ALL SELECT v AS src, u AS nbr FROM __e)",
+        "w0 AS (SELECT node AS walk_id, node FROM __nodes "
+        "WHERE node % 500 = 0)",
+    ]
+    for s in range(1, steps + 1):
+        parts.append(
+            f"c{s} AS (SELECT w.walk_id, a.nbr, "
+            f"ROW_NUMBER() OVER (PARTITION BY w.walk_id ORDER BY "
+            f"md5('walk:' || CAST(w.walk_id AS VARCHAR) || ':{s}:' "
+            f"|| CAST(w.node AS VARCHAR) || ':' || CAST(a.nbr AS VARCHAR)) "
+            f"ASC, a.nbr ASC) AS rn "
+            f"FROM w{s-1} w JOIN __adj a ON w.node = a.src)"
+        )
+        parts.append(
+            f"w{s} AS (SELECT walk_id, nbr AS node FROM c{s} WHERE rn = 1)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({s} AS BIGINT) AS step, node FROM w{s}"
+        for s in range(0, steps + 1)
+    )
+    return (
+        f"WITH {_COPURCHASE_EDGE_CTE}, " + ", ".join(parts) + " " + selects
+    )
+
+
+@query("deterministic_random_walks", _walks_oracle())
+def deterministic_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk/node2vec-style walk corpus over the co-purchase graph,
+    made reproducible (operators.graph.deterministic_walks): each hop
+    picks the neighbor minimizing a salted md5, so the walk corpus is
+    identical across runs/engines and the oracle replays it with
+    unrolled per-step CTEs. Each hop is one frontier-adjacency join +
+    per-walk argmin — the iterative shape shared with PageRank; the
+    adjacency builds once and is scope-cached across hops."""
+    from etl_bigquery_pipeline_spark.operators import graph
+
+    l = _t(spark, sf_dir, "lineitem")
+    pr = l.select("l_orderkey", "l_partkey").distinct()
+    pairs = pr.alias("a").join(
+        pr.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+    )
+    edges = scoped_cache(graph.undirected_edges(pairs, "pa", "pb"))
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    starts = nodes.filter(F.col("node") % 500 == 0)
+    return graph.deterministic_walks(edges, starts, steps=3, salt="walk")
+
+
+_RESERVOIR_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, source, n_chars,
+         round(-ln((({_hex8_to_int(
+             "substring(md5('ares:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+         )}) % 100000 + 1) / 100001.0) / n_chars, 6) AS score
+  FROM documents),
+r AS (
+  SELECT doc_id, source, score,
+         CAST(ROW_NUMBER() OVER (ORDER BY score ASC, doc_id ASC) AS BIGINT)
+           AS rnk
+  FROM s)
+SELECT doc_id, source, score, rnk FROM r WHERE rnk <= 100
+"""
+
+
+@query("weighted_reservoir_sample", _RESERVOIR_ORACLE)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-100 weighted sample of documents, weight = n_chars
+    (operators.sampling.weighted_reservoir_topk — Efraimidis-Spirakis
+    A-ES keys over the deterministic md5 uniform). Fixed output size is
+    the contract weighted_sample (Bernoulli) cannot give; the global
+    top-k plans as TakeOrderedAndProject (per-partition top-k, merged),
+    never a single-partition window. Scores rounded with id tie-break so
+    ranking is identical across engines."""
+    from etl_bigquery_pipeline_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = sampling.weighted_reservoir_topk(
+        d, F.col("n_chars"), "doc_id", k=100, salt="ares"
+    )
+    return out.select("doc_id", "source", "score", "rnk")
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order

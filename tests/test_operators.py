@@ -787,3 +787,49 @@ def test_prefix_filter_jaccard_is_lossless(spark):
         if j >= t:
             want[(a, b)] = round(j, 6)
     assert got == want
+
+
+def test_negative_samples_exclude_edges_and_are_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.operators import graph
+
+    # path graph 1-2-3-4 plus isolated-ish 5 connected to 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 5)], "u long, v long"
+    )
+    probes = spark.createDataFrame([(1,), (3,)], "node long")
+    out = graph.negative_samples(edges, probes, k=2).collect()
+    got = {(r.probe, r.negative) for r in out}
+    # probe 1 is adjacent to 2 and 5 -> negatives from {3, 4}
+    assert {p for p, n in got if p == 1} == {1}
+    assert {n for p, n in got if p == 1} == {3, 4}
+    # probe 3 is adjacent to 2 and 4 -> negatives from {1, 5}
+    assert {n for p, n in got if p == 3} == {1, 5}
+    again = {(r.probe, r.negative, r.rnk) for r in
+             graph.negative_samples(edges, probes, k=2).collect()}
+    assert again == {(r.probe, r.negative, r.rnk) for r in out}
+
+
+def test_deterministic_walks_follow_edges(spark):
+    from etl_bigquery_pipeline_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "u long, v long"
+    )
+    starts = spark.createDataFrame([(1,)], "node long")
+    out = sorted(
+        graph.deterministic_walks(edges, starts, steps=3).collect(),
+        key=lambda r: r.step,
+    )
+    assert [r.step for r in out] == [0, 1, 2, 3]
+    assert out[0].node == 1
+    adj = {(1, 2), (2, 3), (3, 4), (1, 4)}
+    adj |= {(b, a) for a, b in adj}
+    for prev, cur in zip(out, out[1:]):
+        assert (prev.node, cur.node) in adj  # every hop is a real edge
+    rerun = sorted(
+        graph.deterministic_walks(edges, starts, steps=3).collect(),
+        key=lambda r: r.step,
+    )
+    assert [r.node for r in rerun] == [r.node for r in out]

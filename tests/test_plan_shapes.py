@@ -382,3 +382,8 @@ def test_q19_predicate_stays_on_broadcast_join(spark, sf_dir):
     plan = _plan(spark, "complex_predicate_revenue", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_reservoir_is_take_ordered_not_global_window(spark, sf_dir):
+    plan = _plan(spark, "weighted_reservoir_sample", sf_dir)
+    assert "TakeOrderedAndProject" in plan
