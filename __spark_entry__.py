@@ -40,7 +40,8 @@ SF0001 = "/root/testdata/sf0.001"
 # mixed_language_docs, nation_trade_flows, market_share_by_year,
 # promo_revenue_share, complex_predicate_revenue, idle_rich_customers,
 # graph_negative_samples, deterministic_random_walks,
-# weighted_reservoir_sample; compression_ratio_quality is rows-only by
+# weighted_reservoir_sample, session_transcripts,
+# duplicate_ngram_spans, gopher_quality_flags; compression_ratio_quality is rows-only by
 # design, zlib is not SQL-expressible) — all sf0.01 oracle-verified
 # green when written.
 _SAMPLE_FIRST = [

@@ -166,6 +166,10 @@ BENCH_QUERIES = [
     # round-4 wave 10: graph-ML corpus generation + exactly-k sampling
     "deterministic_random_walks",
     "weighted_reservoir_sample",
+    # round-4 wave 11: span-level dedup is the scale-critical one
+    "duplicate_ngram_spans",
+    "gopher_quality_flags",
+    "session_transcripts",
 ]
 
 

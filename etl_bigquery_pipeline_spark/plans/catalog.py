@@ -8745,6 +8745,214 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 11 — SFT transcript assembly, duplicate-span detection,
+# Gopher-rule quality gates
+# ===================================================================
+
+_TRANSCRIPT_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       string_agg(event_type, ' ' ORDER BY ts, event_id) AS transcript
+FROM events GROUP BY user_id
+"""
+
+
+@query("session_transcripts", _TRANSCRIPT_ORACLE)
+def session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-transcript assembly (the SFT-formatting step: turn an
+    event/message log into one ordered text per conversation): per user,
+    the time-ordered event-type sequence joined into a single string.
+    Ordering inside the aggregate is made deterministic by sorting the
+    collected (ts, event_id, type) structs — groupBy collect_list alone
+    has NO order guarantee under retries/merges, the classic silent
+    nondeterminism bug in distributed transcript builders. One shuffle
+    on the conversation key; each group's sort is local and bounded by
+    conversation length."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("__ord"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.array_join(
+                F.transform(F.col("__ord"), lambda s: s["event_type"]), " "
+            ).alias("transcript"),
+        )
+    )
+
+
+# ---- duplicate n-gram spans (exact-substring dedup signal) ----
+
+_DUP_SPAN_ORACLE = """
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' please subscribe to our newsletter for the'
+                        || ' latest updates and offers from our team'
+                        || ' delivered straight to your inbox every week'
+              ELSE text END AS text
+  FROM documents),
+t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM docs),
+sp AS (
+  SELECT doc_id,
+         unnest([md5(array_to_string(toks[i:i+19], ' '))
+                 for i in generate_series(1, len(toks) - 19)]) AS span_h
+  FROM t WHERE len(toks) >= 20),
+g AS (
+  SELECT span_h, COUNT(*) AS occs, COUNT(DISTINCT doc_id) AS docs
+  FROM sp GROUP BY span_h),
+dup AS (SELECT * FROM g WHERE docs >= 2)
+SELECT CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS n_spans,
+       CAST((SELECT COUNT(*) FROM dup) AS BIGINT) AS n_dup_spans,
+       CAST((SELECT coalesce(SUM(occs), 0) FROM dup) AS BIGINT)
+         AS dup_occurrences,
+       CAST((SELECT COUNT(DISTINCT sp.doc_id) FROM sp
+             JOIN dup ON sp.span_h = dup.span_h) AS BIGINT)
+         AS docs_with_dup_spans
+"""
+
+
+@query("duplicate_ngram_spans", _DUP_SPAN_ORACLE)
+def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (the rolling-window
+    approximation of suffix-array dedup a la 'Deduplicating Training
+    Data Makes Language Models Better', public method): hash every
+    rolling 20-token span, count spans occurring in >= 2 documents.
+    Planted: a fixed boilerplate sentence appended to every 7th doc, so
+    the cross-document span family is known. The shuffle carries only
+    (span-md5, doc_id) — one row per token position, the same explode
+    economy as the shingle operators; the corpus body never moves."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = (
+        " please subscribe to our newsletter for the latest updates and"
+        " offers from our team delivered straight to your inbox every week"
+    )
+    docs = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(boiler))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    toks = docs.select(
+        "doc_id", TX.tokens("text").alias("__toks")
+    ).filter(F.size("__toks") >= 20)
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - 19),
+                lambda i: F.md5(F.array_join(F.slice("__toks", i, 20), " ")),
+            )
+        ).alias("span_h"),
+    ).transform(scoped_cache)
+    g = spans.groupBy("span_h").agg(
+        F.count(F.lit(1)).alias("occs"),
+        F.countDistinct("doc_id").alias("docs"),
+    ).transform(scoped_cache)
+    dup = g.filter(F.col("docs") >= 2)
+    n_spans = g.agg(F.count(F.lit(1)).cast("bigint").alias("n_spans"))
+    dups = dup.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+        F.coalesce(F.sum("occs"), F.lit(0)).cast("bigint").alias("dup_occurrences"),
+    )
+    affected = (
+        spans.join(dup.select("span_h"), "span_h", "left_semi")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("docs_with_dup_spans"))
+    )
+    return n_spans.crossJoin(dups).crossJoin(affected)
+
+
+# ---- Gopher-style rule gate ----
+
+_GOPHER_ORACLE = """
+WITH t AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+m AS (
+  SELECT source, len(toks) AS n_words,
+         CAST(list_sum([length(x) for x in toks]) AS DOUBLE)
+           / greatest(len(toks), 1) AS mean_len,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]')))
+              AS DOUBLE) / greatest(len(toks), 1) AS alpha_frac
+  FROM t),
+f AS (
+  SELECT source,
+         n_words < 30 AS fail_short,
+         n_words > 10000 AS fail_long,
+         mean_len < 3 OR mean_len > 12 AS fail_mean_len,
+         alpha_frac < 0.8 AS fail_alpha
+  FROM m)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE NOT (fail_short OR fail_long
+            OR fail_mean_len OR fail_alpha)) AS BIGINT) AS pass_all,
+       CAST(COUNT(*) FILTER (WHERE fail_short) AS BIGINT) AS n_fail_short,
+       CAST(COUNT(*) FILTER (WHERE fail_mean_len) AS BIGINT)
+         AS n_fail_mean_len,
+       CAST(COUNT(*) FILTER (WHERE fail_alpha) AS BIGINT) AS n_fail_alpha
+FROM f GROUP BY source
+"""
+
+
+@query("gopher_quality_flags", _GOPHER_ORACLE)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule gate (Rae et al. 2021, public heuristics): word
+    count bounds, mean word length band, alphabetic-token fraction —
+    each a pure JVM expression over one scan, aggregated to a per-source
+    pass/fail dashboard. The rule-based sibling of the learned filter
+    (logreg_quality_scores): at 100 TB these run first and cheaply, the
+    model scores what survives."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    m = d.select(
+        "source",
+        F.size(toks).alias("n_words"),
+        (
+            F.aggregate(
+                F.transform(toks, lambda x: F.length(x).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("mean_len"),
+        (
+            F.size(F.filter(toks, lambda x: x.rlike("^[A-Za-z]"))).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("alpha_frac"),
+    )
+    f = m.select(
+        "source",
+        (F.col("n_words") < 30).alias("fail_short"),
+        (F.col("n_words") > 10000).alias("fail_long"),
+        ((F.col("mean_len") < 3) | (F.col("mean_len") > 12)).alias("fail_mean_len"),
+        (F.col("alpha_frac") < 0.8).alias("fail_alpha"),
+    )
+    any_fail = (
+        F.col("fail_short")
+        | F.col("fail_long")
+        | F.col("fail_mean_len")
+        | F.col("fail_alpha")
+    )
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_if(~any_fail).cast("bigint").alias("pass_all"),
+        F.count_if(F.col("fail_short")).cast("bigint").alias("n_fail_short"),
+        F.count_if(F.col("fail_mean_len")).cast("bigint").alias("n_fail_mean_len"),
+        F.count_if(F.col("fail_alpha")).cast("bigint").alias("n_fail_alpha"),
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
