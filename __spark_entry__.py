@@ -41,7 +41,9 @@ SF0001 = "/root/testdata/sf0.001"
 # promo_revenue_share, complex_predicate_revenue, idle_rich_customers,
 # graph_negative_samples, deterministic_random_walks,
 # weighted_reservoir_sample, session_transcripts,
-# duplicate_ngram_spans, gopher_quality_flags; compression_ratio_quality is rows-only by
+# duplicate_ngram_spans, gopher_quality_flags,
+# entity_resolution_clusters, rollup_cascade_parity,
+# k_anonymity_check, incremental_join_view_parity; compression_ratio_quality is rows-only by
 # design, zlib is not SQL-expressible) — all sf0.01 oracle-verified
 # green when written.
 _SAMPLE_FIRST = [

@@ -170,6 +170,9 @@ BENCH_QUERIES = [
     "duplicate_ngram_spans",
     "gopher_quality_flags",
     "session_transcripts",
+    # round-4 wave 12: closure + IVM are the scale-critical ones
+    "entity_resolution_clusters",
+    "incremental_join_view_parity",
 ]
 
 

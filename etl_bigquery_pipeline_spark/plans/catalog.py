@@ -8953,6 +8953,177 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 12 — entity resolution closure, rollup-cascade parity,
+# k-anonymity, incremental join-view maintenance
+# ===================================================================
+
+_ENTITY_ORACLE = """
+WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+t AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM n),
+p AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b
+  FROM t a JOIN t b ON a.blk = b.blk AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+edges AS (
+  SELECT name_a AS src, name_b AS dst FROM p
+  UNION SELECT name_b, name_a FROM p),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
+SELECT node AS p_name, MIN(label) AS canonical_name
+FROM reach GROUP BY node
+"""
+
+
+@query("entity_resolution_clusters", _ENTITY_ORACLE)
+def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution (record linkage): blocked Levenshtein
+    match pairs (the fuzzy_name_pairs machinery) closed transitively into
+    entities via pointer-doubled min-label propagation
+    (graph.connected_components — log-diameter rounds of id/label
+    equi-joins), each name mapped to its cluster's lexicographic-minimum
+    canonical. The oracle closes the same pairs with a recursive CTE.
+    Output covers names that matched at least one other name; singletons
+    are already canonical by definition."""
+    from etl_bigquery_pipeline_spark.operators import graph
+
+    p = _t(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    t = names.select(
+        "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 2)
+        .select(F.col("a.p_name").alias("u"), F.col("b.p_name").alias("v"))
+    )
+    return graph.connected_components(pairs).select(
+        F.col("node").alias("p_name"),
+        F.col("component_id").alias("canonical_name"),
+    )
+
+
+_CASCADE_ORACLE = """
+SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*), 4) AS value_avg
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("rollup_cascade_parity", _CASCADE_ORACLE)
+def rollup_cascade_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-routing cascade (plans/aggregates): the MONTHLY answer
+    computed FROM the persisted daily rollup — sums of sums, min of
+    mins, avg finalized from (sum, count), never averaged averages —
+    while the oracle computes the same months directly from raw events.
+    A green hash PROVES the cascade is lossless: additive measures in
+    exact decimal re-merge associatively, so routing dashboards to the
+    rollup instead of the raw fact table costs nothing in correctness
+    (and ~30x less scan at this data's fan-in)."""
+    from etl_bigquery_pipeline_spark.plans import aggregates
+
+    e = _t(spark, sf_dir, "events")
+    daily = aggregates.build_daily_rollup(e)
+    monthly = aggregates.rollup_to_monthly(daily)
+    return monthly.select(
+        "month",
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("value_sum").cast("double").alias("value_sum"),
+        "value_avg",
+    )
+
+
+_KANON_ORACLE = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS grp
+  FROM customer GROUP BY 1, 2)
+SELECT CAST(MIN(grp) AS BIGINT) AS k_min,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) FILTER (WHERE grp < 5) AS BIGINT) AS groups_below_5,
+       CAST(coalesce(SUM(grp) FILTER (WHERE grp < 5), 0) AS BIGINT)
+         AS rows_at_risk
+FROM g
+"""
+
+
+@query("k_anonymity_check", _KANON_ORACLE)
+def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy DQ: k-anonymity of the (nation, market-segment)
+    quasi-identifier — the minimum equivalence-class size, and how many
+    rows sit in classes below k=5 (re-identifiable under linkage
+    attacks). One groupBy + one scalar aggregate; the release gate a
+    privacy review runs before sharing a slice."""
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("grp")
+    )
+    return g.agg(
+        F.min("grp").cast("bigint").alias("k_min"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.count_if(F.col("grp") < 5).cast("bigint").alias("groups_below_5"),
+        F.coalesce(F.sum(F.when(F.col("grp") < 5, F.col("grp"))), F.lit(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+    )
+
+
+@query(
+    "incremental_join_view_parity",
+    "SELECT true AS counts_match, true AS revenue_match",
+)
+def incremental_join_view_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view (the delta algebra:
+    dV = dA |><| B_old + A_old |><| dB + dA |><| dB), proven against full
+    recompute. The orders-customer join view starts from a 90% snapshot
+    of both sides; the held-out 10% arrives as deltas and only
+    delta-sized joins run — at 100 TB this is the difference between
+    touching the day's ingest and re-joining two full tables. The gate
+    checks row count AND exact-decimal revenue parity with the
+    from-scratch join; one boolean row reaches the driver."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o_old = o.filter(F.col("o_orderkey") % 10 != 0).transform(scoped_cache)
+    do = o.filter(F.col("o_orderkey") % 10 == 0)
+    c_old = c.filter(F.col("c_custkey") % 10 != 0).transform(scoped_cache)
+    dc = c.filter(F.col("c_custkey") % 10 == 0)
+    key = o["o_custkey"] == c["c_custkey"]
+
+    def j(left, right):
+        return left.join(
+            right, left["o_custkey"] == right["c_custkey"]
+        ).select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+
+    v_old = j(o_old, c_old)
+    dv = j(do, c_old).unionByName(j(o_old, dc)).unionByName(j(do, dc))
+    v_incr = v_old.unionByName(dv)
+    v_full = j(o, c)
+
+    def summarize(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s"),
+        ).first()
+
+    a, b = summarize(v_incr), summarize(v_full)
+    return spark.createDataFrame(
+        [(bool(a["n"] == b["n"]), bool(a["s"] == b["s"]))],
+        "counts_match boolean, revenue_match boolean",
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
