@@ -367,3 +367,55 @@ def sample_clips(
             )
 
     return df.mapInPandas(do, out_schema)
+
+
+def spectral_features(
+    df: DataFrame, id_col: str = "audio_id", binary_col: str = "payload"
+) -> DataFrame:
+    """Frequency-domain features per payload: dominant frequency (Hz),
+    spectral centroid, and 90% rolloff — numpy rfft over the mono mix,
+    Arrow-batched like audio_features. The feature set a speech/music
+    router or a silence/tone detector filters on before expensive model
+    inference. Undecodable/gated payloads yield nulls with ok=false."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("dominant_hz", T.DoubleType()),
+            T.StructField("centroid_hz", T.DoubleType()),
+            T.StructField("rolloff_hz", T.DoubleType()),
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, payload in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    x, sr = decode_wav(payload)
+                except (NotImplementedError, ValueError):
+                    rows.append((key, None, None, None, False))
+                    continue
+                mono = x.mean(axis=1)
+                if len(mono) < 2 or not sr:
+                    rows.append((key, 0.0, 0.0, 0.0, True))
+                    continue
+                mag = np.abs(np.fft.rfft(mono))
+                freqs = np.fft.rfftfreq(len(mono), d=1.0 / sr)
+                total = float(mag.sum())
+                if total == 0.0:
+                    rows.append((key, 0.0, 0.0, 0.0, True))
+                    continue
+                dom = float(freqs[int(np.argmax(mag))])
+                centroid = float((freqs * mag).sum() / total)
+                cum = np.cumsum(mag)
+                roll = float(freqs[int(np.searchsorted(cum, 0.9 * total))])
+                rows.append(
+                    (key, round(dom, 3), round(centroid, 3), round(roll, 3), True)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "dominant_hz", "centroid_hz", "rolloff_hz", "ok"],
+            )
+
+    return df.mapInPandas(featurize, out_schema)

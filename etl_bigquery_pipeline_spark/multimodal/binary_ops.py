@@ -632,3 +632,104 @@ def sample_frames(
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(do, FRAME_SCHEMA)
+
+
+def dhash64(arr: "object") -> int:
+    """64-bit difference hash (dHash, public technique): grayscale,
+    nearest-resample to 9x8, emit one bit per horizontal gradient sign.
+    Robust to resizing/re-encoding/small noise; Hamming distance between
+    hashes approximates visual distance. Pure numpy, deterministic."""
+    import numpy as np
+
+    gray = arr.astype("float64") @ np.array([0.299, 0.587, 0.114])
+    g = resize_nearest(gray[..., None].repeat(3, axis=2), (9, 8))[..., 0]
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.uint64).reshape(-1)
+    out = np.uint64(0)
+    for b in bits:
+        out = (out << np.uint64(1)) | b
+    return int(out)
+
+
+def with_perceptual_hash(
+    df: DataFrame, *, id_col: str = "id", binary_col: str = "payload"
+) -> DataFrame:
+    """(id, phash bigint, ok) per image payload — Arrow-batched dHash.
+    Codec-gated payloads yield null/ok=false. The signed bigint carries
+    the raw 64 bits (two's complement); band extraction and Hamming
+    distance below operate bitwise, so signedness is irrelevant."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("phash", T.LongType()),
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+
+    def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for key, payload in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    h = dhash64(decode_image(payload))
+                    # two's-complement into signed int64
+                    rows.append((key, h - (1 << 64) if h >= (1 << 63) else h, True))
+                except (NotImplementedError, ValueError, TypeError):
+                    rows.append((key, None, False))
+            yield pd.DataFrame(rows, columns=[id_col, "phash", "ok"])
+            rows = []
+
+    return df.mapInPandas(do, out_schema)
+
+
+def near_dup_images(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    binary_col: str = "payload",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-dup pairs via banded perceptual-hash blocking — the
+    multimodal twin of SimHash text dedup: the 64-bit dHash splits into
+    four 16-bit bands; by pigeonhole, any pair within Hamming distance 3
+    shares at least one intact band, so candidates come from 4 band-key
+    equi-joins (never all-pairs) and are verified with an exact popcount.
+    Returns (id_a, id_b, hamming). Scale shape: decode once per image
+    (Arrow batches), shuffle only (band-key, id) rows + 8-byte hashes."""
+    hashed = with_perceptual_hash(df, id_col=id_col, binary_col=binary_col)
+    hashed = hashed.filter(F.col("ok")).select(F.col(id_col).alias("__id"), "phash")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("phash"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("band_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    bands = hashed.select(
+        "__id", "phash", F.explode(band_structs).alias("__b")
+    ).select(
+        "__id", "phash", F.col("__b.band").alias("band"),
+        F.col("__b.band_val").alias("band_val"),
+    )
+    a = bands.select(
+        F.col("__id").alias("id_a"), F.col("phash").alias("ha"), "band", "band_val"
+    )
+    b = bands.select(
+        F.col("__id").alias("id_b"), F.col("phash").alias("hb"), "band", "band_val"
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+    )

@@ -247,3 +247,17 @@ def test_ima_adpcm_stereo_channels_independent():
     m = len(got_i16)
     assert np.corrcoef(got_i16[:, 0], left[:m].astype(np.int64))[0, 1] > 0.99
     assert np.corrcoef(got_i16[:, 1], right[:m].astype(np.int64))[0, 1] > 0.99
+
+
+def test_spectral_features_find_dominant_tone(spark):
+    tone_a = audio_ops.encode_wav(_sine(440, 0.5), 8000)
+    tone_b = audio_ops.encode_wav(_sine(1200, 0.5), 8000)
+    df = spark.createDataFrame(
+        [(1, tone_a), (2, tone_b), (3, b"RIFFgarbage")],
+        "audio_id long, payload binary",
+    )
+    rows = {r.audio_id: r for r in audio_ops.spectral_features(df).collect()}
+    assert abs(rows[1].dominant_hz - 440) < 5
+    assert abs(rows[2].dominant_hz - 1200) < 5
+    assert rows[2].centroid_hz > rows[1].centroid_hz
+    assert rows[3].ok is False and rows[3].dominant_hz is None

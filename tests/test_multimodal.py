@@ -578,3 +578,37 @@ def test_truncated_compressed_payloads_fail_cleanly():
                 assert out.ndim == 3 and out.shape[2] == 3
             except (ValueError, NotImplementedError, IndexError):
                 pass
+
+
+def test_dhash_stable_and_noise_tolerant():
+    base = _rng_image(64, 64, seed=11)
+    h1 = binary_ops.dhash64(base)
+    assert h1 == binary_ops.dhash64(base.copy())  # deterministic
+    # tiny localized noise: most gradient signs survive
+    noisy = base.copy()
+    noisy[0:2, 0:2] = 255 - noisy[0:2, 0:2]
+    h2 = binary_ops.dhash64(noisy)
+    assert bin(h1 ^ h2).count("1") <= 6
+    # a different image is far away
+    other = binary_ops.dhash64(_rng_image(64, 64, seed=99))
+    assert bin(h1 ^ other).count("1") > 10
+
+
+def test_near_dup_images_banded_blocking(spark):
+    base = _rng_image(48, 48, seed=5)
+    noisy = base.copy()
+    noisy[0, 0] = 255 - noisy[0, 0]
+    other = _rng_image(48, 48, seed=77)
+    df = spark.createDataFrame(
+        [(1, _bmp(base)), (2, _bmp(noisy)), (3, _bmp(other)),
+         (4, b"\xff\xd8\xff\xe0 jpeg-gated")],
+        "id long, payload binary",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in binary_ops.near_dup_images(df, max_hamming=3).collect()}
+    assert (1, 2) in pairs          # planted near-dup found via band join
+    assert all(k == (1, 2) for k in pairs)  # distinct image not paired
+    # plan: equi-join on band keys, never a cartesian
+    plan = binary_ops.near_dup_images(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
