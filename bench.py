@@ -173,6 +173,10 @@ BENCH_QUERIES = [
     # round-4 wave 12: closure + IVM are the scale-critical ones
     "entity_resolution_clusters",
     "incremental_join_view_parity",
+    # round-4 wave 14: relational-pattern breadth representatives
+    "orderkey_gap_islands",
+    "activity_streaks",
+    "events_since_last_purchase",
 ]
 
 

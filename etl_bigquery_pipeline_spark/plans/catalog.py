@@ -9124,6 +9124,231 @@ def incremental_join_view_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 14 — classic relational patterns: gaps & islands,
+# streaks, conditional window resets, robust (MAD) anomalies, rank ties
+# ===================================================================
+
+_GAPS_ORACLE = """
+WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+r AS (SELECT k, k - ROW_NUMBER() OVER (ORDER BY k) AS grp FROM k),
+isl AS (
+  SELECT MIN(k) AS island_start, MAX(k) AS island_end,
+         CAST(COUNT(*) AS BIGINT) AS island_len
+  FROM r GROUP BY grp)
+SELECT island_start, island_end, island_len FROM isl
+ORDER BY island_start LIMIT 20
+"""
+
+
+@query("orderkey_gap_islands", _GAPS_ORACLE)
+def orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over the orderkey sequence (the classic
+    key - row_number() grouping trick): contiguous id runs collapse to
+    one group key, so islands fall out of a single groupBy. The global
+    row_number runs over the DISTINCT KEY projection — at 100 TB the
+    distinct keys are still orders of magnitude smaller than the fact
+    rows, and the ordered pass is a range sort, not a driver collect.
+    First 20 islands by start — the audit view that spots id-space holes
+    left by failed ingest batches. The global numbering uses the
+    range-partition + offsets machinery (windows.with_global_row_number),
+    never a single-partition window."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k")).distinct()
+    r, _total = windows.with_global_row_number(o, ["k"], rn_col="__rn")
+    r = r.withColumn("grp", F.col("k") - F.col("__rn"))
+    return (
+        r.groupBy("grp")
+        .agg(
+            F.min("k").alias("island_start"),
+            F.max("k").alias("island_end"),
+            F.count(F.lit(1)).cast("bigint").alias("island_len"),
+        )
+        .drop("grp")
+        .orderBy("island_start")
+        .limit(20)
+    )
+
+
+_STREAK_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+r AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INT) AS grp
+  FROM d),
+s AS (
+  SELECT user_id, MIN(day) AS streak_start, CAST(COUNT(*) AS BIGINT) AS len
+  FROM r GROUP BY user_id, grp),
+b AS (
+  SELECT user_id, streak_start, len,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, streak_start ASC) AS rn
+  FROM s)
+SELECT user_id, streak_start, len AS streak_days
+FROM b WHERE rn = 1 AND len >= 3
+"""
+
+
+@query("activity_streaks", _STREAK_ORACLE)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (engagement
+    metric): the date-minus-row_number constant marks each run of
+    consecutive days, a per-user groupBy measures the runs, a window
+    keeps the longest. Every window partitions by user — even shuffle,
+    no global ordering anywhere. Users with streaks >= 3 days."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    wu = Window.partitionBy("user_id").orderBy("day")
+    r = d.withColumn(
+        "grp",
+        F.date_sub(F.col("day"), F.row_number().over(wu)),
+    )
+    s = r.groupBy("user_id", "grp").agg(
+        F.min("day").alias("streak_start"),
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("streak_start").asc()
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(wb))
+        .filter((F.col("rn") == 1) & (F.col("len") >= 3))
+        .select("user_id", "streak_start", F.col("len").alias("streak_days"))
+    )
+
+
+_SINCE_PURCHASE_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         COUNT(*) FILTER (WHERE event_type = 'purchase')
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+  FROM events),
+w AS (
+  SELECT user_id, event_id, event_type,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id, epoch
+                                 ORDER BY ts, event_id) - 1 AS BIGINT)
+           AS events_since_purchase,
+         CASE WHEN event_type = 'purchase' THEN 0
+              ELSE NULL END AS is_reset
+  FROM e
+  WHERE epoch > 0 AND event_type <> 'purchase')
+SELECT user_id, event_id, event_type, events_since_purchase
+FROM w
+"""
+
+
+@query("events_since_last_purchase", _SINCE_PURCHASE_ORACLE)
+def events_since_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional window reset (counter that restarts at each marker
+    event): a running count of purchases partitions each user's timeline
+    into epochs, then a row_number within (user, epoch) counts events
+    since the last purchase — the two-window composition that expresses
+    'resettable' state without any stateful UDF. Post-purchase events
+    only; both windows shuffle by user, never globally."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.sum(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ).over(wu)
+    we = Window.partitionBy("user_id", "epoch").orderBy("ts", "event_id")
+    return (
+        e.withColumn("epoch", epoch)
+        .filter((F.col("epoch") > 0) & (F.col("event_type") != "purchase"))
+        .withColumn(
+            "events_since_purchase",
+            (F.row_number().over(we) - 1).cast("bigint"),
+        )
+        .select("user_id", "event_id", "event_type", "events_since_purchase")
+    )
+
+
+_MAD_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1),
+med AS (SELECT quantile_cont(rev, 0.5) AS m FROM daily),
+dev AS (
+  SELECT d.day, d.rev, abs(d.rev - med.m) AS ad, med.m
+  FROM daily d CROSS JOIN med),
+mad AS (SELECT quantile_cont(ad, 0.5) AS mad FROM dev)
+SELECT dev.day, round(dev.rev, 4) AS rev,
+       round((dev.rev - dev.m) / (1.4826 * mad.mad), 4) AS robust_z
+FROM dev CROSS JOIN mad
+WHERE abs((dev.rev - dev.m) / (1.4826 * mad.mad)) > 2.5
+"""
+
+
+@query("mad_anomalies", _MAD_ORACLE)
+def mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection via median absolute deviation — unlike
+    the stddev z-score (daily_revenue_anomalies), the MAD denominator is
+    immune to the very outliers being hunted, so one extreme day can't
+    mask others. Both medians are exact interpolated percentiles over
+    the DAILY aggregate (calendar-bounded rows); each scalar broadcasts
+    back via the sanctioned 1-row cross join."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("rev")
+    ).transform(scoped_cache)
+    med = daily.agg(F.expr("percentile(rev, 0.5)").alias("m"))
+    dev = daily.crossJoin(F.broadcast(med)).withColumn(
+        "ad", F.abs(F.col("rev") - F.col("m"))
+    ).transform(scoped_cache)
+    mad = dev.agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    z = F.col("rev") - F.col("m")
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .withColumn("robust_z", F.round(z / (1.4826 * F.col("mad")), 4))
+        .filter(F.abs(F.col("robust_z")) > 2.5)
+        .select("day", F.round("rev", 4).alias("rev"), "robust_z")
+    )
+
+
+_TIES_ORACLE = """
+WITH r AS (
+  SELECT p_brand, p_partkey, p_retailprice,
+         CAST(RANK() OVER (PARTITION BY p_brand
+                           ORDER BY round(p_retailprice, 2) DESC) AS BIGINT)
+           AS price_rank,
+         CAST(DENSE_RANK() OVER (PARTITION BY p_brand
+                           ORDER BY round(p_retailprice, 2) DESC) AS BIGINT)
+           AS dense_price_rank
+  FROM part)
+SELECT p_brand, p_partkey, round(p_retailprice, 2) AS p_retailprice,
+       price_rank, dense_price_rank
+FROM r WHERE dense_price_rank <= 2
+"""
+
+
+@query("brand_price_ties_rank", _TIES_ORACLE)
+def brand_price_ties_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK vs DENSE_RANK with ties INCLUDED (window_rank_parts uses
+    row_number, which arbitrarily truncates ties): top-2 price LEVELS
+    per brand keep every part at those levels, and the gap between
+    rank and dense_rank exposes tie groups. Prices compared at 2
+    decimals so tie groups are well-defined cross-engine."""
+    p = _t(spark, sf_dir, "part")
+    price2 = F.round("p_retailprice", 2)
+    w = Window.partitionBy("p_brand").orderBy(price2.desc())
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            price2.alias("p_retailprice"),
+            F.rank().over(w).cast("bigint").alias("price_rank"),
+            F.dense_rank().over(w).cast("bigint").alias("dense_price_rank"),
+        )
+        .filter(F.col("dense_price_rank") <= 2)
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
