@@ -177,6 +177,9 @@ BENCH_QUERIES = [
     "orderkey_gap_islands",
     "activity_streaks",
     "events_since_last_purchase",
+    # round-4 wave 15: variant + native session windows
+    "variant_json_extraction",
+    "session_window_batch",
 ]
 
 

@@ -9349,6 +9349,157 @@ def brand_price_ties_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 15 — VARIANT JSON handling, null-safe join semantics,
+# native session_window batch aggregation
+# ===================================================================
+
+_VARIANT_ORACLE = """
+WITH j AS (
+  SELECT event_id,
+         '{"base":' || props || ',"meta":{"type":"' || event_type
+         || '","depth":' || CAST(event_id % 5 AS VARCHAR)
+         || '},"tags":["t' || CAST(event_id % 3 AS VARCHAR) || '","x"]}'
+           AS doc
+  FROM events)
+SELECT event_id,
+       CAST(json_extract(doc, '$.base.k') AS BIGINT) AS k,
+       CAST(json_extract_string(doc, '$.meta.type') AS VARCHAR) AS meta_type,
+       CAST(json_extract(doc, '$.meta.depth') AS BIGINT) AS depth,
+       CAST(json_extract_string(doc, '$.tags[0]') AS VARCHAR) AS first_tag
+FROM j
+"""
+
+
+@query("variant_json_extraction", _VARIANT_ORACLE)
+def variant_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured handling through Spark 4's VARIANT type: nested
+    JSON (synthesized in-query around the real props column) is parsed
+    ONCE with parse_json into the binary variant encoding, then fields
+    at different depths and an array element are extracted with typed
+    variant_get paths — the shredded-access pattern that beats repeated
+    get_json_object string re-parsing (one parse, many cheap typed
+    reads). The oracle replays with DuckDB's JSON path functions."""
+    e = _t(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"base":'),
+        F.col("props"),
+        F.lit(',"meta":{"type":"'),
+        F.col("event_type"),
+        F.lit('","depth":'),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit('},"tags":["t'),
+        (F.col("event_id") % 3).cast("string"),
+        F.lit('","x"]}'),
+    )
+    v = e.select("event_id", F.parse_json(doc).alias("v"))
+    return v.select(
+        "event_id",
+        F.try_variant_get(F.col("v"), "$.base.k", "bigint").alias("k"),
+        F.try_variant_get(F.col("v"), "$.meta.type", "string").alias("meta_type"),
+        F.try_variant_get(F.col("v"), "$.meta.depth", "bigint").alias("depth"),
+        F.try_variant_get(F.col("v"), "$.tags[0]", "string").alias("first_tag"),
+    )
+
+
+_NULLSAFE_ORACLE = """
+WITH o AS (
+  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+  FROM orders),
+c AS (
+  SELECT CASE WHEN c_custkey % 89 = 0 THEN NULL ELSE c_custkey END AS k
+  FROM customer)
+SELECT
+  CAST((SELECT COUNT(*) FROM o JOIN c ON o.k = c.k) AS BIGINT)
+    AS n_equality,
+  CAST((SELECT COUNT(*) FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k)
+       AS BIGINT) AS n_null_safe,
+  CAST((SELECT COUNT(*) FROM o WHERE k IS NULL) AS BIGINT) AS null_orders,
+  CAST((SELECT COUNT(*) FROM c WHERE k IS NULL) AS BIGINT) AS null_customers
+"""
+
+
+@query("null_safe_join_counts", _NULLSAFE_ORACLE)
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL join-key semantics, the classic silent-data-loss pitfall:
+    planted NULL keys on both sides, joined with plain equality (NULLs
+    never match — rows vanish) vs eqNullSafe / IS NOT DISTINCT FROM
+    (NULL matches NULL — the n_null_safe surplus is exactly
+    null_orders x null_customers). Both joins remain hash joins —
+    eqNullSafe is still an equi-predicate to Catalyst, NOT a
+    nested-loop degradation. One summary row."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("o_custkey"))
+        .alias("k")
+    ).transform(scoped_cache)
+    c = _t(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 89 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("c_custkey"))
+        .alias("k")
+    ).transform(scoped_cache)
+    oc, cc = o.alias("o"), c.alias("c")
+    n_eq = oc.join(cc, F.col("o.k") == F.col("c.k")).count()
+    n_ns = oc.join(cc, F.col("o.k").eqNullSafe(F.col("c.k"))).count()
+    n_no = o.filter(F.col("k").isNull()).count()
+    n_nc = c.filter(F.col("k").isNull()).count()
+    return spark.createDataFrame(
+        [(n_eq, n_ns, n_no, n_nc)],
+        "n_equality bigint, n_null_safe bigint, "
+        "null_orders bigint, null_customers bigint",
+    )
+
+
+_SESSION_WINDOW_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
+                 THEN 1 ELSE 0 END AS brk
+  FROM e),
+g AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS seq
+  FROM f)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM g GROUP BY user_id, seq
+"""
+
+
+@query("session_window_batch", _SESSION_WINDOW_ORACLE)
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation run in batch mode — the
+    same merging-session operator the streaming path uses, verified
+    against the relational gaps-and-islands formulation (sessionization
+    implements it manually; a green hash proves the two formulations
+    agree on every session boundary). Session end is
+    last-event + gap, per Spark's session_window contract."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order

@@ -32,6 +32,9 @@ ROWS_ONLY = {
     "lsh_cosine_topk",
     "ivf_cosine_topk",
     "pq_cosine_topk",
+    # zlib is not SQL-expressible; pinned bit-for-bit to serial zlib in
+    # pytest and gated by the oracled compression_quality_gate
+    "compression_ratio_quality",
 }
 
 
