@@ -46,7 +46,8 @@ SF0001 = "/root/testdata/sf0.001"
 # k_anonymity_check, incremental_join_view_parity,
 # orderkey_gap_islands, activity_streaks, events_since_last_purchase,
 # mad_anomalies, brand_price_ties_rank, variant_json_extraction,
-# null_safe_join_counts, session_window_batch; compression_ratio_quality is rows-only by
+# null_safe_join_counts, session_window_batch, imputed_acctbal_stats,
+# target_encoded_segments, sentence_stats, price_qty_heatmap; compression_ratio_quality is rows-only by
 # design, zlib is not SQL-expressible) — all sf0.01 oracle-verified
 # green when written.
 _SAMPLE_FIRST = [

@@ -180,6 +180,10 @@ BENCH_QUERIES = [
     # round-4 wave 15: variant + native session windows
     "variant_json_extraction",
     "session_window_batch",
+    # round-4 wave 16: repair + feature engineering
+    "imputed_acctbal_stats",
+    "target_encoded_segments",
+    "sentence_stats",
 ]
 
 

@@ -9500,6 +9500,212 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 16 — imputation repair, target encoding, sentence
+# segmentation, 2D histogram binning
+# ===================================================================
+
+_IMPUTE_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 41 = 0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer),
+med AS (
+  SELECT c_mktsegment, quantile_cont(bal, 0.5) AS seg_median
+  FROM c WHERE bal IS NOT NULL GROUP BY c_mktsegment),
+r AS (
+  SELECT c.c_mktsegment,
+         coalesce(c.bal, m.seg_median) AS filled,
+         c.bal IS NULL AS was_imputed
+  FROM c JOIN med m ON c.c_mktsegment = m.c_mktsegment)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE was_imputed) AS BIGINT) AS n_imputed,
+       round(AVG(filled), 4) AS avg_bal,
+       round(MIN(filled), 4) AS min_bal
+FROM r GROUP BY c_mktsegment
+"""
+
+
+@query("imputed_acctbal_stats", _IMPUTE_ORACLE)
+def imputed_acctbal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint repair by group-median imputation (the DQ-remediation
+    step after quarantine flags nulls): NULLs planted on modular
+    custkeys, each filled with its market segment's exact interpolated
+    median of the surviving values. The medians are one per segment —
+    broadcast join back; imputation itself is a stateless coalesce, so
+    the repair pass costs one scan + one tiny aggregate at any scale."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 41 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    med = (
+        c.filter(F.col("bal").isNotNull())
+        .groupBy("c_mktsegment")
+        .agg(F.expr("percentile(bal, 0.5)").alias("seg_median"))
+    )
+    r = c.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment",
+        F.coalesce("bal", "seg_median").alias("filled"),
+        F.col("bal").isNull().alias("was_imputed"),
+    )
+    return r.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_if("was_imputed").cast("bigint").alias("n_imputed"),
+        F.round(F.avg("filled"), 4).alias("avg_bal"),
+        F.round(F.min("filled"), 4).alias("min_bal"),
+    )
+
+
+_TARGET_ENC_ORACLE = """
+WITH g AS (
+  SELECT c_mktsegment AS seg,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1),
+prior AS (SELECT SUM(s) / SUM(n) AS mu FROM g)
+SELECT g.seg,
+       CAST(g.n AS BIGINT) AS n_orders,
+       round(g.s / g.n, 4) AS raw_mean,
+       round((g.s + 20.0 * prior.mu) / (g.n + 20.0), 4) AS encoded
+FROM g CROSS JOIN prior
+"""
+
+
+@query("target_encoded_segments", _TARGET_ENC_ORACLE)
+def target_encoded_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (the feature-engineering workhorse for
+    high-cardinality categoricals): per-segment mean order value shrunk
+    toward the global prior with pseudo-count k=20 — rare categories
+    collapse to the prior instead of memorizing noise. Everything runs
+    on the per-CATEGORY aggregate; the prior is the sanctioned 1-row
+    broadcast. Encodings are what a downstream model joins back
+    broadcast-style onto the fact table."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    g = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("s"),
+        )
+    ).transform(scoped_cache)
+    prior = g.agg((F.sum("s") / F.sum("n")).alias("mu"))
+    return g.crossJoin(F.broadcast(prior)).select(
+        "seg",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(F.col("s") / F.col("n"), 4).alias("raw_mean"),
+        F.round(
+            (F.col("s") + 20.0 * F.col("mu")) / (F.col("n") + 20.0), 4
+        ).alias("encoded"),
+    )
+
+
+_SENTENCE_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         list_filter([trim(x) for x in
+                      string_split_regex(text, '[.!?]+')],
+                     x -> x <> '') AS sents
+  FROM documents),
+m AS (
+  SELECT doc_id, len(sents) AS n_sentences,
+         [len(list_filter(regexp_split_to_array(x, '\\s+'), t -> t <> ''))
+          for x in sents] AS lens
+  FROM s)
+SELECT doc_id, CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(coalesce(list_max(lens), 0) AS BIGINT) AS max_sentence_tokens,
+       round(CAST(coalesce(list_sum(lens), 0) AS DOUBLE)
+             / greatest(n_sentences, 1), 4) AS avg_sentence_tokens
+FROM m
+"""
+
+
+@query("sentence_stats", _SENTENCE_ORACLE)
+def sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats (the pre-chunking granularity for RAG
+    and the basis of readability scores): regex split on terminal
+    punctuation, per-document sentence count and token-length profile —
+    all array expressions inside one projection, zero shuffle before
+    the (row-per-doc) output."""
+    d = _t(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split("text", r"[.!?]+"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    lens = F.transform(
+        F.col("__sents"), lambda x: F.size(TX.tokens(x))
+    )
+    return (
+        d.select("doc_id", sents.alias("__sents"))
+        .select(
+            "doc_id",
+            F.size("__sents").cast("bigint").alias("n_sentences"),
+            lens.alias("__lens"),
+        )
+        .select(
+            "doc_id",
+            "n_sentences",
+            F.coalesce(F.array_max("__lens"), F.lit(0))
+            .cast("bigint")
+            .alias("max_sentence_tokens"),
+            F.round(
+                F.coalesce(
+                    F.aggregate(
+                        "__lens", F.lit(0.0), lambda a, x: a + x.cast("double")
+                    ),
+                    F.lit(0.0),
+                )
+                / F.greatest(F.col("n_sentences"), F.lit(1)),
+                4,
+            ).alias("avg_sentence_tokens"),
+        )
+    )
+
+
+_HEATMAP_ORACLE = """
+SELECT CAST(least(floor(l_quantity / 10), 4) AS BIGINT) AS qty_bin,
+       CAST(least(floor(l_extendedprice / 20000), 4) AS BIGINT) AS price_bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS price_total
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+@query("price_qty_heatmap", _HEATMAP_ORACLE)
+def price_qty_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D equi-width binning (the heatmap/contingency grid behind every
+    density plot): quantity x price bins with top bins clamped, one
+    groupBy over at most 25 cells — the map-side partial aggregation
+    collapses the fact table to the grid before any shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.least(F.floor(F.col("l_quantity") / 10), F.lit(4))
+            .cast("bigint")
+            .alias("qty_bin"),
+            F.least(F.floor(F.col("l_extendedprice") / 20000), F.lit(4))
+            .cast("bigint")
+            .alias("price_bin"),
+            "l_extendedprice",
+        )
+        .groupBy("qty_bin", "price_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            exact_sum("l_extendedprice").alias("price_total"),
+        )
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
