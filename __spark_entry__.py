@@ -47,7 +47,8 @@ SF0001 = "/root/testdata/sf0.001"
 # orderkey_gap_islands, activity_streaks, events_since_last_purchase,
 # mad_anomalies, brand_price_ties_rank, variant_json_extraction,
 # null_safe_join_counts, session_window_batch, imputed_acctbal_stats,
-# target_encoded_segments, sentence_stats, price_qty_heatmap; compression_ratio_quality is rows-only by
+# target_encoded_segments, sentence_stats, price_qty_heatmap,
+# geomean_price_by_brand, winsorized_price_stats; compression_ratio_quality is rows-only by
 # design, zlib is not SQL-expressible) — all sf0.01 oracle-verified
 # green when written.
 _SAMPLE_FIRST = [

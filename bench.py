@@ -184,6 +184,9 @@ BENCH_QUERIES = [
     "imputed_acctbal_stats",
     "target_encoded_segments",
     "sentence_stats",
+    # round-4 wave 17: UDAF surface + robust stats
+    "geomean_price_by_brand",
+    "winsorized_price_stats",
 ]
 
 

@@ -119,3 +119,14 @@ def compression_ratio_udf(text: pd.Series) -> pd.Series:
         return len(zlib.compress(raw, 6)) / len(raw)
 
     return text.map(ratio).astype("float64")
+
+
+@pandas_udf(T.DoubleType())
+def geomean_udf(v: pd.Series) -> float:
+    """GROUPED_AGG pandas UDAF (series -> scalar, Arrow-batched): exact
+    geometric mean via mean-of-logs — the aggregate shape Python UDAFs
+    take in Spark (grouped-agg pandas_udf; there is no row-at-a-time
+    Python UDAF surface, by design). Positive inputs only; rounds to 6
+    so the result is engine-comparable against the SQL replay
+    exp(avg(ln(x)))."""
+    return round(float(np.exp(np.log(v.to_numpy(dtype="float64")).mean())), 6)

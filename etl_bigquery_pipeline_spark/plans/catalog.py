@@ -9706,6 +9706,93 @@ def price_qty_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 17 — Python UDAF surface (grouped-agg pandas_udf),
+# winsorized robust stats
+# ===================================================================
+
+_GEOMEAN_ORACLE = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       round(exp(AVG(ln(p_retailprice))), 6) AS geomean_price
+FROM part WHERE p_retailprice > 0
+GROUP BY p_brand
+"""
+
+
+@query("geomean_price_by_brand", _GEOMEAN_ORACLE)
+def geomean_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python UDAF surface: a GROUPED_AGG pandas_udf (series ->
+    scalar per group, Arrow-batched — Spark's only Python aggregate
+    shape) computing the geometric mean per brand, hash-matched against
+    the SQL identity exp(avg(ln(x))). Proves the UDAF contract is wired
+    correctly (partial batches stream into one scalar per group) while
+    the JVM replay pins its arithmetic. In production the JVM expression
+    wins — this exists for aggregates that genuinely need Python
+    (model-based scoring folded into an aggregation)."""
+    from etl_bigquery_pipeline_spark.functions.pandas_udfs import geomean_udf
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_retailprice") > 0)
+    # Spark disallows mixing a grouped-agg pandas UDF with JVM aggregates
+    # in one agg (INVALID_PANDAS_UDF_PLACEMENT) — the count comes from a
+    # sibling aggregate joined back (broadcast; per-brand rows are tiny)
+    gm = p.groupBy("p_brand").agg(
+        geomean_udf(F.col("p_retailprice")).alias("geomean_price")
+    )
+    n = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
+    return gm.join(F.broadcast(n), "p_brand").select(
+        "p_brand", "n_parts", "geomean_price"
+    )
+
+
+_WINSOR_ORACLE = """
+WITH b AS (
+  SELECT quantile_cont(c_acctbal, 0.05) AS lo,
+         quantile_cont(c_acctbal, 0.95) AS hi
+  FROM customer),
+w AS (
+  SELECT c_mktsegment,
+         least(greatest(c_acctbal, b.lo), b.hi) AS wv,
+         CAST(c_acctbal < b.lo OR c_acctbal > b.hi AS INT) AS clamped
+  FROM customer CROSS JOIN b)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(clamped) AS BIGINT) AS n_clamped,
+       round(AVG(wv), 4) AS winsorized_mean,
+       round(stddev_samp(wv), 4) AS winsorized_std
+FROM w GROUP BY c_mktsegment
+"""
+
+
+@query("winsorized_price_stats", _WINSOR_ORACLE)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized moments (the robust-stats treatment when you must keep
+    every row, unlike the trimmed mean which drops the tails): balances
+    clamped to the exact [p5, p95] interpolated percentiles, then
+    ordinary mean/stddev per segment. The two cutoffs are one scalar row
+    broadcast back; everything else is a single scan + segment groupBy."""
+    c = _t(spark, sf_dir, "customer")
+    b = c.agg(
+        F.expr("percentile(c_acctbal, 0.05)").alias("lo"),
+        F.expr("percentile(c_acctbal, 0.95)").alias("hi"),
+    )
+    w = c.crossJoin(F.broadcast(b)).select(
+        "c_mktsegment",
+        F.least(F.greatest("c_acctbal", F.col("lo")), F.col("hi")).alias("wv"),
+        ((F.col("c_acctbal") < F.col("lo")) | (F.col("c_acctbal") > F.col("hi")))
+        .cast("int")
+        .alias("clamped"),
+    )
+    return w.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("clamped").cast("bigint").alias("n_clamped"),
+        F.round(F.avg("wv"), 4).alias("winsorized_mean"),
+        F.round(F.stddev_samp("wv"), 4).alias("winsorized_std"),
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order

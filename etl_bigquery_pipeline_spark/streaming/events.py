@@ -41,6 +41,39 @@ def tumbling_counts_stream(
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked SLIDING-window aggregate — each event lands in
+    window/slide overlapping windows (2 here), so state and output are
+    that multiple of tumbling's; the watermark still bounds state by
+    dropping windows once it passes their end. Batch twin:
+    events_sliding_1h_30m (oracle-checked), so the streaming plan's
+    semantics are pinned by the same arithmetic."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def session_stats_stream(
     events: DataFrame,
     *,

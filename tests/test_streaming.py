@@ -1028,3 +1028,48 @@ def test_streaming_curation_loop(spark, tmp_path):
 
     spark.sql("DROP TABLE IF EXISTS curation_stream_idx")
     spark.sql("DROP TABLE IF EXISTS curation_stream_idx__meta")
+
+
+def test_sliding_counts_stream_matches_batch_twin(spark, tmp_path):
+    """Each event must land in exactly window/slide overlapping windows;
+    the streaming result (availableNow over a file source) must equal
+    the batch sliding aggregation on the same data."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF0001
+    from etl_bigquery_pipeline_spark.sources.readers import read_table
+    from etl_bigquery_pipeline_spark.streaming import events as SE
+
+    src_dir = str(tmp_path / "src")
+    batch = read_table(spark, SF0001, "events")
+    batch.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    out = SE.run_available_now(
+        SE.sliding_counts_stream(stream, watermark="0 seconds"),
+        checkpoint=str(tmp_path / "ck"),
+    )
+    got = {
+        (r.window_start, r.window_end, r.event_type): (r.n_events, r.value_sum)
+        for r in out
+    }
+    expected = {
+        (r.window_start, r.window_end, r.event_type): (r.n_events, r.value_sum)
+        for r in (
+            batch.groupBy(
+                F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("value_sum"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "value_sum",
+            )
+            .collect()
+        )
+    }
+    assert got == expected
+    # sliding doubles the window memberships vs tumbling
+    n_tumbling = (
+        batch.groupBy(F.window("ts", "1 hour"), "event_type").count().count()
+    )
+    assert len(got) > n_tumbling
