@@ -48,7 +48,9 @@ SF0001 = "/root/testdata/sf0.001"
 # mad_anomalies, brand_price_ties_rank, variant_json_extraction,
 # null_safe_join_counts, session_window_batch, imputed_acctbal_stats,
 # target_encoded_segments, sentence_stats, price_qty_heatmap,
-# geomean_price_by_brand, winsorized_price_stats; compression_ratio_quality is rows-only by
+# geomean_price_by_brand, winsorized_price_stats,
+# latest_order_by_customer, bitmap_distinct_parity,
+# try_arithmetic_audit, acctbal_quartiles_by_segment; compression_ratio_quality is rows-only by
 # design, zlib is not SQL-expressible) — all sf0.01 oracle-verified
 # green when written.
 _SAMPLE_FIRST = [

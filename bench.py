@@ -187,6 +187,9 @@ BENCH_QUERIES = [
     # round-4 wave 17: UDAF surface + robust stats
     "geomean_price_by_brand",
     "winsorized_price_stats",
+    # round-4 wave 18: argmax + bitmap distinct
+    "latest_order_by_customer",
+    "bitmap_distinct_parity",
 ]
 
 

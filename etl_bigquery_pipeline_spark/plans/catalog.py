@@ -9793,6 +9793,147 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 18 — argmax builtins, bitmap distinct, try_ arithmetic,
+# exact grouped percentiles
+# ===================================================================
+
+_LATEST_ORDER_ORACLE = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders)
+SELECT o_custkey, o_orderkey AS latest_orderkey,
+       o_orderdate AS latest_orderdate,
+       round(o_totalprice, 2) AS latest_totalprice
+FROM r WHERE rn = 1
+"""
+
+
+@query("latest_order_by_customer", _LATEST_ORDER_ORACLE)
+def latest_order_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax WITHOUT a window: max_by carries companion
+    columns to the max of an ordering expression inside one hash
+    aggregate — one shuffle of partial (key, best-so-far) states versus
+    the window form's full sort of every row. Ties broken by orderkey so
+    the argmax is a total order (max_by alone is nondeterministic under
+    ties — the struct trick pins it)."""
+    o = _t(spark, sf_dir, "orders")
+    best = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", best).alias("latest_orderkey"),
+        F.max("o_orderdate").alias("latest_orderdate"),
+        F.round(F.max_by("o_totalprice", best), 2).alias("latest_totalprice"),
+    )
+
+
+_BITMAP_ORACLE = """
+SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS bitmap_distinct,
+       true AS parity
+FROM orders
+"""
+
+
+@query("bitmap_distinct_parity", _BITMAP_ORACLE)
+def bitmap_distinct_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregation (the
+    Doris/ClickHouse bitmap technique, built into Spark 3.5+): keys
+    bucket by bitmap_bucket_number, each bucket ORs its bit positions
+    into a fixed-size bitmap (bitmap_construct_agg — a map-side-combinable
+    binary state), and summing bitmap_count over buckets gives the exact
+    distinct count with NO count-distinct Expand. For dense integer keys
+    the shuffle is one 4KB bitmap per bucket instead of one row per
+    distinct value. Parity against plain COUNT(DISTINCT) is the gate."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    bm = (
+        o.groupBy(F.bitmap_bucket_number(F.col("o_custkey")).alias("b"))
+        .agg(
+            F.bitmap_construct_agg(
+                F.bitmap_bit_position(F.col("o_custkey"))
+            ).alias("bits")
+        )
+        .agg(F.sum(F.bitmap_count("bits")).cast("bigint").alias("bitmap_distinct"))
+    )
+    exact = o.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct")
+    )
+    return exact.crossJoin(F.broadcast(bm)).select(
+        "exact_distinct",
+        "bitmap_distinct",
+        (F.col("exact_distinct") == F.col("bitmap_distinct")).alias("parity"),
+    )
+
+
+_TRY_ARITH_ORACLE = """
+SELECT CAST(COUNT(*) FILTER (
+         WHERE o_orderkey * 94906265847 > 9223372036854775807)
+       AS BIGINT) AS n_would_overflow,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 = 0) AS BIGINT)
+         AS n_div_by_zero,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+"""
+
+
+@query("try_arithmetic_audit", _TRY_ARITH_ORACLE)
+def try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overflow/zero-division-safe arithmetic (the try_ function family):
+    try_multiply NULLs where bigint would overflow instead of wrapping
+    or raising, try_divide NULLs division by zero — counted against the
+    oracle's exact hugeint arithmetic. The audit shape a pipeline runs
+    before enabling ANSI mode on untrusted numeric columns."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count_if(
+            F.try_multiply(F.col("o_orderkey"), F.lit(94906265847)).isNull()
+        )
+        .cast("bigint")
+        .alias("n_would_overflow"),
+        F.count_if(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 3).isNull()
+        )
+        .cast("bigint")
+        .alias("n_div_by_zero"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+
+
+_QUARTILE_ORACLE = """
+SELECT c_mktsegment,
+       round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+       round(quantile_cont(c_acctbal, 0.50), 4) AS p50,
+       round(quantile_cont(c_acctbal, 0.75), 4) AS p75,
+       round(quantile_cont(c_acctbal, 0.75)
+             - quantile_cont(c_acctbal, 0.25), 4) AS iqr
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+@query("acctbal_quartiles_by_segment", _QUARTILE_ORACLE)
+def acctbal_quartiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated quartiles PER GROUP in one aggregate (the
+    grouped complement of percentile_lineitem's global form and the
+    exact sibling of grouped_approx_percentile_gate): Spark's percentile
+    aggregate computes all three cut points in a single shuffle; the IQR
+    falls out as a projection. At 100 TB you reach for approx_percentile
+    — the gate query quantifies exactly what that trade costs."""
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.25)").alias("q1"),
+        F.expr("percentile(c_acctbal, 0.50)").alias("q2"),
+        F.expr("percentile(c_acctbal, 0.75)").alias("q3"),
+    )
+    return g.select(
+        "c_mktsegment",
+        F.round("q1", 4).alias("p25"),
+        F.round("q2", 4).alias("p50"),
+        F.round("q3", 4).alias("p75"),
+        F.round(F.col("q3") - F.col("q1"), 4).alias("iqr"),
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
