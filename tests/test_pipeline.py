@@ -242,3 +242,34 @@ def test_example_continuous_ingest_runs(spark, tmp_path):
     assert stats == {"curated": 1, "duplicates": 2, "rejects": 1}
     spark.sql(f"DROP TABLE IF EXISTS {INDEX_TABLE}")
     spark.sql(f"DROP TABLE IF EXISTS {INDEX_TABLE}__meta")
+
+
+def test_export_training_shards_example(spark, tmp_path):
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "export_training_shards",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "export_training_shards.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from etl_bigquery_pipeline_spark.operators.caching import cache_scope
+
+    out = str(tmp_path / "shards")
+    with cache_scope():
+        manifest = mod.export(spark, "/root/testdata/sf0.001", out, shards=4)
+    assert manifest["total_rows"] > 0
+    assert sum(s["rows"] for s in manifest["shards"]) == manifest["total_rows"]
+    on_disk = json.load(open(os.path.join(out, "_manifest.json")))
+    assert on_disk["total_rows"] == manifest["total_rows"]
+    # deterministic end to end: identical re-export
+    out2 = str(tmp_path / "shards2")
+    with cache_scope():
+        m2 = mod.export(spark, "/root/testdata/sf0.001", out2, shards=4)
+    assert [s["rows"] for s in m2["shards"]] == [
+        s["rows"] for s in manifest["shards"]
+    ]
