@@ -50,7 +50,9 @@ SF0001 = "/root/testdata/sf0.001"
 # target_encoded_segments, sentence_stats, price_qty_heatmap,
 # geomean_price_by_brand, winsorized_price_stats,
 # latest_order_by_customer, bitmap_distinct_parity,
-# try_arithmetic_audit, acctbal_quartiles_by_segment; compression_ratio_quality is rows-only by
+# try_arithmetic_audit, acctbal_quartiles_by_segment,
+# hll_incremental_distinct_gate, embedding_standardization_gate,
+# curriculum_order_head; compression_ratio_quality is rows-only by
 # design, zlib is not SQL-expressible) — all sf0.01 oracle-verified
 # green when written.
 _SAMPLE_FIRST = [

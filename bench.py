@@ -190,6 +190,9 @@ BENCH_QUERIES = [
     # round-4 wave 18: argmax + bitmap distinct
     "latest_order_by_customer",
     "bitmap_distinct_parity",
+    # round-4 wave 20: sketch maintenance + feature scaling
+    "hll_incremental_distinct_gate",
+    "embedding_standardization_gate",
 ]
 
 

@@ -9934,6 +9934,147 @@ def acctbal_quartiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 20 — mergeable-sketch distinct maintenance, feature
+# standardization, curriculum ordering
+# ===================================================================
+
+
+@query(
+    "hll_incremental_distinct_gate",
+    "SELECT true AS merge_matches_whole, true AS estimate_within_5pct",
+)
+def hll_incremental_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct maintenance (Apache DataSketches HLL,
+    built into Spark 3.5+): the property that makes approx-distinct
+    INCREMENTAL at 100 TB — sketch today's batch, union with the stored
+    corpus sketch, never rescan history. Gate 1: the union of two
+    disjoint batch sketches estimates within 1% of one whole-table
+    sketch (unions are lossless on the retained registers, but
+    sparse-to-dense mode promotion means the merged estimate need not
+    be bit-identical — the gate pins the practical contract). Gate 2:
+    the merged estimate lands within 5% of the exact distinct count.
+    Sketches are bytes — persistable in any table — and the whole check
+    ships two booleans to the driver."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey").transform(scoped_cache)
+    b1 = o.filter(F.col("o_custkey") % 2 == 0)
+    b2 = o.filter(F.col("o_custkey") % 2 != 0)
+    s1 = b1.agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    s2 = b2.agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    merged = (
+        s1.unionAll(s2)
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("est"))
+    )
+    whole = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est")
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("n"))
+    m, w, n = merged.first()["est"], whole.first()["est"], exact.first()["n"]
+    return spark.createDataFrame(
+        [(bool(abs(m - w) <= 0.01 * max(w, 1)), bool(abs(m - n) <= 0.05 * n))],
+        "merge_matches_whole boolean, estimate_within_5pct boolean",
+    )
+
+
+_STANDARDIZE_ORACLE = f"""
+WITH s AS (
+  SELECT i AS dim,
+         avg(CAST(embedding[i] AS DOUBLE)) AS mu,
+         stddev_samp(CAST(embedding[i] AS DOUBLE)) AS sd
+  FROM embeddings, generate_series(1, 5) AS g(i)
+  GROUP BY i),
+z AS (
+  SELECT s.dim,
+         (CAST(e.embedding[s.dim] AS DOUBLE) - s.mu) / s.sd AS zv
+  FROM embeddings e CROSS JOIN s)
+SELECT CAST(dim AS BIGINT) AS dim,
+       round(avg(zv), 6) + 0.0 AS scaled_mean,
+       round(stddev_samp(zv), 6) + 0.0 AS scaled_std
+FROM z GROUP BY dim
+"""
+
+
+@query("embedding_standardization_gate", _STANDARDIZE_ORACLE)
+def embedding_standardization_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature standardization over array columns (the pre-clustering /
+    pre-ANN scaling step): per-dimension mean and stddev from ONE
+    explode + groupBy pass over the first 5 dimensions, scaling applied
+    as a broadcast join + projection, and the gate re-measures the
+    scaled column — mean 0, stddev 1 per dimension, rounded to 6. At
+    full width the stats frame is |dims| rows; the corpus shuffles only
+    (dim, value) pairs for the dims being profiled."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("dim"),
+                        F.col("embedding")[i].cast("double").alias("v"),
+                    )
+                    for i in range(5)
+                ]
+            )
+        ).alias("x")
+    ).select(F.col("x.dim").alias("dim"), F.col("x.v").alias("v"))
+    stats = ex.groupBy("dim").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
+    )
+    z = ex.join(F.broadcast(stats), "dim").select(
+        "dim", ((F.col("v") - F.col("mu")) / F.col("sd")).alias("zv")
+    )
+    # + 0.0 folds IEEE negative zero to +0.0 on both engines (DuckDB
+    # would otherwise print -0.0 for a -1e-17 mean and hash-mismatch)
+    return z.groupBy(F.col("dim").cast("bigint").alias("dim")).agg(
+        (F.round(F.avg("zv"), 6) + F.lit(0.0)).alias("scaled_mean"),
+        (F.round(F.stddev_samp("zv"), 6) + F.lit(0.0)).alias("scaled_std"),
+    )
+
+
+_CURRICULUM_ORACLE = """
+WITH q AS (
+  SELECT doc_id, n_chars,
+         ntile(10) OVER (ORDER BY n_chars DESC, doc_id ASC) AS decile,
+         md5('cur:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents)
+SELECT doc_id, CAST(decile AS BIGINT) AS decile,
+       CAST(ROW_NUMBER() OVER (ORDER BY decile ASC, h ASC, doc_id ASC)
+            AS BIGINT) AS position
+FROM q
+ORDER BY position LIMIT 25
+"""
+
+
+@query("curriculum_order_head", _CURRICULUM_ORACLE)
+def curriculum_order_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (easy-first training schedules): documents
+    bucketed into proxy-difficulty deciles (length here; any score
+    column slots in), then shuffled WITHIN decile by salted md5 — so the
+    schedule is coarse-to-fine but not length-sorted within a band (a
+    pure sort would correlate adjacent batches). First 25 positions
+    shown; at scale the position ordering is the same range-sort shape
+    as epoch_shuffle_order. The ntile runs over the (doc_id, n_chars)
+    projection — the body never enters the sort."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    wd = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    q = d.select(
+        "doc_id",
+        F.ntile(10).over(wd).alias("decile"),
+        F.md5(F.concat(F.lit("cur:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    wp = Window.orderBy(F.col("decile").asc(), F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        q.select(
+            "doc_id",
+            F.col("decile").cast("bigint").alias("decile"),
+            F.row_number().over(wp).cast("bigint").alias("position"),
+        )
+        .orderBy("position")
+        .limit(25)
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
