@@ -193,6 +193,9 @@ BENCH_QUERIES = [
     # round-4 wave 20: sketch maintenance + feature scaling
     "hll_incremental_distinct_gate",
     "embedding_standardization_gate",
+    # round-4 wave 21: masking + hierarchy shares
+    "masked_customer_view",
+    "nation_share_within_region",
 ]
 
 

@@ -236,12 +236,19 @@ def deterministic_walks(
                 F.col("nbr").cast("string"),
             )
         )
+        # the frontier is |walks| rows — broadcast it so each hop scans
+        # the cached adjacency without re-shuffling it (a plain join
+        # would exchange the full edge list once per hop)
         nxt = (
-            frontier.join(adj, frontier["node"] == adj["src"])
+            adj.join(F.broadcast(frontier), frontier["node"] == adj["src"])
             .select("walk_id", key.alias("__k"), "nbr")
             .groupBy("walk_id")
             .agg(F.min(F.struct("__k", "nbr")).alias("__best"))
             .select("walk_id", F.col("__best.nbr").alias("node"))
+            # |walks| rows: truncate lineage per hop (the pagerank
+            # pattern) — otherwise hop k re-runs hops 1..k-1, and the
+            # final union re-runs every hop again (quadratic adj scans)
+            .localCheckpoint(eager=True)
         )
         out = out.unionAll(nxt.withColumn("step", F.lit(s).cast("bigint")))
         frontier = nxt

@@ -10075,6 +10075,107 @@ def curriculum_order_head(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 21 — deterministic masking view, percent-of-parent
+# hierarchy shares
+# ===================================================================
+
+_MASKED_ORACLE = """
+SELECT c_custkey,
+       substring(c_name, 1, 1) || repeat('*', greatest(length(c_name) - 1, 0))
+         AS masked_name,
+       CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band,
+       c_mktsegment
+FROM customer
+"""
+
+
+@query("masked_customer_view", _MASKED_ORACLE)
+def masked_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level masking view (the share-with-analytics shape that
+    k_anonymity_check gates): names reduced to an initial + padding,
+    balances coarsened to 1000-unit bands — deterministic projections,
+    so the masked view is reproducible and joinable on the surviving
+    key. Zero shuffle; masking composes with any downstream aggregate
+    exactly like the raw columns would."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.substring("c_name", 1, 1),
+            F.repeat(F.lit("*"), F.greatest(F.length("c_name") - 1, F.lit(0))),
+        ).alias("masked_name"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("bigint")
+        .alias("acctbal_band"),
+        "c_mktsegment",
+    )
+
+
+_NATION_SHARE_ORACLE = """
+WITH rev AS (
+  SELECT r_name, n_name,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+              AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2)
+SELECT r_name, n_name, round(revenue, 2) AS revenue,
+       round(revenue / SUM(revenue) OVER (PARTITION BY r_name), 6)
+         AS share_of_region,
+       round(revenue / SUM(revenue) OVER (), 6) AS share_of_total
+FROM rev
+"""
+
+
+@query("nation_share_within_region", _NATION_SHARE_ORACLE)
+def nation_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at two hierarchy levels in one pass: each
+    nation's revenue share within its region AND of the grand total —
+    two window sums over the per-NATION aggregate (a few dozen rows at
+    any scale; the corpus-sized work is the star join + groupBy that
+    produced it). The drill-down companion to revenue_share_by_region."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    dim = F.broadcast(
+        n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+            "n_nationkey", "n_name", "r_name"
+        )
+    )
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(dim, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    wr = Window.partitionBy("r_name")
+    wt = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(wr), 6).alias(
+            "share_of_region"
+        ),
+        F.round(F.col("revenue") / F.sum("revenue").over(wt), 6).alias(
+            "share_of_total"
+        ),
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order

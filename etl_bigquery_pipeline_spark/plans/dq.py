@@ -324,3 +324,48 @@ def quarantine_split(
     good = flagged.filter(F.col("violations") == "").drop("violations")
     bad = flagged.filter(F.col("violations") != "")
     return good, bad
+
+
+def expect_schema(
+    df: DataFrame,
+    expected_ddl: str,
+    *,
+    allow_added_nullable: bool = True,
+) -> list[str]:
+    """Schema contract check (the data-contract gate run before a
+    pipeline trusts an upstream drop): compare ``df``'s schema against an
+    expected DDL string. Returns a list of violations (empty = pass):
+
+    - a missing column is always a violation;
+    - a type change is always a violation (narrowing silently corrupts,
+      widening silently breaks downstream readers' assumptions);
+    - a nullability tightening (expected non-null arriving nullable) is
+      a violation;
+    - an ADDED column is allowed only when nullable and
+      ``allow_added_nullable`` (the one evolution parquet/BigQuery treat
+      as backward-compatible).
+
+    Pure metadata — no data is scanned, so the gate costs nothing at any
+    scale. Pair with quarantine_split for row-level enforcement."""
+    from pyspark.sql.types import StructType
+
+    expected = StructType.fromDDL(expected_ddl)
+    actual = {f.name: f for f in df.schema.fields}
+    violations: list[str] = []
+    for f in expected.fields:
+        got = actual.pop(f.name, None)
+        if got is None:
+            violations.append(f"missing column: {f.name} {f.dataType.simpleString()}")
+        elif got.dataType != f.dataType:
+            violations.append(
+                f"type change: {f.name} expected {f.dataType.simpleString()}"
+                f" got {got.dataType.simpleString()}"
+            )
+        elif got.nullable and not f.nullable:
+            violations.append(f"nullability loosened: {f.name}")
+    for name, f in actual.items():
+        if not (allow_added_nullable and f.nullable):
+            violations.append(
+                f"unexpected column: {name} {f.dataType.simpleString()}"
+            )
+    return violations

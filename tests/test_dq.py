@@ -188,3 +188,23 @@ def test_quarantine_split_null_predicate_is_violation(spark):
     # v > 5 is TRUE for row 1 (violation) and NULL for row 2 (violation)
     assert good.count() == 0
     assert sorted(r.id for r in bad.collect()) == [1, 2]
+
+
+def test_expect_schema_contract(spark):
+    from etl_bigquery_pipeline_spark.plans.dq import expect_schema
+
+    df = spark.createDataFrame([(1, "a", 2.0)], "id long, name string, v double")
+    assert expect_schema(df, "id long, name string, v double") == []
+    # added nullable column tolerated by default, rejected when strict
+    assert expect_schema(df, "id long, name string") == []
+    strict = expect_schema(df, "id long, name string", allow_added_nullable=False)
+    assert any("unexpected column: v" in s for s in strict)
+    # missing + type change + nullability each reported
+    out = expect_schema(df, "id long, name bigint, missing_col string")
+    assert any(s.startswith("missing column: missing_col") for s in out)
+    assert any(s.startswith("type change: name") for s in out)
+    df2 = spark.createDataFrame([(1,)], "id long")  # nullable id
+    assert any(
+        "nullability loosened" in s
+        for s in expect_schema(df2, "id long not null")
+    )
