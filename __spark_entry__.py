@@ -53,7 +53,8 @@ SF0001 = "/root/testdata/sf0.001"
 # try_arithmetic_audit, acctbal_quartiles_by_segment,
 # hll_incremental_distinct_gate, embedding_standardization_gate,
 # curriculum_order_head, masked_customer_view,
-# nation_share_within_region; compression_ratio_quality is rows-only by
+# nation_share_within_region, readability_scores, revenue_trend_ols,
+# full_star_join_summary, collapse_rare_categories; compression_ratio_quality is rows-only by
 # design, zlib is not SQL-expressible) — all sf0.01 oracle-verified
 # green when written.
 _SAMPLE_FIRST = [

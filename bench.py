@@ -196,6 +196,10 @@ BENCH_QUERIES = [
     # round-4 wave 21: masking + hierarchy shares
     "masked_customer_view",
     "nation_share_within_region",
+    # round-4 wave 22: whole-schema star + trend
+    "full_star_join_summary",
+    "revenue_trend_ols",
+    "readability_scores",
 ]
 
 

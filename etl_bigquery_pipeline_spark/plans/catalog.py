@@ -10176,6 +10176,228 @@ def nation_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 22 — readability, OLS trend, full-star join, rare-level
+# collapsing
+# ===================================================================
+
+_READABILITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks,
+         len(list_filter([trim(x) for x in string_split_regex(text, '[.!?]+')],
+                         x -> x <> '')) AS n_sents
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         greatest(n_sents, 1) AS n_sents,
+         list_sum([greatest(len(regexp_extract_all(lower(x),
+                      '[aeiouy]+')), 1) for x in toks]) AS n_syll
+  FROM t WHERE len(toks) > 0)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+             - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) AS flesch
+FROM m
+"""
+
+
+@query("readability_scores", _READABILITY_ORACLE)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (public formula; syllables
+    approximated as vowel groups — the standard heuristic when no
+    dictionary is available): words/sentence and syllables/word both
+    fall out of array expressions in ONE projection, no shuffle before
+    the per-doc output. The readability band is a routine curation
+    feature next to the Gopher gates."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    sents = F.filter(
+        F.transform(F.split("text", r"[.!?]+"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    syll = F.aggregate(
+        F.transform(
+            toks,
+            lambda x: F.greatest(
+                F.size(F.regexp_extract_all(F.lower(x), F.lit("[aeiouy]+"), 0)),
+                F.lit(1),
+            ),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    m = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.greatest(F.size(sents), F.lit(1)).alias("n_sents"),
+        syll.alias("n_syll"),
+    ).filter(F.col("n_words") > 0)
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("n_words").cast("double") / F.col("n_sents"))
+            - 84.6 * (F.col("n_syll").cast("double") / F.col("n_words")),
+            4,
+        ).alias("flesch"),
+    )
+
+
+_OLS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1),
+x AS (
+  SELECT rev,
+         CAST(day - (SELECT MIN(day) FROM daily) AS DOUBLE) AS t
+  FROM daily),
+s AS (
+  SELECT COUNT(*) AS n, SUM(t) AS sx, SUM(rev) AS sy,
+         SUM(t * t) AS sxx, SUM(t * rev) AS sxy, SUM(rev * rev) AS syy
+  FROM x)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+         AS intercept,
+       round(pow(n * sxy - sx * sy, 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+"""
+
+
+@query("revenue_trend_ols", _OLS_ORACLE)
+def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS trend over daily revenue: slope, intercept and R²
+    from the five running sums — one groupBy to the daily aggregate, one
+    5-scalar reduce, zero iteration (the normal equations in their
+    1-D special case). The same sums power forecasting sanity checks
+    ('is revenue actually trending?') without any ML dependency."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("rev")
+    ).transform(scoped_cache)
+    d0 = daily.agg(F.min("day").alias("d0"))
+    x = daily.crossJoin(F.broadcast(d0)).select(
+        "rev", F.datediff("day", "d0").cast("double").alias("t")
+    )
+    s = x.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("sx"),
+        F.sum("rev").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("sxx"),
+        F.sum(F.col("t") * F.col("rev")).alias("sxy"),
+        F.sum(F.col("rev") * F.col("rev")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(num / den, 6).alias("slope"),
+        F.round((F.col("sy") - num / den * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+        F.round(
+            F.pow(num, 2)
+            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
+    )
+
+
+_FULL_STAR_ORACLE = """
+SELECT r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS n_parts,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY r_name
+"""
+
+
+@query("full_star_join_summary", _FULL_STAR_ORACLE)
+def full_star_join_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every table in the schema in ONE star join (7-way): lineitem at
+    the center, orders as the one fact-fact shuffle, all five dimensions
+    broadcast. Written in the 'wrong' order on purpose — dimensions
+    joined before the fact-fact edge — to demonstrate that Catalyst's
+    join planning (broadcast detection + AQE) yields the right physical
+    shape regardless of the lexical order a user wrote."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    dim = F.broadcast(
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).join(
+            F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+        ).select("c_custkey", "r_name")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(dim, o["o_custkey"] == F.col("c_custkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.countDistinct("s_suppkey").cast("bigint").alias("n_suppliers"),
+            F.countDistinct("p_partkey").cast("bigint").alias("n_parts"),
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )
+
+
+_RARE_COLLAPSE_ORACLE = """
+WITH f AS (
+  SELECT p_type, COUNT(*) AS n FROM part GROUP BY p_type),
+m AS (
+  SELECT p.p_partkey,
+         CASE WHEN f.n >= 400 THEN p.p_type ELSE '__other__' END AS lvl
+  FROM part p JOIN f ON p.p_type = f.p_type)
+SELECT lvl, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM m GROUP BY lvl
+"""
+
+
+@query("collapse_rare_categories", _RARE_COLLAPSE_ORACLE)
+def collapse_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-level collapsing (the feature-engineering guard against
+    high-cardinality categorical blowup): levels below the support
+    threshold fold into '__other__' via a broadcast frequency join —
+    the level-frequency table is |levels| rows at any data scale, so
+    the collapse is one scan + one broadcast regardless of cardinality."""
+    p = _t(spark, sf_dir, "part")
+    f = p.groupBy("p_type").agg(F.count(F.lit(1)).alias("n"))
+    m = p.join(F.broadcast(f), "p_type").select(
+        F.when(F.col("n") >= 400, F.col("p_type"))
+        .otherwise(F.lit("__other__"))
+        .alias("lvl")
+    )
+    return m.groupBy("lvl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
