@@ -172,3 +172,46 @@ def signup_followups_stream(
         & (F.col("e_ts") <= F.col("s_ts") + F.expr(f"INTERVAL {within}")),
         "inner",
     )
+
+
+def signup_followups_left_stream(
+    signups: DataFrame,
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every signup emits — matched
+    follow-ups as they arrive, and signups with NO follow-up as a
+    null-padded row once the watermark guarantees no match can still
+    arrive (the engine cannot emit 'no match' earlier without risking a
+    late contradiction — the null row is a watermark-certified fact).
+    The conversion-funnel shape where the UNmatched side is the signal:
+    signups that never activated. Same state bounds as the inner form;
+    the left side additionally holds each signup until its
+    no-match-possible point.
+
+    Two operational facts the test pins: the global watermark is the
+    MIN across both sides' watermarks (a quiet side freezes null
+    emission for everyone), and null rows flush in the micro-batch
+    AFTER the one that advanced the watermark — single-batch drains
+    never emit them."""
+    s = signups.withWatermark(ts_col, watermark).select(
+        F.col("event_id").alias("s_event_id"),
+        F.col(user_col).alias("s_user_id"),
+        F.col(ts_col).alias("s_ts"),
+    )
+    e = events.withWatermark(ts_col, watermark).select(
+        F.col("event_id").alias("e_event_id"),
+        F.col(user_col).alias("e_user_id"),
+        F.col(ts_col).alias("e_ts"),
+    )
+    return s.join(
+        e,
+        (F.col("e_user_id") == F.col("s_user_id"))
+        & (F.col("e_ts") > F.col("s_ts"))
+        & (F.col("e_ts") <= F.col("s_ts") + F.expr(f"INTERVAL {within}")),
+        "leftOuter",
+    )

@@ -1073,3 +1073,70 @@ def test_sliding_counts_stream_matches_batch_twin(spark, tmp_path):
         batch.groupBy(F.window("ts", "1 hour"), "event_type").count().count()
     )
     assert len(got) > n_tumbling
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """The null-padded row for a signup with no follow-up is a
+    watermark-certified fact: it must appear once the stream drains, and
+    matched signups must NOT get a null row."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    t0 = _dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # signup 1 with a follow-up 10 min later
+        (1, t0, 101, "signup", 0.0, "{}"),
+        (2, t0 + _dt.timedelta(minutes=10), 101, "click", 1.0, "{}"),
+        # signup 3 with NO follow-up within 1h
+        (3, t0 + _dt.timedelta(minutes=5), 202, "signup", 0.0, "{}"),
+    ]
+    # the watermark only advances at micro-batch boundaries, and
+    # outer-join null rows flush in the batch AFTER the one that moved
+    # it — so the late watermark-pushing events arrive as separate
+    # files consumed one per trigger
+    # the global watermark is the MIN across both sides' watermarks, so
+    # BOTH sides need late events to advance it past signup 3's
+    # no-match-possible point
+    late = [
+        (4, t0 + _dt.timedelta(hours=30), 303, "click", 1.0, "{}"),
+        (5, t0 + _dt.timedelta(hours=30), 404, "signup", 0.0, "{}"),
+        (6, t0 + _dt.timedelta(hours=31), 303, "click", 1.0, "{}"),
+        (7, t0 + _dt.timedelta(hours=31), 404, "signup", 0.0, "{}"),
+    ]
+    ddl = ("event_id long, ts timestamp, user_id long, "
+           "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, ddl)
+    src = str(tmp_path / "lo_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    for i, r in enumerate(late):
+        spark.createDataFrame([r], ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    joined = stream_events.signup_followups_left_stream(
+        stream.filter("event_type = 'signup'"),
+        stream.filter("event_type != 'signup'"),
+        within="1 hour", watermark="10 minutes",
+    )
+    name = "lo_sink"
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "lo_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = [
+        (r.s_event_id, r.e_event_id)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    ]
+    assert (1, 2) in got            # matched pair
+    assert (3, None) in got         # unmatched signup emitted null-padded
+    assert (1, None) not in got     # matched signup has no null row
