@@ -19,7 +19,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 _WORDS = (
@@ -82,3 +87,69 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return SyntheticDocsReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Python DataSource: the same deterministic generator exposed
+# through the micro-batch offset lifecycle (Spark 4
+# SimpleDataSourceStreamReader — the engine passes the START offset to
+# every read, so the reader is STATELESS and checkpoint restart works by
+# construction; the partition-based DataSourceStreamReader variant keeps
+# offset state inside the reader instance, which a restart would reset).
+# Offsets are {"row": N} counters; each read releases one batch of
+# ``batch_rows`` until ``total_rows``. Rows derive from (seed, row_id)
+# only, never the wall clock: replaying any offset range is
+# bit-identical (exactly-once downstream becomes testable). Reads run
+# driver-side per the Simple API — right for control-plane-sized
+# batches; a high-volume source would use the partitioned API plus an
+# external offset ledger.
+
+EVENTS_SCHEMA_DDL = "event_id bigint, user_id bigint, event_type string, value double"
+_EVENT_TYPES = ("view", "click", "purchase")
+
+
+def _event_row(seed: int, rid: int):
+    draws = _rand_ints(seed, 0, rid, 4)
+    return (
+        rid,
+        draws[0] % 50,
+        _EVENT_TYPES[draws[1] % len(_EVENT_TYPES)],
+        float(draws[2]),
+    )
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.batch_rows = int(options.get("batch_rows", 100))
+        self.total_rows = int(options.get("total_rows", 1000))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self):
+        return {"row": 0}
+
+    def read(self, start):
+        lo = start["row"]
+        hi = min(lo + self.batch_rows, self.total_rows)
+        rows = [_event_row(self.seed, rid) for rid in range(lo, hi)]
+        return iter(rows), {"row": hi}
+
+    def readBetweenOffsets(self, start, end):
+        # replay for recovery: pure function of the offset range
+        return iter(
+            [_event_row(self.seed, rid) for rid in range(start["row"], end["row"])]
+        )
+
+    def commit(self, end):
+        pass  # offsets live in the checkpoint; nothing external to ack
+
+
+class SyntheticEventsStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return EVENTS_SCHEMA_DDL
+
+    def simpleStreamReader(self, schema: StructType):
+        return SyntheticEventsStreamReader(self.options)
