@@ -200,6 +200,9 @@ BENCH_QUERIES = [
     "full_star_join_summary",
     "revenue_trend_ols",
     "readability_scores",
+    # round-4 wave 25: CEP + search
+    "cep_purchase_without_view",
+    "phrase_search_postings",
 ]
 
 

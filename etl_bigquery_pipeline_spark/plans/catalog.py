@@ -10398,6 +10398,136 @@ def collapse_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 25 — relational CEP (pattern negation), positional
+# inverted index + phrase search
+# ===================================================================
+
+_CEP_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         MAX(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_view_ts
+  FROM events)
+SELECT user_id, event_id, ts AS purchase_ts,
+       last_view_ts IS NULL
+         OR ts - last_view_ts > INTERVAL '30 minutes' AS blind_purchase
+FROM e WHERE event_type = 'purchase'
+"""
+
+
+@query("cep_purchase_without_view", _CEP_ORACLE)
+def cep_purchase_without_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event pattern with NEGATION — 'purchase NOT preceded by a
+    view within 30 minutes' — expressed relationally: a running
+    conditional MAX carries each user's latest view timestamp (the
+    1-PRECEDING frame excludes the current row), and the pattern
+    verdict is a plain comparison. No NFA engine, no per-row state
+    machine: one user-keyed window pass at any scale. The
+    blind-purchase flag is the classic attribution-gap / bot signal."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    return (
+        e.withColumn("last_view_ts", last_view)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("purchase_ts"),
+            (
+                F.col("last_view_ts").isNull()
+                | (
+                    F.col("ts").cast("long") - F.col("last_view_ts").cast("long")
+                    > 30 * 60
+                )
+            ).alias("blind_purchase"),
+        )
+    )
+
+
+_PHRASE_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+post AS (
+  SELECT doc_id, u.tok, u.pos
+  FROM t, LATERAL (
+    SELECT unnest(toks) AS tok,
+           unnest(generate_series(1, len(toks))) AS pos) AS u),
+tf AS (SELECT tok, COUNT(*) AS n FROM post GROUP BY tok),
+top2 AS (SELECT tok FROM tf ORDER BY n DESC, tok ASC LIMIT 2),
+w1 AS (SELECT tok FROM top2 ORDER BY tok ASC LIMIT 1),
+w2 AS (SELECT tok FROM top2 ORDER BY tok DESC LIMIT 1),
+hits AS (
+  SELECT a.doc_id, a.pos AS start_pos
+  FROM post a JOIN post b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN w1 ON a.tok = w1.tok
+  JOIN w2 ON b.tok = w2.tok)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(start_pos) AS BIGINT) AS first_pos
+FROM hits GROUP BY doc_id
+"""
+
+
+@query("phrase_search_postings", _PHRASE_ORACLE)
+def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index + phrase query, fully relational: the
+    postings table is (token, doc, position) — one explode, the exact
+    shape a search engine shards by token — and a two-token phrase
+    match is a self-join on (doc, pos+1) restricted to the phrase's
+    tokens. The phrase is chosen data-dependently (the two most frequent
+    tokens, in lexical order) so the query is meaningful at any corpus.
+    Scale: the restriction to the phrase tokens happens BEFORE the
+    positional self-join — only those postings shuffle, the classic
+    term-at-a-time evaluation economy."""
+    d = _t(spark, sf_dir, "documents")
+    post = (
+        d.select("doc_id", F.lower(F.col("text")).alias("__t"))
+        .select("doc_id", TX.tokens(F.col("__t")).alias("__toks"))
+        .select(
+            "doc_id",
+            F.posexplode("__toks").alias("__p0", "tok"),
+        )
+        .select("doc_id", "tok", (F.col("__p0") + 1).alias("pos"))
+        .transform(scoped_cache)
+    )
+    tf = post.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    top2 = tf.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(2)
+    w1 = top2.orderBy(F.col("tok").asc()).limit(1).select(
+        F.col("tok").alias("__w1")
+    )
+    w2 = top2.orderBy(F.col("tok").desc()).limit(1).select(
+        F.col("tok").alias("__w2")
+    )
+    a = post.join(F.broadcast(w1), post["tok"] == F.col("__w1")).select(
+        "doc_id", F.col("pos").alias("start_pos")
+    )
+    b = post.join(F.broadcast(w2), post["tok"] == F.col("__w2")).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    hits = a.join(
+        b,
+        (F.col("doc_id") == F.col("doc_b"))
+        & (F.col("pos_b") == F.col("start_pos") + 1),
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("start_pos").cast("bigint").alias("first_pos"),
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
