@@ -203,6 +203,9 @@ BENCH_QUERIES = [
     # round-4 wave 25: CEP + search
     "cep_purchase_without_view",
     "phrase_search_postings",
+    # round-4 wave 26: temporal weighting + correlations
+    "time_weighted_avg_value",
+    "event_type_correlations",
 ]
 
 

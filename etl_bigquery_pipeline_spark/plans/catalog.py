@@ -10528,6 +10528,104 @@ def phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 26 — time-weighted averages, correlation matrix
+# ===================================================================
+
+_TWAP_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_ts
+  FROM events),
+seg AS (
+  SELECT user_id, value,
+         CAST(epoch_us(next_ts) - epoch_us(ts) AS DOUBLE) / 1e6 AS dt
+  FROM e WHERE next_ts IS NOT NULL)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       round(SUM(value * dt) / SUM(dt), 6) AS time_weighted_avg,
+       round(SUM(dt) / 3600.0, 4) AS observed_hours
+FROM seg WHERE user_id IS NOT NULL GROUP BY user_id
+HAVING SUM(dt) > 0
+"""
+
+
+@query("time_weighted_avg_value", _TWAP_ORACLE)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over IRREGULARLY sampled values (the TWAP /
+    sensor-mean shape — a plain AVG over-weights bursts): each reading
+    holds until the next one (lead over the user's time order), so the
+    mean is sum(value x holding-time) / total time. One user-keyed
+    window + one groupBy; rows with no successor contribute no interval
+    (the standard left-closed convention, mirrored in the oracle)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        e.withColumn("next_ts", F.lead("ts").over(w))
+        .filter(F.col("next_ts").isNotNull())
+        .select(
+            "user_id",
+            "value",
+            (
+                (F.unix_micros("next_ts") - F.unix_micros("ts")).cast("double")
+                / 1e6
+            ).alias("dt"),
+        )
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6
+            ).alias("time_weighted_avg"),
+            F.round(F.sum("dt") / 3600.0, 4).alias("observed_hours"),
+            F.sum("dt").alias("__tot"),
+        )
+        .filter(F.col("__tot") > 0)
+        .drop("__tot")
+    )
+
+
+_CORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(*) FILTER (WHERE event_type = 'view') AS v,
+         COUNT(*) FILTER (WHERE event_type = 'click') AS c,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS p
+  FROM events GROUP BY 1)
+SELECT round(corr(v, c), 6) AS corr_view_click,
+       round(corr(v, p), 6) AS corr_view_purchase,
+       round(corr(c, p), 6) AS corr_click_purchase,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM daily
+"""
+
+
+@query("event_type_correlations", _CORR_ORACLE)
+def event_type_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-metric correlation matrix (do clicks move with views?):
+    conditional counts pivot the event stream into per-day metric
+    columns in ONE scan, then Pearson correlations between every pair —
+    corr is an ordinary distributed aggregate (five running sums per
+    pair), no collect, no pandas. The daily pivot is the only shuffle;
+    the correlation matrix is a single row regardless of history
+    length."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count_if(F.col("event_type") == "view").alias("v"),
+        F.count_if(F.col("event_type") == "click").alias("c"),
+        F.count_if(F.col("event_type") == "purchase").alias("p"),
+    )
+    return daily.agg(
+        F.round(F.corr("v", "c"), 6).alias("corr_view_click"),
+        F.round(F.corr("v", "p"), 6).alias("corr_view_purchase"),
+        F.round(F.corr("c", "p"), 6).alias("corr_click_purchase"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
