@@ -206,6 +206,9 @@ BENCH_QUERIES = [
     # round-4 wave 26: temporal weighting + correlations
     "time_weighted_avg_value",
     "event_type_correlations",
+    # round-4 wave 27: labels + fingerprints
+    "churn_labels",
+    "dataset_content_fingerprints",
 ]
 
 

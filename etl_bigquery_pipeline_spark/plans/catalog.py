@@ -10626,6 +10626,149 @@ def event_type_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 27 — churn labeling, exposure conversion, dataset
+# content fingerprints
+# ===================================================================
+
+_CHURN_ORACLE = """
+WITH horizon AS (SELECT MAX(ts) AS h FROM events),
+last_seen AS (
+  SELECT user_id, MAX(ts) AS last_ts, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+SELECT l.user_id, l.n_events,
+       CAST(floor(CAST(epoch_us(horizon.h) - epoch_us(l.last_ts) AS DOUBLE)
+                  / 86400e6) AS BIGINT) AS days_inactive,
+       epoch_us(horizon.h) - epoch_us(l.last_ts) > 14 * 86400e6 AS churned
+FROM last_seen l CROSS JOIN horizon
+"""
+
+
+@query("churn_labels", _CHURN_ORACLE)
+def churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn label generation (the target column of a retention model):
+    a user is churned when inactive for >14 days at the observation
+    horizon — the horizon being the data's own max timestamp, so the
+    label set is reproducible from the table alone. One groupBy + a
+    1-row broadcast; labels join back to any feature table by user."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    horizon = e.agg(F.max("ts").alias("h"))
+    last_seen = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    inactive_us = F.unix_micros("h") - F.unix_micros("last_ts")
+    return last_seen.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        "n_events",
+        F.floor(inactive_us.cast("double") / 86400e6)
+        .cast("bigint")
+        .alias("days_inactive"),
+        (inactive_us > 14 * 86400 * 1_000_000).alias("churned"),
+    )
+
+
+_EXPOSURE_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS exposed,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+SELECT CAST(exposed AS BIGINT) AS exposed,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       round(AVG(CAST(converted AS DOUBLE)), 6) AS conversion_rate
+FROM u GROUP BY exposed
+"""
+
+
+@query("click_exposure_conversion", _EXPOSURE_ORACLE)
+def click_exposure_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure-vs-conversion comparison (the observational uplift
+    table): purchase rate among users who ever clicked vs those who
+    never did — per-user flags from one conditional-MAX groupBy, rates
+    from a two-row aggregate. The honest framing is correlation, not
+    causation; the query is the denominator-correct version of the
+    metric dashboards usually get wrong (user-level, not event-level)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("exposed"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return u.groupBy(F.col("exposed").cast("bigint").alias("exposed")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(F.avg(F.col("converted").cast("double")), 6).alias(
+            "conversion_rate"
+        ),
+    )
+
+
+def _row_fp_sql(cols: str) -> str:
+    h = f"substring(md5({cols}), 1, 8)"
+    return _hex8_to_int(h)
+
+
+_DATASET_FP_ORACLE = f"""
+SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM({_row_fp_sql("CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || CAST(round(o_totalprice, 2) AS VARCHAR)")}) AS BIGINT) AS fingerprint
+FROM orders
+UNION ALL
+SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM({_row_fp_sql("CAST(c_custkey AS VARCHAR) || '|' || c_mktsegment")}) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'region', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM({_row_fp_sql("CAST(r_regionkey AS VARCHAR) || '|' || r_name")}) AS BIGINT)
+FROM region
+"""
+
+
+@query("dataset_content_fingerprints", _DATASET_FP_ORACLE)
+def dataset_content_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content fingerprints (the cache-invalidation /
+    reproducibility primitive behind 'did this table change?'): each
+    row hashes to a 32-bit integer (md5 prefix) and the table
+    fingerprint is their SUM — commutative and associative, so it is
+    identical under any partitioning, row order, or engine, and
+    incrementally maintainable (add the hashes of inserted rows,
+    subtract deleted). One scan per table, one bigint out. Monetary
+    values are rounded before hashing so the fingerprint tolerates
+    storage-format float formatting, not value changes."""
+    def fp(df, cols):
+        concat = F.concat_ws("|", *cols)
+        h = (
+            F.conv(F.substring(F.md5(concat), 1, 8), 16, 10).cast("bigint")
+        )
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(h).cast("bigint").alias("fingerprint"),
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    r = _t(spark, sf_dir, "region")
+    fo = fp(
+        o,
+        [
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.round("o_totalprice", 2).cast("string"),
+        ],
+    ).select(F.lit("orders").alias("tbl"), "n_rows", "fingerprint")
+    fc = fp(
+        c, [F.col("c_custkey").cast("string"), F.col("c_mktsegment")]
+    ).select(F.lit("customer").alias("tbl"), "n_rows", "fingerprint")
+    fr = fp(
+        r, [F.col("r_regionkey").cast("string"), F.col("r_name")]
+    ).select(F.lit("region").alias("tbl"), "n_rows", "fingerprint")
+    return fo.unionAll(fc).unionAll(fr)
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
