@@ -57,7 +57,8 @@ SF0001 = "/root/testdata/sf0.001"
 # full_star_join_summary, collapse_rare_categories,
 # cep_purchase_without_view, phrase_search_postings,
 # time_weighted_avg_value, event_type_correlations, churn_labels,
-# click_exposure_conversion, dataset_content_fingerprints; compression_ratio_quality is rows-only by
+# click_exposure_conversion, dataset_content_fingerprints,
+# sources_nucleus_p90, join_fanout_histogram, jl_projection_gate; compression_ratio_quality is rows-only by
 # design, zlib is not SQL-expressible) — all sf0.01 oracle-verified
 # green when written.
 _SAMPLE_FIRST = [

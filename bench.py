@@ -209,6 +209,10 @@ BENCH_QUERIES = [
     # round-4 wave 27: labels + fingerprints
     "churn_labels",
     "dataset_content_fingerprints",
+    # round-4 wave 28: coverage + projection
+    "sources_nucleus_p90",
+    "join_fanout_histogram",
+    "jl_projection_gate",
 ]
 
 

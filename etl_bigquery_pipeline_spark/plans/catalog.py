@@ -10769,6 +10769,173 @@ def dataset_content_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 28 — nucleus coverage, join fan-out histogram,
+# JL random-projection gate
+# ===================================================================
+
+_NUCLEUS_ORACLE = """
+WITH caps AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> ''))) AS DOUBLE) AS tok
+  FROM documents GROUP BY source),
+t AS (SELECT SUM(tok) AS total FROM caps),
+r AS (
+  SELECT source, tok,
+         SUM(tok) OVER (ORDER BY tok DESC, source ASC
+                        ROWS UNBOUNDED PRECEDING) / t.total AS cum_share
+  FROM caps CROSS JOIN t),
+k AS (
+  SELECT *, lag(cum_share, 1, 0.0)
+              OVER (ORDER BY tok DESC, source ASC) AS prev_share
+  FROM r)
+SELECT source, CAST(tok AS BIGINT) AS tokens,
+       round(cum_share, 6) AS cum_share
+FROM k WHERE prev_share < 0.9
+"""
+
+
+@query("sources_nucleus_p90", _NUCLEUS_ORACLE)
+def sources_nucleus_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) source coverage: the smallest prefix of sources,
+    largest first, whose cumulative token share reaches 90% — the
+    mixture-analysis companion to the Gini concentration view (how many
+    sources actually carry the corpus?). Everything beyond the one
+    token-count scan runs on the per-SOURCE aggregate; the boundary
+    source is included via the lagged-share test (prev < p <= cum)."""
+    d = _t(spark, sf_dir, "documents")
+    caps = d.groupBy("source").agg(
+        F.sum(TX.token_count("text")).cast("double").alias("tok")
+    )
+    t = caps.agg(F.sum("tok").alias("total"))
+    cum = Window.orderBy(F.col("tok").desc(), F.col("source").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lagw = Window.orderBy(F.col("tok").desc(), F.col("source").asc())
+    r = caps.crossJoin(F.broadcast(t)).withColumn(
+        "cum_share", F.sum("tok").over(cum) / F.col("total")
+    ).withColumn("prev_share", F.lag("cum_share", 1, 0.0).over(lagw))
+    return r.filter(F.col("prev_share") < 0.9).select(
+        "source",
+        F.col("tok").cast("bigint").alias("tokens"),
+        F.round("cum_share", 6).alias("cum_share"),
+    )
+
+
+_FANOUT_ORACLE = """
+WITH f AS (
+  SELECT o_orderkey, COUNT(l_orderkey) AS fanout
+  FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey)
+SELECT CAST(fanout AS BIGINT) AS fanout,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM f GROUP BY fanout
+"""
+
+
+@query("join_fanout_histogram", _FANOUT_ORACLE)
+def join_fanout_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-explosion detector: the per-key fan-out histogram of the
+    orders-lineitem join (how many fact rows does each key pull?),
+    including fanout=0 via the left join — the profile run BEFORE a new
+    join ships, because a surprise heavy tail here is tomorrow's skew
+    incident. Two groupBys; the second is over |distinct fanouts| rows."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    f = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("fanout"))
+    )
+    return f.groupBy(F.col("fanout").cast("bigint").alias("fanout")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+@query(
+    "jl_projection_gate",
+    "SELECT true AS norms_preserved, true AS distances_preserved",
+)
+def jl_projection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (the cheap dimensionality
+    crunch before ANN: 64 -> 32 dims with distances approximately
+    preserved): a seeded Gaussian matrix (literal columns — no UDF, no
+    driver data) projects every embedding in one whole-stage-codegen
+    projection. Gates, computed distributively: (a) the median ratio of
+    projected to original squared norm lies in [0.6, 1.4]; (b) across a
+    deterministic pair sample (vec i with vec i+250), the squared
+    pairwise-DISTANCE distortion stays within the JL envelope — median
+    in [0.7, 1.4], 5th/95th percentiles inside [0.3, 2.2]. Distance
+    preservation (not ranking) is what JL guarantees; on this corpus the
+    neighbor margins are far below the distortion at 2x compression, so
+    a top-k recall gate would test the DATA, not the projection."""
+    from etl_bigquery_pipeline_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings").transform(scoped_cache)
+    planes = similarity._hyperplanes(_DIM, 32, seed=7)
+    scale = 1.0 / (32 ** 0.5)
+    proj_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * scale
+        for plane in planes
+    ]
+    p = emb.select(
+        "vec_id",
+        "label",
+        F.array(*proj_cols).alias("proj"),
+        F.col("embedding").cast("array<double>").alias("orig"),
+    ).transform(scoped_cache)
+    sq = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    ratios = p.select(
+        F.try_divide(sq(F.col("proj")), sq(F.col("orig"))).alias("r")
+    )
+    med = ratios.agg(F.expr("percentile(r, 0.5)").alias("m")).first()["m"]
+
+    a = p.select(
+        F.col("vec_id").alias("ia"),
+        F.col("proj").alias("pa"),
+        F.col("orig").alias("oa"),
+    )
+    b = p.select(
+        (F.col("vec_id") - 250).alias("ia"),
+        F.col("proj").alias("pb"),
+        F.col("orig").alias("ob"),
+    )
+    d2 = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda u, v: (u - v) * (u - v)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    dist = a.join(b, "ia").select(
+        F.try_divide(
+            d2(F.col("pa"), F.col("pb")), d2(F.col("oa"), F.col("ob"))
+        ).alias("r")
+    )
+    q = dist.agg(
+        F.expr("percentile(r, 0.05)").alias("p05"),
+        F.expr("percentile(r, 0.5)").alias("p50"),
+        F.expr("percentile(r, 0.95)").alias("p95"),
+    ).first()
+    dist_ok = (
+        0.7 <= q["p50"] <= 1.4 and q["p05"] >= 0.3 and q["p95"] <= 2.2
+    )
+    return spark.createDataFrame(
+        [(bool(0.6 <= med <= 1.4), bool(dist_ok))],
+        "norms_preserved boolean, distances_preserved boolean",
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
