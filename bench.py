@@ -213,6 +213,9 @@ BENCH_QUERIES = [
     "sources_nucleus_p90",
     "join_fanout_histogram",
     "jl_projection_gate",
+    # round-4 wave 29: paths + geo + calendar
+    "top_session_paths",
+    "geo_grid_density",
 ]
 
 

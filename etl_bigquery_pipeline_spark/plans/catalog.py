@@ -10936,6 +10936,197 @@ def jl_projection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 29 — session path mining, geospatial grid, calendar dim
+# ===================================================================
+
+_PATHS_ORACLE = """
+WITH o AS (
+  SELECT user_id,
+         string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+t AS (
+  SELECT list_filter(regexp_split_to_array(seq, ' '), x -> x <> '') AS s
+  FROM o),
+g AS (
+  SELECT unnest([array_to_string(s[i:i+2], ' > ')
+                 for i in generate_series(1, len(s) - 2)]) AS path
+  FROM t WHERE len(s) >= 3),
+c AS (SELECT path, COUNT(*) AS n FROM g GROUP BY path),
+r AS (
+  SELECT path, CAST(n AS BIGINT) AS n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, path ASC) AS rn
+  FROM c)
+SELECT path, n FROM r WHERE rn <= 10
+"""
+
+
+@query("top_session_paths", _PATHS_ORACLE)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the 10 most common 3-step event sequences across
+    user timelines (the what-do-people-actually-do view funnels are
+    built from). Ordered sequences come from the deterministic
+    struct-sorted collect (the session_transcripts machinery), trigrams
+    from one slice-transform explode; the count groupBy is keyed by
+    path string — at most |event_types|^3 groups at any scale."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    seqs = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("__ord")
+        )
+        .select(
+            F.transform(F.col("__ord"), lambda s: s["event_type"]).alias("s")
+        )
+        .filter(F.size("s") >= 3)
+    )
+    g = seqs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("s") - 2),
+                lambda i: F.array_join(F.slice("s", i, 3), " > "),
+            )
+        ).alias("path")
+    )
+    c = g.groupBy("path").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("path", "n")
+    )
+
+
+_GEO_ORACLE = f"""
+WITH u AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+pos AS (
+  SELECT user_id,
+         (({_hex8_to_int("substring(md5('lat:' || CAST(user_id AS VARCHAR)), 1, 8)")}) % 120000) / 1000.0 - 60.0 AS lat,
+         (({_hex8_to_int("substring(md5('lon:' || CAST(user_id AS VARCHAR)), 1, 8)")}) % 360000) / 1000.0 - 180.0 AS lon
+  FROM u),
+d AS (
+  SELECT user_id, lat, lon,
+         CAST(floor(lat / 10) AS BIGINT) AS cell_lat,
+         CAST(floor(lon / 10) AS BIGINT) AS cell_lon,
+         2 * 6371.0 * asin(sqrt(
+           pow(sin(radians(lat - 40.0) / 2), 2)
+           + cos(radians(40.0)) * cos(radians(lat))
+             * pow(sin(radians(lon - (-74.0)) / 2), 2))) AS km_from_nyc
+  FROM pos)
+SELECT cell_lat, cell_lon,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       round(MIN(km_from_nyc), 3) AS min_km_from_nyc
+FROM d GROUP BY cell_lat, cell_lon
+"""
+
+
+@query("geo_grid_density", _GEO_ORACLE)
+def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial grid aggregation: users get deterministic synthetic
+    coordinates (md5 draws — the corpus has no geo columns, so the
+    PLUMBING is what this verifies), bucket into 10-degree cells (the
+    geohash-style spatial partition key), and compute great-circle
+    haversine distance from a fixed point — all JVM trig, replayed
+    exactly by the oracle. At scale the cell key is the spatial
+    equi-join/pruning device: radius queries prune to candidate cells
+    before any distance math."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = e.select("user_id").distinct()
+
+    def draw(salt, mod, scale, shift):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return (h % mod) / scale - shift
+
+    pos = u.select(
+        "user_id",
+        draw("lat:", 120000, 1000.0, 60.0).alias("lat"),
+        draw("lon:", 360000, 1000.0, 180.0).alias("lon"),
+    )
+    lat0, lon0 = 40.0, -74.0
+    hav = (
+        2.0
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("lat") - lat0) / 2), 2)
+                + F.cos(F.radians(F.lit(lat0)))
+                * F.cos(F.radians("lat"))
+                * F.pow(F.sin(F.radians(F.col("lon") - lon0) / 2), 2)
+            )
+        )
+    )
+    d = pos.select(
+        F.floor(F.col("lat") / 10).cast("bigint").alias("cell_lat"),
+        F.floor(F.col("lon") / 10).cast("bigint").alias("cell_lon"),
+        hav.alias("km_from_nyc"),
+    )
+    return d.groupBy("cell_lat", "cell_lon").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.min("km_from_nyc"), 3).alias("min_km_from_nyc"),
+    )
+
+
+_CALENDAR_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+  FROM events),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds)
+SELECT day,
+       CAST(EXTRACT(isodow FROM day) AS BIGINT) AS iso_dow,
+       EXTRACT(isodow FROM day) >= 6 AS is_weekend,
+       CAST(EXTRACT(month FROM day) AS BIGINT) AS month,
+       CAST(EXTRACT(quarter FROM day) AS BIGINT) AS quarter,
+       CAST(date_trunc('month', day) AS DATE) AS month_start
+FROM spine
+"""
+
+
+@query("calendar_dimension_build", _CALENDAR_ORACLE)
+def calendar_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension generation (the date spine every gap-filling
+    and fiscal-reporting join needs): sequence() from the data's own
+    bounds, one row per day with ISO weekday, weekend flag, month and
+    quarter attributes — derived columns only, no source scan beyond
+    the 2-scalar bounds aggregate. Calendar-bounded rows at any data
+    scale; broadcast it against any fact table."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    return spine.select(
+        "day",
+        F.dayofweek("day").alias("__dow_sun1"),
+        F.month("day").cast("bigint").alias("month"),
+        F.quarter("day").cast("bigint").alias("quarter"),
+        F.date_trunc("month", "day").cast("date").alias("month_start"),
+    ).select(
+        "day",
+        # ISO weekday (Mon=1..Sun=7) from Spark's Sunday=1 convention
+        ((F.col("__dow_sun1") + 5) % 7 + 1).cast("bigint").alias("iso_dow"),
+        (((F.col("__dow_sun1") + 5) % 7 + 1) >= 6).alias("is_weekend"),
+        "month",
+        "quarter",
+        "month_start",
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
