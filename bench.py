@@ -216,6 +216,9 @@ BENCH_QUERIES = [
     # round-4 wave 29: paths + geo + calendar
     "top_session_paths",
     "geo_grid_density",
+    # round-4 wave 30: outliers + profiling
+    "knn_distance_outliers",
+    "inclusion_dependency_profile",
 ]
 
 

@@ -11127,6 +11127,188 @@ def calendar_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 30 — kNN outliers, null patterns, FK discovery
+# ===================================================================
+
+_KNN_OUT_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, {{cos}} AS sim
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+r AS (
+  SELECT query_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rn
+  FROM s),
+m AS (
+  SELECT query_id, round(AVG(sim), 6) AS knn_sim
+  FROM r WHERE rn <= 5 GROUP BY query_id),
+z AS (
+  SELECT query_id, knn_sim,
+         CAST(ROW_NUMBER() OVER (ORDER BY knn_sim ASC, query_id ASC)
+              AS BIGINT) AS isolation_rank
+  FROM m)
+SELECT query_id, knn_sim, isolation_rank FROM z WHERE isolation_rank <= 5
+"""
+
+
+@query(
+    "knn_distance_outliers",
+    _KNN_OUT_ORACLE.replace("{cos}", _cosine_sql("qv", "cv")),
+)
+def knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-distance outlier scoring (the distance-based anomaly family:
+    a point whose 5 nearest neighbors are still far away sits in sparse
+    space): mean top-5 cosine similarity per probe, lowest-5 flagged as
+    most isolated. Reuses the broadcast-probe cosine_topk machinery —
+    corpus scanned once, probes broadcast; the isolation ranking runs
+    over |probes| rows. The embedding-space twin of MAD/z-score tabular
+    outliers: useful for hunting mislabeled or off-distribution
+    documents before training."""
+    from etl_bigquery_pipeline_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    topk = similarity.cosine_topk(
+        emb, probes, k=5, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id",
+    )
+    m = topk.groupBy("query_id").agg(
+        F.round(F.avg("sim"), 6).alias("knn_sim")
+    )
+    w = Window.orderBy(F.col("knn_sim").asc(), F.col("query_id").asc())
+    return (
+        m.withColumn("isolation_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("isolation_rank") <= 5)
+    )
+
+
+_NULL_PATTERN_ORACLE = """
+WITH p AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS a,
+         CASE WHEN o_orderkey % 21 = 0 THEN NULL ELSE o_totalprice END AS b,
+         CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderstatus END AS c
+  FROM orders)
+SELECT concat(CASE WHEN a IS NULL THEN 'N' ELSE '-' END,
+              CASE WHEN b IS NULL THEN 'N' ELSE '-' END,
+              CASE WHEN c IS NULL THEN 'N' ELSE '-' END) AS pattern,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM p GROUP BY 1
+"""
+
+
+@query("null_pattern_profile", _NULL_PATTERN_ORACLE)
+def null_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness-pattern analysis (the step before choosing an
+    imputation strategy: are nulls independent or co-occurring?): each
+    row maps to its null-indicator string across the audited columns,
+    one groupBy counts the patterns. The planted nulls share a factor
+    (%7 and %21), so the 'NN-' co-occurrence pattern shows up exactly
+    where MCAR would predict none — the signal this profile exists to
+    catch. At most 2^k patterns regardless of row count."""
+    o = _t(spark, sf_dir, "orders")
+    p = o.select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("o_custkey"))
+        .alias("a"),
+        F.when(F.col("o_orderkey") % 21 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("b"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("c"),
+    )
+    ind = lambda col: F.when(F.col(col).isNull(), "N").otherwise("-")  # noqa: E731
+    return (
+        p.select(
+            F.concat(ind("a"), ind("b"), ind("c")).alias("pattern")
+        )
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+
+
+_INCLUSION_ORACLE = """
+WITH pairs AS (
+  SELECT 'lineitem.l_orderkey -> orders.o_orderkey' AS fk,
+         (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS n_child,
+         (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) a
+          WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = a.l_orderkey))
+           AS n_contained
+  UNION ALL
+  SELECT 'lineitem.l_partkey -> part.p_partkey',
+         (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+         (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey FROM lineitem) a
+          WHERE EXISTS (SELECT 1 FROM part WHERE p_partkey = a.l_partkey))
+  UNION ALL
+  SELECT 'orders.o_custkey -> customer.c_custkey',
+         (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+         (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders) a
+          WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = a.o_custkey))
+  UNION ALL
+  SELECT 'customer.c_custkey -> orders.o_custkey',
+         (SELECT COUNT(DISTINCT c_custkey) FROM customer),
+         (SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer) a
+          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = a.c_custkey)))
+SELECT fk, CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_contained AS BIGINT) AS n_contained,
+       round(CAST(n_contained AS DOUBLE) / n_child, 6) AS inclusion,
+       n_contained = n_child AS is_foreign_key
+FROM pairs
+"""
+
+
+@query("inclusion_dependency_profile", _INCLUSION_ORACLE)
+def inclusion_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key DISCOVERY via inclusion coefficients (the profiling
+    companion to candidate_key_profile: candidate keys say what could be
+    referenced, inclusion says what actually references it): for each
+    candidate (child, parent) pair, the fraction of distinct child
+    values contained in the parent — 1.0 means the FK holds, and the
+    deliberately-reversed customer->orders pair shows a real non-FK
+    (customers without orders). Each pair is a distinct projection +
+    broadcast semi-join count."""
+    def coeff(child, ccol, parent, pcol, label):
+        a = child.select(F.col(ccol).alias("k")).distinct().transform(scoped_cache)
+        n_child = a.count()
+        n_cont = a.join(
+            F.broadcast(parent.select(F.col(pcol).alias("k")).distinct()),
+            "k",
+            "left_semi",
+        ).count()
+        return (label, n_child, n_cont)
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    c = _t(spark, sf_dir, "customer")
+    rows = [
+        coeff(li, "l_orderkey", o, "o_orderkey",
+              "lineitem.l_orderkey -> orders.o_orderkey"),
+        coeff(li, "l_partkey", p, "p_partkey",
+              "lineitem.l_partkey -> part.p_partkey"),
+        coeff(o, "o_custkey", c, "c_custkey",
+              "orders.o_custkey -> customer.c_custkey"),
+        coeff(c, "c_custkey", o, "o_custkey",
+              "customer.c_custkey -> orders.o_custkey"),
+    ]
+    out = spark.createDataFrame(
+        rows, "fk string, n_child bigint, n_contained bigint"
+    )
+    return out.select(
+        "fk",
+        "n_child",
+        "n_contained",
+        F.round(F.col("n_contained").cast("double") / F.col("n_child"), 6).alias(
+            "inclusion"
+        ),
+        (F.col("n_contained") == F.col("n_child")).alias("is_foreign_key"),
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
