@@ -61,7 +61,8 @@ SF0001 = "/root/testdata/sf0.001"
 # sources_nucleus_p90, join_fanout_histogram, jl_projection_gate,
 # top_session_paths, geo_grid_density, calendar_dimension_build,
 # knn_distance_outliers, null_pattern_profile,
-# inclusion_dependency_profile; compression_ratio_quality is rows-only by
+# inclusion_dependency_profile, yoy_revenue_growth, reactivated_users,
+# embedding_drift_gate; compression_ratio_quality is rows-only by
 # design, zlib is not SQL-expressible) — all sf0.01 oracle-verified
 # green when written.
 _SAMPLE_FIRST = [

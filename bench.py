@@ -219,6 +219,9 @@ BENCH_QUERIES = [
     # round-4 wave 30: outliers + profiling
     "knn_distance_outliers",
     "inclusion_dependency_profile",
+    # round-4 wave 31: temporal alignment + drift
+    "yoy_revenue_growth",
+    "embedding_drift_gate",
 ]
 
 

@@ -11309,6 +11309,164 @@ def inclusion_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 31 — YoY growth, reactivation detection, embedding drift
+# ===================================================================
+
+_YOY_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1),
+j AS (
+  SELECT m.month, m.rev, p.rev AS rev_last_year
+  FROM monthly m
+  LEFT JOIN monthly p ON p.month = m.month - INTERVAL 1 YEAR)
+SELECT month, round(rev, 2) AS rev,
+       round(rev_last_year, 2) AS rev_last_year,
+       round((rev - rev_last_year) / rev_last_year, 6) AS yoy_growth
+FROM j WHERE rev_last_year IS NOT NULL
+"""
+
+
+@query("yoy_revenue_growth", _YOY_ORACLE)
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth by calendar alignment (the seasonal
+    companion to mom_revenue_growth's positional lag): each month joins
+    its same-month-last-year row by DATE arithmetic, not row offset —
+    immune to gaps in the month sequence, which is exactly where a
+    lag(12) silently compares the wrong months. Self-join over the
+    monthly aggregate (calendar-bounded rows)."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("rev")
+    ).transform(scoped_cache)
+    prev = monthly.select(
+        F.add_months(F.col("month"), 12).alias("month"),
+        F.col("rev").alias("rev_last_year"),
+    )
+    return (
+        monthly.join(prev, "month")
+        .select(
+            "month",
+            F.round("rev", 2).alias("rev"),
+            F.round("rev_last_year", 2).alias("rev_last_year"),
+            F.round(
+                (F.col("rev") - F.col("rev_last_year")) / F.col("rev_last_year"),
+                6,
+            ).alias("yoy_growth"),
+        )
+    )
+
+
+_REACTIVATED_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events WHERE user_id IS NOT NULL)
+SELECT user_id,
+       CAST(COUNT(*) FILTER (
+         WHERE prev_ts IS NOT NULL
+           AND epoch_us(ts) - epoch_us(prev_ts) > 14 * 86400e6)
+       AS BIGINT) AS n_reactivations,
+       CAST(floor(MAX(epoch_us(ts) - epoch_us(prev_ts)) / 86400e6)
+            AS BIGINT) AS longest_gap_days
+FROM e GROUP BY user_id
+HAVING COUNT(*) FILTER (
+  WHERE prev_ts IS NOT NULL
+    AND epoch_us(ts) - epoch_us(prev_ts) > 14 * 86400e6) > 0
+"""
+
+
+@query("reactivated_users", _REACTIVATED_ORACLE)
+def reactivated_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy reactivation (the win-back signal churn_labels can't
+    see: the user came BACK): events arriving after a >14-day silence
+    per user, counted with the longest observed gap. One lag over the
+    user timeline + one groupBy — the same window pass sessionization
+    makes, with a different gap threshold reading."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    g = e.withColumn("gap_us", gap_us)
+    react = F.count_if(F.col("gap_us") > 14 * 86400 * 1_000_000)
+    return (
+        g.groupBy("user_id")
+        .agg(
+            react.cast("bigint").alias("n_reactivations"),
+            F.floor(F.max("gap_us") / 86400e6).cast("bigint").alias(
+                "longest_gap_days"
+            ),
+        )
+        .filter(F.col("n_reactivations") > 0)
+    )
+
+
+_EMB_DRIFT_ORACLE = f"""
+WITH h AS (
+  SELECT CASE WHEN vec_id < (SELECT MAX(vec_id) FROM embeddings) / 2
+              THEN 0 ELSE 1 END AS half,
+         embedding
+  FROM embeddings),
+m AS (
+  SELECT half, i AS dim, avg(CAST(embedding[i] AS DOUBLE)) AS mu
+  FROM h, generate_series(1, {{dim}}) AS g(i)
+  GROUP BY half, i),
+c AS (
+  SELECT a.dim, a.mu AS mu0, b.mu AS mu1
+  FROM m a JOIN m b ON a.dim = b.dim AND a.half = 0 AND b.half = 1)
+SELECT round(sqrt(SUM((mu0 - mu1) * (mu0 - mu1))), 6) AS centroid_shift,
+       round(sqrt(SUM(mu0 * mu0)), 6) AS centroid_norm_first,
+       round(sqrt(SUM(mu1 * mu1)), 6) AS centroid_norm_second
+FROM c
+"""
+
+
+@query(
+    "embedding_drift_gate", _EMB_DRIFT_ORACLE.replace("{dim}", str(64))
+)
+def embedding_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift (the vector twin of the tabular PSI drift
+    check): split the corpus into first/second halves by id, compute
+    each half's centroid via one explode-groupBy pass, and report the
+    L2 centroid shift against the centroid norms for scale. At
+    production scale the halves are yesterday/today batches and the
+    gate thresholds the shift; here the two halves of one synthetic
+    draw give a near-zero shift — the null-hypothesis reading the
+    threshold would be calibrated on."""
+    e = _t(spark, sf_dir, "embeddings")
+    mx = e.agg(F.max("vec_id").alias("m"))
+    h = e.crossJoin(F.broadcast(mx)).select(
+        F.when(F.col("vec_id") < F.col("m") / 2, 0).otherwise(1).alias("half"),
+        "embedding",
+    )
+    ex = h.select(
+        "half",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "__p", "v"
+        ),
+    ).select("half", (F.col("__p") + 1).alias("dim"), "v")
+    m = ex.groupBy("half", "dim").agg(F.avg("v").alias("mu"))
+    a = m.filter(F.col("half") == 0).select("dim", F.col("mu").alias("mu0"))
+    b = m.filter(F.col("half") == 1).select("dim", F.col("mu").alias("mu1"))
+    c = a.join(b, "dim")
+    return c.agg(
+        F.round(
+            F.sqrt(F.sum((F.col("mu0") - F.col("mu1")) ** 2)), 6
+        ).alias("centroid_shift"),
+        F.round(F.sqrt(F.sum(F.col("mu0") ** 2)), 6).alias(
+            "centroid_norm_first"
+        ),
+        F.round(F.sqrt(F.sum(F.col("mu1") ** 2)), 6).alias(
+            "centroid_norm_second"
+        ),
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
