@@ -222,6 +222,9 @@ BENCH_QUERIES = [
     # round-4 wave 31: temporal alignment + drift
     "yoy_revenue_growth",
     "embedding_drift_gate",
+    # round-4 wave 32: skew diagnostics + robust stats
+    "key_skew_profile",
+    "weighted_median_price",
 ]
 
 

@@ -11467,6 +11467,141 @@ def embedding_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 32 — key-skew profile, weighted median, CUSUM
+# change-point detection
+# ===================================================================
+
+_SKEW_PROFILE_ORACLE = """
+WITH g AS (
+  SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+t AS (
+  SELECT SUM(n) AS total, COUNT(*) AS k, MAX(n) AS mx,
+         quantile_cont(n, 0.5) AS p50, quantile_cont(n, 0.99) AS p99
+  FROM g)
+SELECT CAST(k AS BIGINT) AS n_keys,
+       round(mx / total, 6) AS top_key_share,
+       round(p99 / p50, 4) AS p99_over_p50,
+       round(mx / (total / k), 4) AS max_over_mean
+FROM t
+"""
+
+
+@query("key_skew_profile", _SKEW_PROFILE_ORACLE)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (run BEFORE keying a join or agg on a
+    column — the numeric answer to 'will one reducer own this?'):
+    per-key group sizes, then the ratios that predict trouble — top key
+    share of all rows, p99/p50 group size, and max-over-mean (the
+    straggler factor a perfectly even shuffle would put at 1.0). The
+    decision input for salting/AQE-skew handling, computed as one
+    groupBy + one scalar aggregate."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    g = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_key_share"),
+        F.round(
+            F.expr("percentile(n, 0.99)") / F.expr("percentile(n, 0.5)"), 4
+        ).alias("p99_over_p50"),
+        F.round(F.max("n") / (F.sum("n") / F.count(F.lit(1))), 4).alias(
+            "max_over_mean"
+        ),
+    )
+
+
+_WMEDIAN_ORACLE = """
+WITH w AS (
+  SELECT round(l_extendedprice, 2) AS price, SUM(l_quantity) AS wt
+  FROM lineitem GROUP BY 1),
+o AS (
+  SELECT price,
+         SUM(wt) OVER (ORDER BY price ASC ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(wt) OVER () AS total
+  FROM w)
+SELECT MIN(price) AS weighted_median_price
+FROM o WHERE cum >= total / 2
+"""
+
+
+@query("weighted_median_price", _WMEDIAN_ORACLE)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (the quantity-weighted 'typical unit price' a
+    plain median of line items distorts): collapse weights per price,
+    walk the cumulative weight to the 50% crossing. The running sum is
+    the distributed range-partition + offsets machinery
+    (windows.with_global_running_sums) — never a single-partition
+    window; one value returns."""
+    li = _t(spark, sf_dir, "lineitem")
+    # collapse to per-price weights first (groupBy), then the running
+    # sum runs through the distributed range-partition + offsets
+    # machinery — never a single-partition global window. l_quantity is
+    # integer-valued, so the distributed partial sums are bit-exact.
+    w = li.select(
+        F.round("l_extendedprice", 2).alias("price"),
+        F.col("l_quantity").alias("wt"),
+    ).groupBy("price").agg(F.sum("wt").alias("wt"))
+    r = windows.with_global_running_sums(w, ["price"], ["wt"])
+    tot = w.agg(F.sum("wt").alias("total"))
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_wt") >= F.col("total") / 2)
+        .agg(F.min("price").alias("weighted_median_price"))
+    )
+
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1),
+m AS (SELECT AVG(rev) AS mu FROM daily),
+c AS (
+  SELECT day, rev,
+         SUM(rev - m.mu) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+           AS cusum
+  FROM daily CROSS JOIN m),
+r AS (
+  SELECT day, round(cusum, 2) AS cusum,
+         ROW_NUMBER() OVER (ORDER BY abs(cusum) DESC, day ASC) AS rn
+  FROM c)
+SELECT day AS changepoint_day, cusum AS cusum_at_peak FROM r WHERE rn = 1
+"""
+
+
+@query("revenue_changepoint_cusum", _CUSUM_ORACLE)
+def revenue_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection (public technique: the running sum
+    of deviations from the global mean peaks where the level shifted):
+    one pass to the daily aggregate, one calendar-bounded ordered
+    window, and the argmax |CUSUM| is the single most likely
+    change-point day — the question 'when did revenue regime-change?'
+    answered without any model fitting."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("rev")
+    ).transform(scoped_cache)
+    m = daily.agg(F.avg("rev").alias("mu"))
+    cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = daily.crossJoin(F.broadcast(m)).select(
+        "day", F.sum(F.col("rev") - F.col("mu")).over(cum).alias("cusum")
+    )
+    w = Window.orderBy(F.abs(F.col("cusum")).desc(), F.col("day").asc())
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            F.round("cusum", 2).alias("cusum_at_peak"),
+        )
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
