@@ -63,7 +63,8 @@ SF0001 = "/root/testdata/sf0.001"
 # knn_distance_outliers, null_pattern_profile,
 # inclusion_dependency_profile, yoy_revenue_growth, reactivated_users,
 # embedding_drift_gate, key_skew_profile, weighted_median_price,
-# revenue_changepoint_cusum; compression_ratio_quality is rows-only by
+# revenue_changepoint_cusum, business_days_to_ship,
+# order_fulfillment_status; compression_ratio_quality is rows-only by
 # design, zlib is not SQL-expressible) — all sf0.01 oracle-verified
 # green when written.
 _SAMPLE_FIRST = [

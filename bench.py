@@ -225,6 +225,9 @@ BENCH_QUERIES = [
     # round-4 wave 32: skew diagnostics + robust stats
     "key_skew_profile",
     "weighted_median_price",
+    # round-4 wave 33: date math + quantifier aggregates
+    "business_days_to_ship",
+    "order_fulfillment_status",
 ]
 
 

@@ -11602,6 +11602,103 @@ def revenue_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 33 — business-day arithmetic, bool_and/bool_or
+# fulfillment classification
+# ===================================================================
+
+_BIZ_DAYS_ORACLE = """
+WITH j AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(o_orderdate AS DATE) AS d0, CAST(l_shipdate AS DATE) AS d1
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= o_orderdate AND l_orderkey % 50 = 0),
+b AS (
+  SELECT l_orderkey, l_linenumber,
+         len(list_filter(generate_series(d0, d1 - INTERVAL 1 DAY,
+                                         INTERVAL 1 DAY),
+                         d -> EXTRACT(isodow FROM d) <= 5)) AS biz_days
+  FROM j)
+SELECT l_orderkey, l_linenumber, CAST(biz_days AS BIGINT) AS business_days
+FROM b
+"""
+
+
+@query("business_days_to_ship", _BIZ_DAYS_ORACLE)
+def business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day arithmetic (SLA reporting counts weekdays, not
+    calendar days): expand each order->ship interval into its date
+    sequence and count ISO weekdays — exact for any span, array
+    expressions only (no calendar join). Sampled to every 50th order:
+    the per-row array is span-length-bounded, so the operator's cost is
+    rows x average span, the same economics as the chunking family.
+    Spark's weekday() is Monday=0, so <= 4 marks weekdays; the oracle
+    uses isodow <= 5 — same set, different convention, hash-identical
+    counts."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("o_orderdate").cast("date").alias("d0"),
+            F.col("l_shipdate").cast("date").alias("d1"),
+        )
+    )
+    days = F.sequence(
+        F.col("d0"), F.date_sub(F.col("d1"), 1), F.expr("INTERVAL 1 DAY")
+    )
+    biz = F.size(F.filter(days, lambda d: F.weekday(d) <= 4))
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        # empty interval (same-day ship): sequence(d0, d0-1) is invalid,
+        # so guard to zero
+        F.when(F.col("d1") > F.col("d0"), biz)
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("business_days"),
+    )
+
+
+_FULFILL_ORACLE = """
+WITH s AS (
+  SELECT l_orderkey,
+         bool_and(l_linestatus = 'F') AS all_f,
+         bool_or(l_linestatus = 'F') AS any_f
+  FROM lineitem GROUP BY l_orderkey)
+SELECT CASE WHEN all_f THEN 'fulfilled'
+            WHEN any_f THEN 'partial'
+            ELSE 'open' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM s GROUP BY 1
+"""
+
+
+@query("order_fulfillment_status", _FULFILL_ORACLE)
+def order_fulfillment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Universal/existential aggregation (bool_and / bool_or — the ALL
+    and ANY quantifiers as grouped aggregates): classify each order by
+    whether ALL, SOME, or NONE of its lines are finalized. One groupBy
+    carrying two booleans per order; the classification is a projection.
+    The pattern behind every 'is the batch fully processed?' gate."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_orderkey").agg(
+        F.bool_and(F.col("l_linestatus") == "F").alias("all_f"),
+        F.bool_or(F.col("l_linestatus") == "F").alias("any_f"),
+    )
+    status = (
+        F.when(F.col("all_f"), "fulfilled")
+        .when(F.col("any_f"), "partial")
+        .otherwise("open")
+    )
+    return s.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
