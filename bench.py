@@ -228,6 +228,9 @@ BENCH_QUERIES = [
     # round-4 wave 33: date math + quantifier aggregates
     "business_days_to_ship",
     "order_fulfillment_status",
+    # round-4 wave 34: sweep line + sketch algebra
+    "covered_time_per_user",
+    "hll_intersection_estimate_gate",
 ]
 
 

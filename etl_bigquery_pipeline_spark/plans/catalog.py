@@ -11699,6 +11699,184 @@ def order_fulfillment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 34 — interval-union sweep line, HLL set algebra,
+# empirical-CDF resampling
+# ===================================================================
+
+_COVERED_ORACLE = """
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL '5 minutes' AS e
+  FROM events WHERE user_id IS NOT NULL),
+pts AS (
+  SELECT user_id, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT user_id, e, -1 FROM iv),
+sw AS (
+  SELECT user_id, t, d,
+         SUM(d) OVER (PARTITION BY user_id ORDER BY t, d DESC
+                      ROWS UNBOUNDED PRECEDING) AS active,
+         lead(t) OVER (PARTITION BY user_id ORDER BY t, d DESC) AS nxt
+  FROM pts)
+SELECT user_id,
+       round(SUM(CASE WHEN active > 0 AND nxt IS NOT NULL
+                      THEN CAST(epoch_us(nxt) - epoch_us(t) AS DOUBLE)
+                      ELSE 0 END) / 60e6, 4) AS covered_minutes
+FROM sw GROUP BY user_id
+"""
+
+
+@query("covered_time_per_user", _COVERED_ORACLE)
+def covered_time_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION length (overlaps counted once — the question 'how
+    long was the user actually active?' that summing per-event windows
+    double-counts): the classic sweep line, relationally — each 5-minute
+    activity interval emits +1/-1 endpoints, a per-user running sum
+    tracks the active count, and segments where active > 0 contribute
+    their length. End-before-start ordering at ties (d DESC puts +1
+    first) makes touching intervals merge. One user-keyed window pass;
+    the same shape computes concurrent-load curves and SLA coverage."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    pts = iv.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        iv.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("t"), F.col("d").desc())
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sw = pts.select(
+        "user_id",
+        "t",
+        F.sum("d").over(cum).alias("active"),
+        F.lead("t").over(w).alias("nxt"),
+    )
+    seg = F.when(
+        (F.col("active") > 0) & F.col("nxt").isNotNull(),
+        (F.unix_micros("nxt") - F.unix_micros("t")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return sw.groupBy("user_id").agg(
+        F.round(F.sum(seg) / 60e6, 4).alias("covered_minutes")
+    )
+
+
+@query(
+    "hll_intersection_estimate_gate",
+    "SELECT true AS within_tolerance",
+)
+def hll_intersection_estimate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA: intersection size from HLL sketches via
+    inclusion-exclusion (|A n B| = |A| + |B| - |A u B|, the union being
+    the one operation HLL supports natively). Estimates the overlap
+    between customers with orders below/above the median order value —
+    two sketches + one union, no join of the underlying sets — and
+    gates it against the exact overlap within 15% + a small absolute
+    slack (inclusion-exclusion compounds the per-sketch error; that
+    compounding is WHY the gate exists — it documents the technique's
+    real tolerance, not an idealized one)."""
+    o = _t(spark, sf_dir, "orders").transform(scoped_cache)
+    med = o.agg(F.expr("percentile(o_totalprice, 0.5)").alias("m"))
+    j = o.crossJoin(F.broadcast(med))
+    lo = j.filter(F.col("o_totalprice") < F.col("m")).select("o_custkey")
+    hi = j.filter(F.col("o_totalprice") >= F.col("m")).select("o_custkey")
+    sa = lo.agg(F.hll_sketch_agg("o_custkey").alias("sk")).transform(scoped_cache)
+    sb = hi.agg(F.hll_sketch_agg("o_custkey").alias("sk")).transform(scoped_cache)
+    na = sa.select(F.hll_sketch_estimate("sk").alias("e")).first()["e"]
+    nb = sb.select(F.hll_sketch_estimate("sk").alias("e")).first()["e"]
+    nu = (
+        sa.unionAll(sb)
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("e"))
+        .first()["e"]
+    )
+    est = na + nb - nu
+    exact = lo.intersect(hi).count()
+    ok = abs(est - exact) <= max(0.15 * max(exact, 1), 50)
+    return spark.createDataFrame([(bool(ok),)], "within_tolerance boolean")
+
+
+_RESAMPLE_ORACLE = """
+WITH src AS (
+  SELECT c_acctbal,
+         CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) AS DOUBLE)
+           / (SELECT COUNT(*) FROM customer) AS cdf
+  FROM customer),
+draws AS (
+  SELECT i,
+         (({hex}) % 100000 + 1) / 100001.0 AS u
+  FROM generate_series(1, 500) AS g(i)),
+m AS (
+  SELECT d.i, d.u,
+         (SELECT MIN(s.c_acctbal) FROM src s WHERE s.cdf >= d.u) AS v
+  FROM draws d)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_draws,
+       round(AVG(v), 4) AS resampled_mean,
+       round(quantile_cont(v, 0.5), 4) AS resampled_median
+FROM m
+"""
+
+
+@query(
+    "empirical_resample_stats",
+    _RESAMPLE_ORACLE.replace(
+        "{hex}",
+        _hex8_to_int("substring(md5('draw:' || CAST(i AS VARCHAR)), 1, 8)"),
+    ),
+)
+def empirical_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-transform sampling from an EMPIRICAL distribution (the
+    synthetic-data generator that matches a real column's shape):
+    deterministic md5 uniforms map through the account-balance ECDF via
+    an as-of lookup (smallest value whose CDF >= u). The ECDF ranks use
+    the distributed global numbering; the 500 draws broadcast against
+    the sorted quantile table — a range join at scale. Output is the
+    resample's summary stats, which converge on the source's as draws
+    grow."""
+    c = _t(spark, sf_dir, "customer")
+    ranked, total = windows.with_global_row_number(
+        c.select("c_acctbal", "c_custkey"), ["c_acctbal", "c_custkey"],
+        rn_col="__rn",
+    )
+    src = ranked.select(
+        "c_acctbal", (F.col("__rn").cast("double") / total).alias("cdf")
+    )
+    draws = spark.range(1, 501).select(
+        F.col("id").alias("i"),
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("draw:"), F.col("id").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 100000
+                + 1
+            )
+            / 100001.0
+        ).alias("u"),
+    )
+    # as-of lookup: min value whose cdf >= u (draws broadcast; at scale
+    # this is a range join against the sorted quantile table)
+    m = (
+        src.join(F.broadcast(draws), F.col("cdf") >= F.col("u"))
+        .groupBy("i")
+        .agg(F.min("c_acctbal").alias("v"))
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_draws"),
+        F.round(F.avg("v"), 4).alias("resampled_mean"),
+        F.round(F.expr("percentile(v, 0.5)"), 4).alias("resampled_median"),
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
