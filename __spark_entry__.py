@@ -65,7 +65,8 @@ SF0001 = "/root/testdata/sf0.001"
 # embedding_drift_gate, key_skew_profile, weighted_median_price,
 # revenue_changepoint_cusum, business_days_to_ship,
 # order_fulfillment_status, covered_time_per_user,
-# hll_intersection_estimate_gate, empirical_resample_stats; compression_ratio_quality is rows-only by
+# hll_intersection_estimate_gate, empirical_resample_stats,
+# decayed_part_popularity, largest_remainder_allocation; compression_ratio_quality is rows-only by
 # design, zlib is not SQL-expressible) — all sf0.01 oracle-verified
 # green when written.
 _SAMPLE_FIRST = [

@@ -231,6 +231,9 @@ BENCH_QUERIES = [
     # round-4 wave 34: sweep line + sketch algebra
     "covered_time_per_user",
     "hll_intersection_estimate_gate",
+    # round-4 wave 35: decay + allocation
+    "decayed_part_popularity",
+    "largest_remainder_allocation",
 ]
 
 

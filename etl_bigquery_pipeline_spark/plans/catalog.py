@@ -11877,6 +11877,155 @@ def empirical_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 35 — decayed popularity, largest-remainder allocation
+# ===================================================================
+
+_DECAYED_ORACLE = """
+WITH mx AS (SELECT MAX(l_shipdate) AS m FROM lineitem),
+w AS (
+  SELECT l_partkey,
+         round(SUM(exp(-CAST(epoch_us(mx.m) - epoch_us(l_shipdate) AS DOUBLE)
+                       / (30.0 * 86400e6))), 4) AS decayed_count,
+         CAST(COUNT(*) AS BIGINT) AS raw_count
+  FROM lineitem CROSS JOIN mx
+  GROUP BY l_partkey),
+r AS (
+  SELECT l_partkey, decayed_count, raw_count,
+         CAST(ROW_NUMBER() OVER (ORDER BY decayed_count DESC,
+                                 l_partkey ASC) AS BIGINT) AS rnk
+  FROM w)
+SELECT l_partkey, decayed_count, raw_count, rnk FROM r WHERE rnk <= 10
+"""
+
+
+@query("decayed_part_popularity", _DECAYED_ORACLE)
+def decayed_part_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted popularity (the recommender primitive raw counts
+    get wrong: last year's bestseller should not outrank this week's):
+    each sale contributes exp(-age/30d), summed per part — the decay is
+    a pure projection against the broadcast max-date scalar, partial
+    aggregation keeps the shuffle at one double per part, and top-10
+    selection is TakeOrdered. Raw counts ride along to show where decay
+    reorders the leaderboard."""
+    li = _t(spark, sf_dir, "lineitem")
+    mx = li.agg(F.max("l_shipdate").alias("m"))
+    w = (
+        li.crossJoin(F.broadcast(mx))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.exp(
+                        -(
+                            F.unix_micros("m") - F.unix_micros("l_shipdate")
+                        ).cast("double")
+                        / (30.0 * 86400e6)
+                    )
+                ),
+                4,
+            ).alias("decayed_count"),
+            F.count(F.lit(1)).cast("bigint").alias("raw_count"),
+        )
+    )
+    win = Window.orderBy(F.col("decayed_count").desc(), F.col("l_partkey").asc())
+    return (
+        w.orderBy(F.col("decayed_count").desc(), F.col("l_partkey").asc())
+        .limit(10)
+        .withColumn("rnk", F.row_number().over(win).cast("bigint"))
+    )
+
+
+_ALLOC_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice
+  FROM lineitem WHERE l_orderkey % 100 = 0),
+tot AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS order_total
+  FROM li GROUP BY l_orderkey),
+raw AS (
+  SELECT li.l_orderkey, li.l_linenumber,
+         -- allocate 10.00 in cents, proportional to line price
+         1000.0 * CAST(li.l_extendedprice AS DECIMAL(18,4)) / t.order_total
+           AS cents_exact
+  FROM li JOIN tot t ON li.l_orderkey = t.l_orderkey),
+fl AS (
+  SELECT *, CAST(floor(cents_exact) AS BIGINT) AS cents_floor,
+         cents_exact - floor(cents_exact) AS frac
+  FROM raw),
+need AS (
+  SELECT l_orderkey,
+         CAST(1000 - SUM(cents_floor) AS BIGINT) AS leftover
+  FROM fl GROUP BY l_orderkey),
+rk AS (
+  SELECT fl.*, need.leftover,
+         ROW_NUMBER() OVER (PARTITION BY fl.l_orderkey
+                            ORDER BY fl.frac DESC, fl.l_linenumber ASC)
+           AS frac_rank
+  FROM fl JOIN need ON fl.l_orderkey = need.l_orderkey)
+SELECT l_orderkey, l_linenumber,
+       CAST(cents_floor + CASE WHEN frac_rank <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_cents
+FROM rk
+"""
+
+
+@query("largest_remainder_allocation", _ALLOC_ORACLE)
+def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact monetary allocation by largest remainder (Hamilton's
+    method, public): split a 10.00 fee across each order's lines
+    proportionally to price so the cents SUM EXACTLY — floor every
+    share, then hand the leftover cents to the largest fractional
+    parts. Naive rounding leaks cents; this is the allocation ledgers
+    and ad-spend attribution actually require. All window/groupBy work
+    keys by order; the exact shares divide decimals so both engines
+    agree bit-for-bit before the floor."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+    tot = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias(
+            "order_total"
+        )
+    )
+    raw = li.join(tot, "l_orderkey").select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.lit(1000.0)
+            * F.col("l_extendedprice").cast("decimal(18,4)")
+            / F.col("order_total")
+        ).alias("cents_exact"),
+    )
+    fl = raw.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("cents_exact").cast("bigint").alias("cents_floor"),
+        (F.col("cents_exact") - F.floor("cents_exact")).alias("frac"),
+    )
+    need = fl.groupBy("l_orderkey").agg(
+        (F.lit(1000) - F.sum("cents_floor")).cast("bigint").alias("leftover")
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("frac").desc(), F.col("l_linenumber").asc()
+    )
+    return (
+        fl.join(need, "l_orderkey")
+        .withColumn("frac_rank", F.row_number().over(w))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                F.col("cents_floor")
+                + F.when(F.col("frac_rank") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc_cents"),
+        )
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
