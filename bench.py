@@ -234,6 +234,8 @@ BENCH_QUERIES = [
     # round-4 wave 35: decay + allocation
     "decayed_part_popularity",
     "largest_remainder_allocation",
+    # round-4 wave 36: fold-to-windows identity
+    "clamped_running_inventory",
 ]
 
 

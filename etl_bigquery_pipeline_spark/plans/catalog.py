@@ -12026,6 +12026,76 @@ def largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 36 — clamped running inventory via the prefix-min
+# identity
+# ===================================================================
+
+_INVENTORY_ORACLE = """
+WITH d AS (
+  SELECT l_partkey, l_shipdate, l_linenumber, l_orderkey,
+         CASE WHEN l_returnflag = 'R' THEN l_quantity
+              ELSE -l_quantity END AS delta
+  FROM lineitem WHERE l_partkey % 200 = 0),
+s AS (
+  SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+         SUM(delta) OVER (PARTITION BY l_partkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS UNBOUNDED PRECEDING) AS pref
+  FROM d),
+p AS (
+  SELECT *, MIN(pref) OVER (PARTITION BY l_partkey
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS min_pref
+  FROM s)
+SELECT l_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_moves,
+       round(MAX(pref - least(min_pref, 0)), 2) AS peak_stock,
+       round(SUM(CASE WHEN pref - least(min_pref, 0) = 0 THEN 1
+                      ELSE 0 END), 0) AS stockout_moves
+FROM p GROUP BY l_partkey
+"""
+
+
+@query("clamped_running_inventory", _INVENTORY_ORACLE)
+def clamped_running_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running inventory clamped at zero — a SEQUENTIAL-looking fold
+    (stock can never go negative; sales against empty stock are lost,
+    not borrowed) collapsed to a closed form: with prefix sums P_t,
+    clamped stock S_t = P_t - min(0, min_{k<=t} P_k). Two stacked
+    windows per part (prefix sum, then running min of it) replace any
+    per-row state machine — the same windows-instead-of-recurrence
+    move as events_since_last_purchase, for a fold that looks like it
+    needs applyInPandas but doesn't (only folds with both clamps do;
+    see ewma for the genuinely sequential case). Returns are inflow,
+    sales outflow; per-part peak stock and stockout counts emerge."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 200 == 0)
+    d = li.select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))
+        .otherwise(-F.col("l_quantity"))
+        .alias("delta"),
+    )
+    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    wp = Window.partitionBy("l_partkey").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = d.withColumn("pref", F.sum("delta").over(wp)).withColumn(
+        "min_pref", F.min("pref").over(wp)
+    )
+    stock = F.col("pref") - F.least(F.col("min_pref"), F.lit(0.0))
+    return p.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_moves"),
+        F.round(F.max(stock), 2).alias("peak_stock"),
+        F.round(F.sum(F.when(stock == 0, 1).otherwise(0)), 0).alias(
+            "stockout_moves"
+        ),
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
