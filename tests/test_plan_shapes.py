@@ -387,3 +387,18 @@ def test_q19_predicate_stays_on_broadcast_join(spark, sf_dir):
 def test_weighted_reservoir_is_take_ordered_not_global_window(spark, sf_dir):
     plan = _plan(spark, "weighted_reservoir_sample", sf_dir)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_distributed_running_sum_queries_use_range_partitioning(spark, sf_dir):
+    # weighted median + gap islands route their global order through
+    # repartitionByRange (+ offsets), never a single-partition window
+    for name in ("weighted_median_price", "orderkey_gap_islands"):
+        plan = _plan(spark, name, sf_dir).lower()
+        assert "rangepartitioning" in plan, name
+
+
+def test_keyed_window_folds_have_no_single_partition_exchange(spark, sf_dir):
+    # sweep line + clamped fold partition every window by their key
+    for name in ("covered_time_per_user", "clamped_running_inventory"):
+        plan = _plan(spark, name, sf_dir)
+        assert "Exchange SinglePartition" not in plan, name
