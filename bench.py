@@ -236,6 +236,9 @@ BENCH_QUERIES = [
     "largest_remainder_allocation",
     # round-4 wave 36: fold-to-windows identity
     "clamped_running_inventory",
+    # round-4 wave 37: RLE + grouped corr + degree shape
+    "event_type_runs",
+    "degree_distribution_slope",
 ]
 
 

@@ -12096,6 +12096,164 @@ def clamped_running_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 37 — RLE event runs, grouped correlation, degree
+# distribution slope
+# ===================================================================
+
+_RUNS_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS brk
+  FROM events WHERE user_id IS NOT NULL),
+g AS (
+  SELECT user_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM e),
+r AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM g GROUP BY user_id, event_type, run_id)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(run_len) AS BIGINT) AS longest_run,
+       round(AVG(run_len), 4) AS avg_run_len
+FROM r GROUP BY event_type
+"""
+
+
+@query("event_type_runs", _RUNS_ORACLE)
+def event_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of behavior streams (does the same action
+    repeat in bursts? — the bot/rage-click signal): consecutive
+    same-type events collapse into runs via the change-marker running
+    sum (the islands trick keyed on VALUE change rather than time gap),
+    then run lengths profile per type. Two user-keyed window passes +
+    two groupBys."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    brk = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    g = e.withColumn("brk", brk).withColumn("run_id", F.sum("brk").over(cum))
+    r = g.groupBy("user_id", "event_type", "run_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len")
+    )
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.max("run_len").cast("bigint").alias("longest_run"),
+        F.round(F.avg("run_len"), 4).alias("avg_run_len"),
+    )
+
+
+_GROUPED_CORR_ORACLE = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       round(corr(l_quantity, l_discount), 6) AS qty_discount_corr
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+@query("discount_qty_corr_by_brand", _GROUPED_CORR_ORACLE)
+def discount_qty_corr_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Pearson correlation (the price-sensitivity question 'do
+    discounts move quantity?' answered PER BRAND — a global corr hides
+    Simpson-style sign flips between segments): corr as a grouped
+    aggregate over the broadcast part join, five running sums per
+    group, one row per brand."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.corr("l_quantity", "l_discount"), 6).alias(
+                "qty_discount_corr"
+            ),
+        )
+    )
+
+
+_DEGREE_DIST_ORACLE = """
+WITH __pr AS (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2),
+__e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM __pr a JOIN __pr b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM __e UNION ALL SELECT v FROM __e) GROUP BY node),
+hist AS (
+  SELECT d, CAST(COUNT(*) AS DOUBLE) AS cnt FROM deg GROUP BY d),
+pts AS (SELECT ln(CAST(d AS DOUBLE)) AS x, ln(cnt) AS y FROM hist WHERE d > 0),
+s AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM pts)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT MAX(d) FROM deg) AS BIGINT) AS max_degree,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS loglog_slope
+FROM s
+"""
+
+
+@query("degree_distribution_slope", _DEGREE_DIST_ORACLE)
+def degree_distribution_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution shape check (is this graph heavy-tailed? —
+    the question that decides whether skew machinery like the
+    degree-ordered triangle orientation is NEEDED): log-log OLS slope
+    of the degree histogram, a power law showing as a straight negative
+    slope. The histogram is |distinct degrees| rows, so the regression
+    runs on a vanishing aggregate of the graph."""
+    from etl_bigquery_pipeline_spark.operators import graph
+
+    l = _t(spark, sf_dir, "lineitem")
+    pr = l.select("l_orderkey", "l_partkey").distinct()
+    pairs = pr.alias("a").join(
+        pr.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+    )
+    edges = graph.undirected_edges(pairs, "pa", "pb")
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    ).transform(scoped_cache)
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    pts = hist.filter(F.col("d") > 0).select(
+        F.log(F.col("d").cast("double")).alias("x"), F.log("cnt").alias("y")
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    meta = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.max("d").cast("bigint").alias("max_degree"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return meta.crossJoin(F.broadcast(s)).select(
+        "n_nodes",
+        "max_degree",
+        F.round(num / den, 4).alias("loglog_slope"),
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
