@@ -68,7 +68,9 @@ SF0001 = "/root/testdata/sf0.001"
 # hll_intersection_estimate_gate, empirical_resample_stats,
 # decayed_part_popularity, largest_remainder_allocation,
 # clamped_running_inventory, event_type_runs,
-# discount_qty_corr_by_brand, degree_distribution_slope; compression_ratio_quality is rows-only by
+# discount_qty_corr_by_brand, degree_distribution_slope,
+# cohort_ltv_curves, seasonal_naive_backtest,
+# cuped_variance_reduction; compression_ratio_quality is rows-only by
 # design, zlib is not SQL-expressible) — all sf0.01 oracle-verified
 # green when written.
 _SAMPLE_FIRST = [

@@ -239,6 +239,10 @@ BENCH_QUERIES = [
     # round-4 wave 37: RLE + grouped corr + degree shape
     "event_type_runs",
     "degree_distribution_slope",
+    # round-4 wave 38: LTV + backtest + CUPED
+    "cohort_ltv_curves",
+    "seasonal_naive_backtest",
+    "cuped_variance_reduction",
 ]
 
 

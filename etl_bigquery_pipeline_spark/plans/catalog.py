@@ -12254,6 +12254,211 @@ def degree_distribution_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 38 — cohort LTV, forecast backtest, CUPED
+# ===================================================================
+
+_LTV_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('month', MIN(ts)) AS DATE) AS cohort
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+rev AS (
+  SELECT f.cohort,
+         CAST(datediff('month', f.cohort,
+                       CAST(date_trunc('month', e.ts) AS DATE)) AS BIGINT)
+           AS month_age,
+         CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS v
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+  GROUP BY 1, 2),
+size_ AS (SELECT cohort, COUNT(*) AS n_users FROM first_seen GROUP BY cohort),
+cum AS (
+  SELECT r.cohort, r.month_age,
+         SUM(r.v) OVER (PARTITION BY r.cohort ORDER BY r.month_age
+                        ROWS UNBOUNDED PRECEDING) AS cum_v
+  FROM rev r)
+SELECT c.cohort, c.month_age, CAST(s.n_users AS BIGINT) AS n_users,
+       round(c.cum_v / s.n_users, 4) AS cum_value_per_user
+FROM cum c JOIN size_ s ON c.cohort = s.cohort
+"""
+
+
+@query("cohort_ltv_curves", _LTV_ORACLE)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves (the revenue companion to retention_cohorts:
+    how much cumulative value per user has each signup cohort produced
+    by month-age N?): first-seen month assigns cohorts, monthly value
+    aggregates per (cohort, age), and a cohort-keyed running sum builds
+    the curve — every window is calendar-bounded, the user-level work is
+    two groupBys."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).cast("date").alias("cohort")
+    ).transform(scoped_cache)
+    rev = (
+        e.join(first_seen, "user_id")
+        .groupBy(
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", "ts").cast("date"), F.col("cohort")
+            )
+            .cast("bigint")
+            .alias("month_age"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("v"))
+    )
+    size = first_seen.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w = Window.partitionBy("cohort").orderBy("month_age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rev.withColumn("cum_v", F.sum("v").over(w))
+    return cum.join(F.broadcast(size), "cohort").select(
+        "cohort",
+        "month_age",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.round(F.col("cum_v") / F.col("n_users"), 4).alias(
+            "cum_value_per_user"
+        ),
+    )
+
+
+_BACKTEST_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1),
+p AS (
+  SELECT day, rev,
+         lag(rev, 7) OVER (ORDER BY day) AS pred
+  FROM daily)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+       round(AVG(abs(rev - pred)), 2) AS mae,
+       round(AVG(abs(rev - pred) / rev), 6) AS mape,
+       round(sqrt(AVG(pow(rev - pred, 2))), 2) AS rmse
+FROM p WHERE pred IS NOT NULL
+"""
+
+
+@query("seasonal_naive_backtest", _BACKTEST_ORACLE)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality floor (any model must beat this or it is
+    worthless): the seasonal-naive predictor — tomorrow looks like the
+    same weekday last week (lag 7 on the daily aggregate) — scored with
+    MAE/MAPE/RMSE. The backtest IS a query: no fitting, one
+    calendar-bounded window, three error aggregates. The baseline every
+    forecasting deliverable should be benchmarked against and rarely
+    is."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w = Window.orderBy("day")
+    p = daily.withColumn("pred", F.lag("rev", 7).over(w)).filter(
+        F.col("pred").isNotNull()
+    )
+    err = F.abs(F.col("rev") - F.col("pred"))
+    return p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
+        F.round(F.avg(err), 2).alias("mae"),
+        F.round(F.avg(err / F.col("rev")), 6).alias("mape"),
+        F.round(F.sqrt(F.avg(F.pow(F.col("rev") - F.col("pred"), 2))), 2).alias(
+            "rmse"
+        ),
+    )
+
+
+_CUPED_ORACLE = """
+WITH span AS (
+  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid_us FROM events),
+u AS (
+  SELECT e.user_id,
+         CAST(SUM(CASE WHEN epoch_us(e.ts) < span.mid_us
+                       THEN CAST(e.value AS DECIMAL(18,4))
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS pre,
+         CAST(SUM(CASE WHEN epoch_us(e.ts) >= span.mid_us
+                       THEN CAST(e.value AS DECIMAL(18,4))
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS post
+  FROM events e CROSS JOIN span
+  WHERE e.user_id IS NOT NULL
+  GROUP BY e.user_id),
+s AS (
+  SELECT COUNT(*) AS n, covar_samp(pre, post) AS cov,
+         var_samp(pre) AS vpre, var_samp(post) AS vpost, AVG(pre) AS mpre
+  FROM u),
+adj AS (
+  SELECT var_samp(u.post - (s.cov / s.vpre) * (u.pre - s.mpre)) AS vadj
+  FROM u CROSS JOIN s)
+SELECT CAST(s.n AS BIGINT) AS n_users,
+       round(s.cov / s.vpre, 6) AS theta,
+       round(s.vpost, 4) AS var_post,
+       round(adj.vadj, 4) AS var_adjusted,
+       round(1.0 - adj.vadj / s.vpost, 6) AS variance_reduction
+FROM s CROSS JOIN adj
+"""
+
+
+@query("cuped_variance_reduction", _CUPED_ORACLE)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (public A/B-testing technique: regress the experiment
+    metric on a pre-period covariate and analyze the residual — same
+    mean, less variance, smaller sample sizes): per-user pre/post value
+    from the data's own midpoint, theta = cov/var(pre) from one
+    5-scalar aggregate, and the adjusted metric's variance measured in
+    a second pass. The reported variance_reduction is the fraction of
+    experiment noise the covariate explains — the number that justifies
+    deploying CUPED at all."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    span = e.agg(
+        F.floor(
+            (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2
+        )
+        .cast("bigint")
+        .alias("mid_us")
+    )
+    j = e.crossJoin(F.broadcast(span))
+    pre_case = F.when(
+        F.unix_micros("ts") < F.col("mid_us"),
+        F.col("value").cast("decimal(18,4)"),
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    post_case = F.when(
+        F.unix_micros("ts") >= F.col("mid_us"),
+        F.col("value").cast("decimal(18,4)"),
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    u = j.groupBy("user_id").agg(
+        F.sum(pre_case).cast("double").alias("pre"),
+        F.sum(post_case).cast("double").alias("post"),
+    ).transform(scoped_cache)
+    s = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.covar_samp("pre", "post").alias("cov"),
+        F.var_samp("pre").alias("vpre"),
+        F.var_samp("post").alias("vpost"),
+        F.avg("pre").alias("mpre"),
+    )
+    adj = (
+        u.crossJoin(F.broadcast(s))
+        .select(
+            (
+                F.col("post")
+                - (F.col("cov") / F.col("vpre")) * (F.col("pre") - F.col("mpre"))
+            ).alias("a")
+        )
+        .agg(F.var_samp("a").alias("vadj"))
+    )
+    return s.crossJoin(F.broadcast(adj)).select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(F.col("cov") / F.col("vpre"), 6).alias("theta"),
+        F.round("vpost", 4).alias("var_post"),
+        F.round("vadj", 4).alias("var_adjusted"),
+        F.round(1.0 - F.col("vadj") / F.col("vpost"), 6).alias(
+            "variance_reduction"
+        ),
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
