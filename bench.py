@@ -243,6 +243,9 @@ BENCH_QUERIES = [
     "cohort_ltv_curves",
     "seasonal_naive_backtest",
     "cuped_variance_reduction",
+    # round-4 wave 39: experimentation ops
+    "srm_assignment_check",
+    "linear_attribution",
 ]
 
 

@@ -12459,6 +12459,137 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 39 — SRM assignment check, linear attribution
+# ===================================================================
+
+_SRM_ORACLE = f"""
+WITH u AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+a AS (
+  SELECT user_id,
+         ({_hex8_to_int("substring(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 8)")}) % 2
+           AS arm
+  FROM u),
+c AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1
+  FROM a)
+SELECT CAST(n0 AS BIGINT) AS arm_a,
+       CAST(n1 AS BIGINT) AS arm_b,
+       round(pow(n0 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2)
+             + pow(n1 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2), 6) AS chi2,
+       (pow(n0 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2)
+        + pow(n1 - (n0 + n1) / 2, 2) / ((n0 + n1) / 2)) < 3.84
+         AS assignment_healthy
+FROM c
+"""
+
+
+@query("srm_assignment_check", _SRM_ORACLE)
+def srm_assignment_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check (the first gate on ANY experiment
+    readout: if the 50/50 split isn't 50/50, every downstream metric is
+    suspect): users assigned by salted md5 parity — the deterministic
+    assignment a real experiment platform uses, replayable by the
+    oracle — and the observed counts chi-square-tested against the
+    expected split (3.84 = chi2 0.95 critical value at 1 df). One
+    distinct + one 2-scalar aggregate."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = e.select("user_id").distinct()
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    c = u.select(arm.alias("arm")).agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+    )
+    exp = (F.col("n0") + F.col("n1")) / 2
+    chi2 = (
+        F.pow(F.col("n0") - exp, 2) / exp + F.pow(F.col("n1") - exp, 2) / exp
+    )
+    return c.select(
+        F.col("n0").cast("bigint").alias("arm_a"),
+        F.col("n1").cast("bigint").alias("arm_b"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 < 3.84).alias("assignment_healthy"),
+    )
+
+
+_LINEAR_ATTR_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+touch AS (
+  SELECT e.user_id, p.p_id, e.event_type, e.event_id
+  FROM events e JOIN p
+    ON e.user_id = p.user_id
+   AND e.ts < p.p_ts
+   AND e.ts >= p.p_ts - INTERVAL '24 hours'
+  WHERE e.event_type <> 'purchase'),
+n AS (
+  SELECT p_id, COUNT(*) AS n_touches FROM touch GROUP BY p_id),
+credit AS (
+  SELECT t.event_type, 1.0 / n.n_touches AS c
+  FROM touch t JOIN n ON t.p_id = n.p_id)
+SELECT event_type,
+       round(SUM(c), 4) AS attributed_purchases,
+       CAST(COUNT(*) AS BIGINT) AS n_touchpoints
+FROM credit GROUP BY event_type
+"""
+
+
+@query("linear_attribution", _LINEAR_ATTR_ORACLE)
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (the fairness upgrade over
+    first_touch_attribution: every touchpoint in the 24h window before
+    a purchase shares the credit equally, so credit sums to exactly one
+    per purchase): a time-bounded self-join builds the
+    (touch, purchase) pairs — the same range-join shape as
+    signup-followups, bounded on both ends so state never grows — and
+    the per-purchase touch count normalizes the credit. The column to
+    check is attributed_purchases: its total equals the number of
+    purchases with >= 1 touch, by construction."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    touch = (
+        e.filter(F.col("event_type") != "purchase")
+        .join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("ts") < F.col("p_ts"))
+            & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+        )
+        .select("p_id", "event_type")
+        .transform(scoped_cache)
+    )
+    n = touch.groupBy("p_id").agg(F.count(F.lit(1)).alias("n_touches"))
+    credit = touch.join(n, "p_id").select(
+        "event_type", (F.lit(1.0) / F.col("n_touches")).alias("c")
+    )
+    return credit.groupBy("event_type").agg(
+        F.round(F.sum("c"), 4).alias("attributed_purchases"),
+        F.count(F.lit(1)).cast("bigint").alias("n_touchpoints"),
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
