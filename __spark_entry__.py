@@ -70,7 +70,8 @@ SF0001 = "/root/testdata/sf0.001"
 # clamped_running_inventory, event_type_runs,
 # discount_qty_corr_by_brand, degree_distribution_slope,
 # cohort_ltv_curves, seasonal_naive_backtest,
-# cuped_variance_reduction, srm_assignment_check, linear_attribution; compression_ratio_quality is rows-only by
+# cuped_variance_reduction, srm_assignment_check, linear_attribution,
+# revenue_bridge_decomposition; compression_ratio_quality is rows-only by
 # design, zlib is not SQL-expressible) — all sf0.01 oracle-verified
 # green when written.
 _SAMPLE_FIRST = [

@@ -246,6 +246,8 @@ BENCH_QUERIES = [
     # round-4 wave 39: experimentation ops
     "srm_assignment_check",
     "linear_attribution",
+    # round-4 wave 40: BI decomposition
+    "revenue_bridge_decomposition",
 ]
 
 

@@ -12590,6 +12590,102 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 40 — price/volume revenue bridge
+# ===================================================================
+
+_BRIDGE_ORACLE = """
+WITH mid AS (
+  SELECT (epoch_us(MIN(l_shipdate)) + epoch_us(MAX(l_shipdate))) // 2 AS m
+  FROM lineitem),
+per AS (
+  SELECT p.p_brand,
+         CASE WHEN epoch_us(li.l_shipdate) < mid.m THEN 0 ELSE 1 END AS period,
+         CAST(SUM(CAST(li.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+         CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+  FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
+  CROSS JOIN mid
+  GROUP BY 1, 2),
+j AS (
+  SELECT a.p_brand,
+         a.qty AS q0, a.rev AS r0, a.rev / a.qty AS p0,
+         b.qty AS q1, b.rev AS r1, b.rev / b.qty AS p1
+  FROM per a JOIN per b
+    ON a.p_brand = b.p_brand AND a.period = 0 AND b.period = 1)
+SELECT p_brand,
+       round(r1 - r0, 2) AS delta_rev,
+       round((q1 - q0) * p0, 2) AS volume_effect,
+       round(q0 * (p1 - p0), 2) AS price_effect,
+       round((q1 - q0) * (p1 - p0), 2) AS mix_effect
+FROM j
+"""
+
+
+@query("revenue_bridge_decomposition", _BRIDGE_ORACLE)
+def revenue_bridge_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume bridge (the 'WHY did revenue change?' decomposition
+    every business review runs): between the data's two half-periods,
+    per brand, delta revenue splits exactly into volume effect
+    ((q1-q0) x p0), price effect (q0 x (p1-p0)), and the interaction
+    mix term — the three sum to delta_rev by algebra, so the bridge is
+    self-auditing. One star-join scan into a (brand, period) aggregate;
+    the decomposition is a projection over the self-joined periods."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    mid = li.agg(
+        F.floor(
+            (F.unix_micros(F.min("l_shipdate")) + F.unix_micros(F.max("l_shipdate")))
+            / 2
+        )
+        .cast("bigint")
+        .alias("m")
+    )
+    per = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .crossJoin(F.broadcast(mid))
+        .groupBy(
+            "p_brand",
+            F.when(F.unix_micros("l_shipdate") < F.col("m"), 0)
+            .otherwise(1)
+            .alias("period"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("rev"),
+        )
+        .transform(scoped_cache)
+    )
+    a = per.filter(F.col("period") == 0).select(
+        "p_brand",
+        F.col("qty").alias("q0"),
+        F.col("rev").alias("r0"),
+        (F.col("rev") / F.col("qty")).alias("p0"),
+    )
+    b = per.filter(F.col("period") == 1).select(
+        "p_brand",
+        F.col("qty").alias("q1"),
+        F.col("rev").alias("r1"),
+        (F.col("rev") / F.col("qty")).alias("p1"),
+    )
+    return a.join(b, "p_brand").select(
+        "p_brand",
+        F.round(F.col("r1") - F.col("r0"), 2).alias("delta_rev"),
+        F.round((F.col("q1") - F.col("q0")) * F.col("p0"), 2).alias(
+            "volume_effect"
+        ),
+        F.round(F.col("q0") * (F.col("p1") - F.col("p0")), 2).alias(
+            "price_effect"
+        ),
+        F.round(
+            (F.col("q1") - F.col("q0")) * (F.col("p1") - F.col("p0")), 2
+        ).alias("mix_effect"),
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
