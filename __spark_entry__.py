@@ -71,7 +71,8 @@ SF0001 = "/root/testdata/sf0.001"
 # discount_qty_corr_by_brand, degree_distribution_slope,
 # cohort_ltv_curves, seasonal_naive_backtest,
 # cuped_variance_reduction, srm_assignment_check, linear_attribution,
-# revenue_bridge_decomposition; compression_ratio_quality is rows-only by
+# revenue_bridge_decomposition, salted_agg_parity,
+# markup_density_stats; compression_ratio_quality is rows-only by
 # design, zlib is not SQL-expressible) — all sf0.01 oracle-verified
 # green when written.
 _SAMPLE_FIRST = [

@@ -248,6 +248,9 @@ BENCH_QUERIES = [
     "linear_attribution",
     # round-4 wave 40: BI decomposition
     "revenue_bridge_decomposition",
+    # round-4 wave 41: skew-safe aggregation + text routing
+    "salted_agg_parity",
+    "markup_density_stats",
 ]
 
 

@@ -12686,6 +12686,88 @@ def revenue_bridge_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 41 — salted two-phase aggregation, markup density
+# ===================================================================
+
+_SALTED_AGG_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@query("salted_agg_parity", _SALTED_AGG_ORACLE)
+def salted_agg_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation (the groupBy twin of salted_join —
+    when one key owns a third of the rows, pre-aggregating under
+    (key, salt) spreads the hot key over N reducers, and a second
+    groupBy folds the partials): count and decimal-exact sum are both
+    algebraic, so the salted result is IDENTICAL to the direct groupBy
+    — which is exactly what the oracle checks. Spark's map-side partial
+    aggregation already gives much of this for free; explicit salting
+    is the insurance when partials can't combine (high-cardinality
+    intermediates, exact distincts) — this query pins the algebra."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(16)).alias("__salt")
+    partial = e.groupBy("user_id", salt).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("ps"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").cast("bigint").alias("n_events"),
+        F.sum("ps").cast("double").alias("value_sum"),
+    )
+
+
+_MARKUP_ORACLE = """
+WITH m AS (
+  SELECT source,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(text, '[^\\[\\](){}<>]', '', 'g'))
+              AS DOUBLE) AS n_brackets,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           AS n_digits,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+           AS n_upper
+  FROM documents WHERE length(text) > 0)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(AVG(n_brackets / n_chars), 6) AS bracket_density,
+       round(AVG(n_digits / n_chars), 6) AS digit_density,
+       round(AVG(n_upper / n_chars), 6) AS upper_density
+FROM m GROUP BY source
+"""
+
+
+@query("markup_density_stats", _MARKUP_ORACLE)
+def markup_density_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class densities (the cheap code-vs-prose /
+    table-vs-text discriminators: brackets, digits, uppercase — the
+    features a corpus router uses before spending tokenizer time):
+    regexp strip-and-measure per class, one scan, per-source averages.
+    Pure JVM regex, zero shuffle before the per-source rollup."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n = F.length("text").cast("double")
+    dens = lambda pat: (  # noqa: E731
+        F.length(F.regexp_replace("text", pat, "")).cast("double") / n
+    )
+    m = d.select(
+        "source",
+        dens(r"[^\[\](){}<>]").alias("b"),
+        dens(r"[^0-9]").alias("g"),
+        dens(r"[^A-Z]").alias("u"),
+    )
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("b"), 6).alias("bracket_density"),
+        F.round(F.avg("g"), 6).alias("digit_density"),
+        F.round(F.avg("u"), 6).alias("upper_density"),
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
