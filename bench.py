@@ -251,6 +251,9 @@ BENCH_QUERIES = [
     # round-4 wave 41: skew-safe aggregation + text routing
     "salted_agg_parity",
     "markup_density_stats",
+    # round-4 wave 42: grouped models + rank normalization
+    "price_size_slope_by_brand",
+    "quantile_transform_uniformity_gate",
 ]
 
 

@@ -12768,6 +12768,110 @@ def markup_density_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 42 — grouped OLS, quantile-transform uniformity
+# ===================================================================
+
+_GROUPED_OLS_ORACLE = """
+WITH s AS (
+  SELECT p_brand, COUNT(*) AS n,
+         SUM(CAST(p_size AS DOUBLE)) AS sx,
+         SUM(p_retailprice) AS sy,
+         SUM(CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE)) AS sxx,
+         SUM(CAST(p_size AS DOUBLE) * p_retailprice) AS sxy
+  FROM part GROUP BY p_brand)
+SELECT p_brand, CAST(n AS BIGINT) AS n_parts,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS size_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+         AS intercept
+FROM s WHERE n * sxx - sx * sx <> 0
+"""
+
+
+@query("price_size_slope_by_brand", _GROUPED_OLS_ORACLE)
+def price_size_slope_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED closed-form OLS (one regression per brand in a single
+    aggregate — the 'fit thousands of tiny models' shape that a
+    per-group sklearn loop gets catastrophically wrong at scale): the
+    five sufficient statistics per group, slope and intercept as
+    projections. Whether price rises with size is answered for every
+    brand in one shuffle; groups with degenerate variance drop out via
+    the denominator guard."""
+    p = _t(spark, sf_dir, "part")
+    x = F.col("p_size").cast("double")
+    y = F.col("p_retailprice")
+    s = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.filter(den != 0).select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n_parts"),
+        F.round(num / den, 6).alias("size_slope"),
+        F.round((F.col("sy") - num / den * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    )
+
+
+_QT_ORACLE = """
+WITH r AS (
+  SELECT c_acctbal,
+         CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) - 1 AS DOUBLE)
+           / (SELECT COUNT(*) - 1 FROM customer) AS u
+  FROM customer),
+h AS (
+  SELECT CAST(least(floor(u * 10), 9) AS BIGINT) AS decile,
+         COUNT(*) AS n
+  FROM r GROUP BY 1),
+t AS (SELECT SUM(n) AS total, COUNT(*) AS k FROM h)
+SELECT CAST(t.k AS BIGINT) AS n_deciles,
+       CAST(MIN(h.n) AS BIGINT) AS min_bucket,
+       CAST(MAX(h.n) AS BIGINT) AS max_bucket,
+       MAX(h.n) - MIN(h.n) <= 2 AS uniform
+FROM h CROSS JOIN t GROUP BY t.k
+"""
+
+
+@query("quantile_transform_uniformity_gate", _QT_ORACLE)
+def quantile_transform_uniformity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile transform (map any column to uniform [0,1] by its own
+    ECDF — the rank-based normalization robust to every outlier a
+    z-score is not) with its defining property as the gate: the
+    transformed deciles are uniform to within rounding (bucket sizes
+    differ by at most 2 — ties and integer division, not noise). Ranks
+    come from the distributed global numbering, never a
+    single-partition window."""
+    c = _t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    ranked, total = windows.with_global_row_number(
+        c, ["c_acctbal", "c_custkey"], rn_col="__rn"
+    )
+    u = ranked.select(
+        ((F.col("__rn") - 1).cast("double") / (total - 1)).alias("u")
+    )
+    h = u.groupBy(
+        F.least(F.floor(F.col("u") * 10), F.lit(9)).cast("bigint").alias(
+            "decile"
+        )
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = h.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("k"))
+    return h.crossJoin(F.broadcast(t)).groupBy(F.col("k")).agg(
+        F.min("n").cast("bigint").alias("min_bucket"),
+        F.max("n").cast("bigint").alias("max_bucket"),
+        ((F.max("n") - F.min("n")) <= 2).alias("uniform"),
+    ).select(
+        F.col("k").cast("bigint").alias("n_deciles"),
+        "min_bucket",
+        "max_bucket",
+        "uniform",
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
