@@ -73,7 +73,8 @@ SF0001 = "/root/testdata/sf0.001"
 # cuped_variance_reduction, srm_assignment_check, linear_attribution,
 # revenue_bridge_decomposition, salted_agg_parity,
 # markup_density_stats, price_size_slope_by_brand,
-# quantile_transform_uniformity_gate; compression_ratio_quality is rows-only by
+# quantile_transform_uniformity_gate, ngram_novelty_scores,
+# token_budget_coverage; compression_ratio_quality is rows-only by
 # design, zlib is not SQL-expressible) — all sf0.01 oracle-verified
 # green when written.
 _SAMPLE_FIRST = [

@@ -254,6 +254,9 @@ BENCH_QUERIES = [
     # round-4 wave 42: grouped models + rank normalization
     "price_size_slope_by_brand",
     "quantile_transform_uniformity_gate",
+    # round-4 wave 43: novelty + budget planning
+    "ngram_novelty_scores",
+    "token_budget_coverage",
 ]
 
 

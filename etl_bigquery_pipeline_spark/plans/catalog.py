@@ -12872,6 +12872,127 @@ def quantile_transform_uniformity_gate(spark: SparkSession, sf_dir: str) -> Data
 
 
 # ===================================================================
+# Round-4 wave 43 — n-gram novelty, token-budget coverage
+# ===================================================================
+
+_NOVELTY_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(tk) - 2, 1))])
+           AS grams
+  FROM t),
+ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+df AS (SELECT g, COUNT(DISTINCT doc_id) AS d FROM ex GROUP BY g),
+m AS (
+  SELECT ex.doc_id,
+         COUNT(*) AS n_grams,
+         COUNT(*) FILTER (WHERE df.d = 1) AS unique_grams
+  FROM ex JOIN df ON ex.g = df.g
+  GROUP BY ex.doc_id)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       round(CAST(unique_grams AS DOUBLE) / n_grams, 6) AS novelty
+FROM m
+"""
+
+
+@query("ngram_novelty_scores", _NOVELTY_ORACLE)
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty (the informativeness signal dual to the
+    boilerplate ratio: what fraction of a document's 3-grams appear
+    NOWHERE else in the corpus?): shingle-set explode, corpus document
+    frequency per gram, per-doc unique fraction. The shuffle carries
+    (gram-string, doc_id) — the standard shingle economy; high-novelty
+    docs are the corpus's unique content, low-novelty ones are
+    recombinations. Complements duplicate_ngram_spans (which hunts the
+    SHARED side of the same distribution)."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", TX.tokens("text").alias("__tk")
+    ).select(
+        "doc_id",
+        F.array_distinct(TX.shingles_of(F.col("__tk"), 3)).alias("__grams"),
+    )
+    ex = sh.select("doc_id", F.explode("__grams").alias("g")).transform(
+        scoped_cache
+    )
+    df = ex.groupBy("g").agg(F.countDistinct("doc_id").alias("d"))
+    m = (
+        ex.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count_if(F.col("d") == 1).alias("unique_grams"),
+        )
+    )
+    return m.select(
+        "doc_id",
+        "n_grams",
+        F.round(
+            F.col("unique_grams").cast("double") / F.col("n_grams"), 6
+        ).alias("novelty"),
+    )
+
+
+_BUDGET_ORACLE = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           AS tok
+  FROM documents),
+o AS (
+  SELECT doc_id, tok,
+         SUM(tok) OVER (ORDER BY n_chars DESC, doc_id ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT CAST(COUNT(*) FILTER (WHERE cum <= 10000) AS BIGINT)
+         AS docs_in_budget,
+       CAST(coalesce(SUM(tok) FILTER (WHERE cum <= 10000), 0) AS BIGINT)
+         AS tokens_used,
+       round(CAST(coalesce(SUM(tok) FILTER (WHERE cum <= 10000), 0)
+                  AS DOUBLE) / SUM(tok), 6) AS corpus_fraction
+FROM o
+"""
+
+
+@query("token_budget_coverage", _BUDGET_ORACLE)
+def token_budget_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget coverage (the planning question before a training
+    run: ordering docs by priority, how many fit a 10k-token budget and
+    what corpus fraction is that?): a running token sum over the
+    priority order (length-desc here; any score column slots in), the
+    budget crossing read off with filtered aggregates. The running sum
+    goes through the distributed range-partition machinery
+    (windows.with_global_running_sums) — priority order at corpus scale
+    is a range sort, not a single-partition window."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "n_chars", TX.token_count("text").alias("tok")
+    )
+    r = windows.with_global_running_sums(
+        t, [F.col("n_chars").desc(), F.col("doc_id").asc()], ["tok"]
+    )
+    in_b = F.col("cum_tok") <= 10000
+    return r.agg(
+        F.count_if(in_b).cast("bigint").alias("docs_in_budget"),
+        F.coalesce(F.sum(F.when(in_b, F.col("tok"))), F.lit(0))
+        .cast("bigint")
+        .alias("tokens_used"),
+        F.round(
+            F.coalesce(F.sum(F.when(in_b, F.col("tok"))), F.lit(0)).cast(
+                "double"
+            )
+            / F.sum("tok"),
+            6,
+        ).alias("corpus_fraction"),
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
