@@ -257,6 +257,8 @@ BENCH_QUERIES = [
     # round-4 wave 43: novelty + budget planning
     "ngram_novelty_scores",
     "token_budget_coverage",
+    # round-4 wave 44: IR eval metrics
+    "ann_mrr_ndcg_eval",
 ]
 
 

@@ -12993,6 +12993,128 @@ def token_budget_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 44 — IR evaluation metrics (MRR / NDCG) for the
+# truncated-dim ranking
+# ===================================================================
+
+_MRR_NDCG_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+ex AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY {_cosine_sql("qv", "cv")} DESC, neighbor_id ASC)
+           AS ex_rank
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+ap AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY {_cosine_sql_dims("qv", "cv", 16)} DESC,
+                    neighbor_id ASC) AS ap_rank
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+j AS (
+  SELECT ap.query_id, ap.ap_rank, ex.ex_rank
+  FROM ap JOIN ex ON ap.query_id = ex.query_id
+                 AND ap.neighbor_id = ex.neighbor_id
+  WHERE ap.ap_rank <= 10),
+mrr AS (
+  SELECT query_id,
+         coalesce(MAX(CASE WHEN ex_rank = 1 THEN 1.0 / ap_rank END), 0.0)
+           AS rr
+  FROM j GROUP BY query_id),
+dcg AS (
+  SELECT query_id,
+         SUM(CASE WHEN ex_rank <= 10
+                  THEN (11.0 - ex_rank) / (ln(ap_rank + 1) / ln(2))
+                  ELSE 0 END) AS dcg
+  FROM j GROUP BY query_id),
+idcg AS (
+  SELECT SUM((11.0 - i) / (ln(i + 1) / ln(2))) AS v
+  FROM generate_series(1, 10) AS g(i))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       round(AVG(mrr.rr), 6) AS mrr,
+       round(AVG(dcg.dcg / idcg.v), 6) AS ndcg_at_10
+FROM mrr JOIN dcg ON mrr.query_id = dcg.query_id CROSS JOIN idcg
+"""
+
+
+@query("ann_mrr_ndcg_eval", _MRR_NDCG_ORACLE)
+def ann_mrr_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR-standard ranking evaluation for the truncated-dim ANN path:
+    MRR (where does the exact top-1 neighbor land in the approximate
+    ranking?) and NDCG@10 (graded relevance = 11 - exact rank,
+    log-discounted by approximate position) — the metrics that say
+    whether a cheaper ranking is good enough to SHOW, where recall
+    gates only say whether it is good enough to PREFILTER. Both exact
+    and 16-dim-prefix rankings come from the same broadcast-probe scan
+    shape; everything after is joins over (query, neighbor, rank)
+    triples."""
+    from etl_bigquery_pipeline_spark.operators import similarity
+    from etl_bigquery_pipeline_spark.functions.vectors import dot, norm
+
+    emb = _t(spark, sf_dir, "embeddings").transform(scoped_cache)
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+
+    def ranking(vec_slice_dims):
+        if vec_slice_dims is None:
+            qv, cv = F.col("__qv"), F.col("__cv")
+        else:
+            qv = F.slice(F.col("__qv"), 1, vec_slice_dims)
+            cv = F.slice(F.col("__cv"), 1, vec_slice_dims)
+        q = probes.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("__qv"),
+        )
+        c = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").cast("array<double>").alias("__cv"),
+        )
+        sim = F.round(
+            F.try_divide(dot(qv, cv), norm(qv) * norm(cv)), 6
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            sim.desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id", "neighbor_id", F.row_number().over(w).alias("rk")
+            )
+        )
+
+    ex = ranking(None).withColumnRenamed("rk", "ex_rank")
+    ap = ranking(16).withColumnRenamed("rk", "ap_rank").filter(
+        F.col("ap_rank") <= 10
+    )
+    j = ap.join(ex, ["query_id", "neighbor_id"]).transform(scoped_cache)
+    mrr = j.groupBy("query_id").agg(
+        F.coalesce(
+            F.max(F.when(F.col("ex_rank") == 1, 1.0 / F.col("ap_rank"))),
+            F.lit(0.0),
+        ).alias("rr")
+    )
+    dcg = j.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                F.col("ex_rank") <= 10,
+                (11.0 - F.col("ex_rank"))
+                / (F.log(F.col("ap_rank") + 1) / F.log(F.lit(2.0))),
+            ).otherwise(0.0)
+        ).alias("dcg")
+    )
+    idcg = sum((11.0 - i) / (__import__("math").log2(i + 1)) for i in range(1, 11))
+    return (
+        mrr.join(dcg, "query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.round(F.avg("rr"), 6).alias("mrr"),
+            F.round(F.avg(F.col("dcg") / F.lit(idcg)), 6).alias("ndcg_at_10"),
+        )
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
