@@ -74,7 +74,8 @@ SF0001 = "/root/testdata/sf0.001"
 # revenue_bridge_decomposition, salted_agg_parity,
 # markup_density_stats, price_size_slope_by_brand,
 # quantile_transform_uniformity_gate, ngram_novelty_scores,
-# token_budget_coverage, ann_mrr_ndcg_eval; compression_ratio_quality is rows-only by
+# token_budget_coverage, ann_mrr_ndcg_eval, events_heatmap_dow_hour,
+# orders_aging_buckets; compression_ratio_quality is rows-only by
 # design, zlib is not SQL-expressible) — all sf0.01 oracle-verified
 # green when written.
 _SAMPLE_FIRST = [

@@ -259,6 +259,9 @@ BENCH_QUERIES = [
     "token_budget_coverage",
     # round-4 wave 44: IR eval metrics
     "ann_mrr_ndcg_eval",
+    # round-4 wave 45: dashboard staples
+    "events_heatmap_dow_hour",
+    "orders_aging_buckets",
 ]
 
 

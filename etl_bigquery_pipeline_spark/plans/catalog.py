@@ -13115,6 +13115,91 @@ def ann_mrr_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===================================================================
+# Round-4 wave 45 — dow/hour heatmap, aging buckets
+# ===================================================================
+
+_DOW_HOUR_ORACLE = """
+SELECT CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS iso_dow,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(AVG(CAST(value AS DOUBLE)), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("events_heatmap_dow_hour", _DOW_HOUR_ORACLE)
+def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 7x24 activity heatmap (when is traffic actually happening —
+    the capacity-planning and anomaly-baseline view): ISO weekday x
+    hour cells from one scan, at most 168 groups at any event volume so
+    the shuffle is partial-aggregate states only. Spark's dayofweek is
+    Sunday=1; normalized to ISO Monday=1 to match the calendar
+    dimension's convention."""
+    e = _t(spark, sf_dir, "events")
+    iso_dow = ((F.dayofweek("ts") + 5) % 7 + 1).cast("bigint")
+    return (
+        e.groupBy(
+            iso_dow.alias("iso_dow"),
+            F.hour("ts").cast("bigint").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.avg(F.col("value").cast("double")), 4).alias("avg_value"),
+        )
+    )
+
+
+_AGING_ORACLE = """
+WITH now_ AS (SELECT MAX(o_orderdate) AS n FROM orders),
+a AS (
+  SELECT CASE
+           WHEN datediff('day', CAST(o_orderdate AS DATE),
+                         CAST(now_.n AS DATE)) <= 30 THEN '00-30d'
+           WHEN datediff('day', CAST(o_orderdate AS DATE),
+                         CAST(now_.n AS DATE)) <= 90 THEN '31-90d'
+           WHEN datediff('day', CAST(o_orderdate AS DATE),
+                         CAST(now_.n AS DATE)) <= 365 THEN '91-365d'
+           ELSE '365d+' END AS bucket,
+         o_totalprice
+  FROM orders CROSS JOIN now_)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_value
+FROM a GROUP BY bucket
+"""
+
+
+@query("orders_aging_buckets", _AGING_ORACLE)
+def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aging report (receivables/backlog style): orders bucketed by age
+    against the data's own horizon — the reproducible stand-in for
+    'today' — with counts and exact-decimal value per band. One scan,
+    four groups; the CASE ladder is the same fixed-threshold device as
+    length_bucket_batches (deterministic cross-engine, unlike float
+    log-bucketing)."""
+    o = _t(spark, sf_dir, "orders")
+    now_ = o.agg(F.max("o_orderdate").alias("n"))
+    age = F.datediff(
+        F.col("n").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    bucket = (
+        F.when(age <= 30, "00-30d")
+        .when(age <= 90, "31-90d")
+        .when(age <= 365, "91-365d")
+        .otherwise("365d+")
+    )
+    return (
+        o.crossJoin(F.broadcast(now_))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            exact_sum("o_totalprice").alias("total_value"),
+        )
+    )
+
+
+# ===================================================================
 # Registration order for the driver's correctness sweep
 # ===================================================================
 # The driver's per-round sweep walks ``queries()`` in registration order
