@@ -19,128 +19,149 @@ from etl_bigquery_pipeline_spark.plans import catalog
 
 SF0001 = "/root/testdata/sf0.001"
 
-# The driver samples the first N registered queries per round. Queries that
-# do not yet have a green CORRECTNESS row in any prior round are listed here
-# so they are sampled first; everything else follows in catalog order.
+# The driver samples the first N registered queries per round (50 in
+# recent rounds). _SAMPLE_FIRST is rebuilt each round from the set of
+# oracled catalog queries that do NOT yet have a green CORRECTNESS row
+# in any prior round (cumulative r01-r04: 145 green). Rows-only queries
+# (compression_ratio_quality, pq_cosine_topk, ivf_cosine_topk,
+# approx_distinct_orders, lsh_cosine_topk) are EXCLUDED -- they have no
+# oracle_sql entry and can never produce a green row; their oracled
+# recall/error gates are in the list or already green.
 #
-# ROUND-5 NOTE: after CORRECTNESS_r04 lands, rebuild this list from the
-# still-uncovered set. Expected stragglers: the ~10 names past r04's
-# 50-sample window (embedding_norm_outliers .. lsh_cosine_topk below)
-# plus the late-round-4 additions (logreg_*, bloom_pruned_join_parity,
-# truncated_dim_*, top_bpe_merge_pairs, bpe_vocab_merges,
-# bpe_token_counts, ks_two_sample_acctbal, daily_revenue_autocorr,
-# copurchase_triangles, copurchase_pagerank_top20,
-# copurchase_components, mannwhitney_u_acctbal, and the wave 5-6
-# additions: unigram_xent_scores, bigram_backoff_xent,
-# source_quality_profile, logreg_auc, leakage_safe_split,
-# prefix_jaccard_pairs, hard_negative_mining, corpus_datasheet,
-# epoch_shuffle_order, length_bucket_batches, candidate_key_profile,
-# logreg_calibration_bins, quarantine_counts,
-# compression_quality_gate, mixture_waterfill_rates,
-# mixed_language_docs, nation_trade_flows, market_share_by_year,
-# promo_revenue_share, complex_predicate_revenue, idle_rich_customers,
-# graph_negative_samples, deterministic_random_walks,
-# weighted_reservoir_sample, session_transcripts,
-# duplicate_ngram_spans, gopher_quality_flags,
-# entity_resolution_clusters, rollup_cascade_parity,
-# k_anonymity_check, incremental_join_view_parity,
-# orderkey_gap_islands, activity_streaks, events_since_last_purchase,
-# mad_anomalies, brand_price_ties_rank, variant_json_extraction,
-# null_safe_join_counts, session_window_batch, imputed_acctbal_stats,
-# target_encoded_segments, sentence_stats, price_qty_heatmap,
-# geomean_price_by_brand, winsorized_price_stats,
-# latest_order_by_customer, bitmap_distinct_parity,
-# try_arithmetic_audit, acctbal_quartiles_by_segment,
-# hll_incremental_distinct_gate, embedding_standardization_gate,
-# curriculum_order_head, masked_customer_view,
-# nation_share_within_region, readability_scores, revenue_trend_ols,
-# full_star_join_summary, collapse_rare_categories,
-# cep_purchase_without_view, phrase_search_postings,
-# time_weighted_avg_value, event_type_correlations, churn_labels,
-# click_exposure_conversion, dataset_content_fingerprints,
-# sources_nucleus_p90, join_fanout_histogram, jl_projection_gate,
-# top_session_paths, geo_grid_density, calendar_dimension_build,
-# knn_distance_outliers, null_pattern_profile,
-# inclusion_dependency_profile, yoy_revenue_growth, reactivated_users,
-# embedding_drift_gate, key_skew_profile, weighted_median_price,
-# revenue_changepoint_cusum, business_days_to_ship,
-# order_fulfillment_status, covered_time_per_user,
-# hll_intersection_estimate_gate, empirical_resample_stats,
-# decayed_part_popularity, largest_remainder_allocation,
-# clamped_running_inventory, event_type_runs,
-# discount_qty_corr_by_brand, degree_distribution_slope,
-# cohort_ltv_curves, seasonal_naive_backtest,
-# cuped_variance_reduction, srm_assignment_check, linear_attribution,
-# revenue_bridge_decomposition, salted_agg_parity,
-# markup_density_stats, price_size_slope_by_brand,
-# quantile_transform_uniformity_gate, ngram_novelty_scores,
-# token_budget_coverage, ann_mrr_ndcg_eval, events_heatmap_dow_hour,
-# orders_aging_buckets; compression_ratio_quality is rows-only by
-# design, zlib is not SQL-expressible) — all sf0.01 oracle-verified
-# green when written.
+# ROUND-6 NOTE: after CORRECTNESS_r05 lands, rebuild this list again
+# from the still-uncovered set (expected: the ~78 names past r05's
+# 50-sample window, i.e. everything below the first 50 entries here,
+# minus any newly greened). All 128 names below were judge-verified
+# green at sf0.01 in the round-4 VERDICT sweep.
 _SAMPLE_FIRST = [
-    # red row in r03 (array-column canonicalizer err, now reshaped):
-    "top3_customers_nested",
-    # never driver-sampled (judge-verified green at sf0.01 in r03):
-    "pq_recall_vs_exact",
-    "pq_cosine_topk",
-    "zorder_lineitem_keys",
-    "scd2_customer_history",
-    "minhash_cluster_canonicals",
-    "sketch_gates",
-    "funnel_click_to_purchase",
-    "approx_percentile_error",
-    "daily_revenue_gapfilled",
-    "price_histogram",
-    "events_rolling_1h",
-    "salted_join_parity",
-    "percentile_lineitem",
-    "trimmed_mean_acctbal",
-    "embedding_centroids",
-    "decontamination",
-    "curation_decisions",
-    "repetition_stats",
-    "pii_redaction",
-    "document_chunks",
-    "token_budget_packing",
-    "train_val_test_split",
-    "correlated_subqueries",
-    "pipeline_summary",
-    "simhash_near_dup_pairs",
-    "posexplode_tokens",
-    "multiset_set_ops",
-    "regex_functions_part",
-    "stats_aggregates",
-    "theta_join_price_bands",
-    "window_ntile_firstvalue",
-    "conditional_expressions",
-    "distinct_aggregates",
-    "dq_catches_seeded_violations",
-    "canonical_docs_by_fingerprint",
-    "top_bigrams_by_lang",
-    "tfidf_keywords",
-    "approx_distinct_error",
-    "lsh_index_probe_matches",
-    "ivf_recall_vs_exact",
-    "lsh_recall_vs_exact",
-    "ivf_cosine_topk",
-    # round-4 additions (judge-verified green at sf0.01 when written);
-    # anything past the driver's per-round budget rolls to next round
-    "lineitem_survivorship",
-    "cross_source_contamination",
-    "welch_ttest_acctbal",
-    "stratified_kfold_counts",
-    "rolling_7d_distinct_users",
-    "repeat_purchase_rate_by_segment",
-    "mom_revenue_growth",
-    "embedding_norm_outliers",
-    "minhash_estimate_error_gate",
-    "lsh_false_positive_audit",
-    "percent_rank_price_by_brand",
-    "first_touch_attribution",
-    "sources_gini_concentration",
-    "dau_wau_stickiness",
+    "orders_aging_buckets",
+    "events_heatmap_dow_hour",
+    "ann_mrr_ndcg_eval",
+    "token_budget_coverage",
+    "ngram_novelty_scores",
+    "quantile_transform_uniformity_gate",
+    "price_size_slope_by_brand",
+    "markup_density_stats",
+    "salted_agg_parity",
+    "revenue_bridge_decomposition",
+    "linear_attribution",
+    "srm_assignment_check",
+    "cuped_variance_reduction",
+    "seasonal_naive_backtest",
+    "cohort_ltv_curves",
+    "degree_distribution_slope",
+    "discount_qty_corr_by_brand",
+    "event_type_runs",
+    "clamped_running_inventory",
+    "largest_remainder_allocation",
+    "decayed_part_popularity",
+    "empirical_resample_stats",
+    "hll_intersection_estimate_gate",
+    "covered_time_per_user",
+    "order_fulfillment_status",
+    "business_days_to_ship",
+    "revenue_changepoint_cusum",
+    "weighted_median_price",
+    "key_skew_profile",
+    "embedding_drift_gate",
+    "reactivated_users",
+    "yoy_revenue_growth",
+    "inclusion_dependency_profile",
+    "null_pattern_profile",
+    "knn_distance_outliers",
+    "calendar_dimension_build",
+    "geo_grid_density",
+    "top_session_paths",
+    "jl_projection_gate",
+    "join_fanout_histogram",
+    "sources_nucleus_p90",
+    "dataset_content_fingerprints",
+    "click_exposure_conversion",
+    "churn_labels",
+    "event_type_correlations",
+    "time_weighted_avg_value",
+    "phrase_search_postings",
+    "cep_purchase_without_view",
+    "collapse_rare_categories",
+    "full_star_join_summary",
+    "revenue_trend_ols",
+    "readability_scores",
+    "nation_share_within_region",
+    "masked_customer_view",
+    "curriculum_order_head",
+    "embedding_standardization_gate",
+    "hll_incremental_distinct_gate",
+    "acctbal_quartiles_by_segment",
+    "try_arithmetic_audit",
+    "bitmap_distinct_parity",
+    "latest_order_by_customer",
+    "winsorized_price_stats",
+    "geomean_price_by_brand",
+    "price_qty_heatmap",
+    "sentence_stats",
+    "target_encoded_segments",
+    "imputed_acctbal_stats",
+    "session_window_batch",
+    "null_safe_join_counts",
+    "variant_json_extraction",
+    "brand_price_ties_rank",
+    "mad_anomalies",
+    "events_since_last_purchase",
+    "activity_streaks",
+    "orderkey_gap_islands",
+    "incremental_join_view_parity",
+    "k_anonymity_check",
+    "rollup_cascade_parity",
+    "entity_resolution_clusters",
+    "gopher_quality_flags",
+    "duplicate_ngram_spans",
+    "session_transcripts",
+    "weighted_reservoir_sample",
+    "deterministic_random_walks",
+    "graph_negative_samples",
+    "idle_rich_customers",
+    "complex_predicate_revenue",
+    "promo_revenue_share",
+    "market_share_by_year",
+    "nation_trade_flows",
+    "mixed_language_docs",
+    "mixture_waterfill_rates",
+    "compression_quality_gate",
+    "quarantine_counts",
+    "logreg_calibration_bins",
+    "candidate_key_profile",
+    "length_bucket_batches",
+    "epoch_shuffle_order",
+    "corpus_datasheet",
+    "hard_negative_mining",
+    "prefix_jaccard_pairs",
+    "logreg_auc",
+    "source_quality_profile",
+    "bigram_backoff_xent",
+    "leakage_safe_split",
+    "unigram_xent_scores",
+    "mannwhitney_u_acctbal",
+    "copurchase_components",
+    "copurchase_pagerank_top20",
+    "copurchase_triangles",
+    "daily_revenue_autocorr",
+    "ks_two_sample_acctbal",
+    "bpe_vocab_merges",
+    "bpe_token_counts",
+    "top_bpe_merge_pairs",
+    "truncated_dim_recall_gate",
+    "truncated_dim_topk",
+    "bloom_pruned_join_parity",
+    "logreg_training_gate",
+    "logreg_quality_scores",
     "session_duration_histogram",
+    "dau_wau_stickiness",
+    "sources_gini_concentration",
+    "first_touch_attribution",
+    "percent_rank_price_by_brand",
+    "lsh_false_positive_audit",
+    "minhash_estimate_error_gate",
+    "embedding_norm_outliers",
 ]
 
 
