@@ -2420,16 +2420,18 @@ FROM p GROUP BY pack_id
 @query("token_budget_packing", _PACKING_ORACLE)
 def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into 2048-token training sequences (streaming
-    packing over doc_id order) and report per-pack fill. The parallel
-    bucketed variant (operators/packing.packed) shares the semantics;
-    this global form is the oracle-checkable reference."""
+    packing over doc_id order) and report per-pack fill. Runs the
+    range-partitioned two-stage form (pack_global_distributed — exact
+    row-for-row twin of the serial pack_global reference, integer
+    running sums so merge order cannot drift); the relaxed
+    maximum-parallelism variant is operators/packing.packed."""
     from etl_bigquery_pipeline_spark.operators import packing
     from etl_bigquery_pipeline_spark.functions.text import token_count
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", token_count("text").alias("n_tok")
     )
-    out = packing.pack_global(
+    out = packing.pack_global_distributed(
         d, size_col="n_tok", order_by=["doc_id"], budget=2048
     )
     return out.groupBy("pack_id").agg(
@@ -5413,10 +5415,13 @@ FROM k GROUP BY abc_class
 @query("pareto_abc_parts", _PARETO_ORACLE)
 def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto/ABC classification of parts by revenue: cumulative share
-    over the revenue-ranked PER-PART aggregate (catalog-bounded — the
-    window runs over one row per part, never over lineitem), classes cut
-    at 80/95%. The inventory-policy analytic; ties rank by partkey so the
-    class boundary is deterministic."""
+    over the revenue-ranked PER-PART aggregate, classes cut at 80/95%.
+    The per-part frame grows with the catalog (sf100k ~ 2e10 parts), so
+    the running sum rides operators.windows.with_global_running_sums
+    (range shuffle + per-partition offsets) instead of a
+    single-partition cumulative window; the grand total is a 1-row
+    broadcast join. The inventory-policy analytic; ties rank by partkey
+    so the class boundary is deterministic."""
     li = _t(spark, sf_dir, "lineitem")
     r = li.groupBy("l_partkey").agg(
         F.sum(
@@ -5427,14 +5432,12 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rev")
     )
-    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = windows.with_global_running_sums(
+        r, [F.desc("rev"), F.col("l_partkey")], ["rev"]
     )
-    tot = Window.partitionBy()
-    c = r.select(
-        "rev",
-        (F.sum("rev").over(w) / F.sum("rev").over(tot)).alias("share"),
-    )
+    c = cum.join(
+        F.broadcast(r.agg(F.sum("rev").alias("__tot")))
+    ).select("rev", (F.col("cum_rev") / F.col("__tot")).alias("share"))
     cls = (
         F.when(F.col("share") <= 0.8, "A")
         .when(F.col("share") <= 0.95, "B")
@@ -10052,26 +10055,49 @@ def curriculum_order_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     column slots in), then shuffled WITHIN decile by salted md5 — so the
     schedule is coarse-to-fine but not length-sorted within a band (a
     pure sort would correlate adjacent batches). First 25 positions
-    shown; at scale the position ordering is the same range-sort shape
-    as epoch_shuffle_order. The ntile runs over the (doc_id, n_chars)
-    projection — the body never enters the sort."""
+    shown. Deciles come from the distributed global row-number (range
+    shuffle + per-partition offsets) with the ntile bucket computed
+    closed-form from (rn, N) — no single-partition WindowExec; the only
+    bare window runs over the 25-row post-limit head. The body never
+    enters the sort (doc_id, n_chars projection only)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    wd = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
-    q = d.select(
+    # Distributed ntile: global row numbers via range-partition + offsets
+    # (operators.windows.with_global_row_number — no single-partition
+    # WindowExec), then the ntile bucket closed-form from (rn, N):
+    # the first N%k buckets hold ceil(N/k) rows, the rest floor(N/k).
+    ranked, n = windows.with_global_row_number(
+        d,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        rn_col="__rn",
+    )
+    base, rem = divmod(n, 10)
+    if base == 0:  # fewer rows than buckets: one row per bucket
+        decile = F.col("__rn")
+    else:
+        cut = rem * (base + 1)
+        decile = F.when(
+            F.col("__rn") <= F.lit(cut),
+            F.ceil(F.col("__rn") / F.lit(base + 1)),
+        ).otherwise(
+            F.lit(rem) + F.ceil((F.col("__rn") - F.lit(cut)) / F.lit(base))
+        )
+    q = ranked.select(
         "doc_id",
-        F.ntile(10).over(wd).alias("decile"),
+        decile.cast("bigint").alias("decile"),
         F.md5(F.concat(F.lit("cur:"), F.col("doc_id").cast("string"))).alias("h"),
     )
-    wp = Window.orderBy(F.col("decile").asc(), F.col("h").asc(), F.col("doc_id").asc())
-    return (
-        q.select(
-            "doc_id",
-            F.col("decile").cast("bigint").alias("decile"),
-            F.row_number().over(wp).cast("bigint").alias("position"),
-        )
-        .orderBy("position")
-        .limit(25)
+    # Head-25 of the (decile, h, doc_id) order: TakeOrderedAndProject picks
+    # the global top-25 distributively; positions 1..25 are then a window
+    # over a 25-row post-limit frame (bounded by construction).
+    head = q.orderBy("decile", "h", "doc_id").limit(25)
+    wp = Window.orderBy(
+        F.col("decile").asc(), F.col("h").asc(), F.col("doc_id").asc()
     )
+    return head.select(
+        "doc_id",
+        "decile",
+        F.row_number().over(wp).cast("bigint").alias("position"),
+    ).orderBy("position")
 
 
 # ===================================================================

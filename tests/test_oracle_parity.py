@@ -61,13 +61,33 @@ def test_oracled_schemas_are_atomic(spark):
 def test_driver_sample_order_covers_unsampled():
     """__spark_entry__.queries() must list the never-driver-sampled set
     first (the driver samples the first ~50 registered queries per
-    round): the 43 queries with no green row through r03 must sit inside
-    the first 50; round-4 additions follow immediately after."""
+    round). The invariant is derived from the recorded CORRECTNESS_r*.json
+    files: _SAMPLE_FIRST must equal exactly the oracled catalog queries
+    with no green driver row in any prior round — no rows-only names
+    (they can never go green and would burn sample slots, the r04
+    failure mode), no already-green names, none missing."""
+    import json
+    import pathlib
+
     import __spark_entry__ as entry
 
     qs = list(entry.queries())
     assert qs[: len(entry._SAMPLE_FIRST)] == entry._SAMPLE_FIRST
-    pre_r4 = entry._SAMPLE_FIRST.index("lineitem_survivorship")
-    assert pre_r4 == 43, "the r01-r03 unsampled set must stay first"
-    assert set(entry._SAMPLE_FIRST[:pre_r4]) <= set(qs[:50])
-    assert set(entry._SAMPLE_FIRST) <= set(qs)
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    green: set[str] = set()
+    for path in sorted(repo.glob("CORRECTNESS_r*.json")):
+        for name, row in json.load(open(path)).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                green.add(name)
+    uncovered_oracled = [
+        q for q in catalog.QUERIES if q in catalog.ORACLE and q not in green
+    ]
+    assert set(entry._SAMPLE_FIRST) == set(uncovered_oracled), {
+        "missing": set(uncovered_oracled) - set(entry._SAMPLE_FIRST),
+        "extra": set(entry._SAMPLE_FIRST) - set(uncovered_oracled),
+    }

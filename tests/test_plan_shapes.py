@@ -402,3 +402,89 @@ def test_keyed_window_folds_have_no_single_partition_exchange(spark, sf_dir):
     for name in ("covered_time_per_user", "clamped_running_inventory"):
         plan = _plan(spark, name, sf_dir)
         assert "Exchange SinglePartition" not in plan, name
+
+
+# ----------------------------------------------------------------------
+# Catalog-wide global-window lint (round-5, VERDICT r4 ask #4).
+#
+# A bare Window.orderBy (no partitionBy) plans Exchange SinglePartition →
+# one task sorts the whole frame: fine on a bounded frame, a scale-killer
+# on anything data-proportional (the r4 offenders curriculum_order_head /
+# pareto_abc_parts hid among ~108 benign warnings). This lint walks EVERY
+# catalog query's physical plan and fails on any ordered unpartitioned
+# Window whose query is not on the explicit whitelist below; each entry
+# carries its one-line boundedness justification. Partition-only windows
+# (no ORDER BY — hash-partitioned, never single-partition) are not
+# flagged.
+
+# name -> why the frame under the global window is bounded at any corpus
+# scale (calendar, enum vocabulary, post-limit top-k, per-source
+# aggregate, bounded probe contract)
+GLOBAL_WINDOW_WHITELIST = {
+    "copurchase_pagerank_top20": "rank window runs over the post-.limit(20) top-k frame",
+    "curriculum_order_head": "position window runs over the 25-row post-limit head",
+    "daily_revenue_anomalies": "rolling stats over one row per calendar day",
+    "daily_revenue_autocorr": "lag over one row per calendar day",
+    "decayed_part_popularity": "rank window runs over the post-.limit(10) leaderboard",
+    "heavy_hitter_users": "cumulative-share window over the 20 TakeOrdered survivors",
+    "knn_distance_outliers": "isolation rank over the probe-set aggregate (bounded by the broadcast-probe cosine_topk contract)",
+    "mixture_waterfill_rates": "waterfill prefix sums over the per-SOURCE aggregate (source vocabulary, not documents)",
+    "mom_revenue_growth": "lag over one row per calendar month",
+    "revenue_changepoint_cusum": "cusum + argmax windows over one row per calendar day",
+    "seasonal_naive_backtest": "lag-7 over one row per calendar day",
+    "sources_gini_concentration": "rank identity over the per-SOURCE aggregate",
+    "sources_nucleus_p90": "cumulative share over the per-SOURCE aggregate",
+    "top_session_paths": "rank over the trigram-path vocabulary (<= |event_types|^3 groups)",
+    "weighted_reservoir_sample": "rank window over the k=100 TakeOrdered survivors",
+}
+
+
+def _top_level_bracket_groups(s: str) -> list[str]:
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                out.append(s[start : i + 1])
+    return out
+
+
+def ordered_global_windows(plan: str) -> list[str]:
+    """Window lines planning a global sort: exactly two top-level bracket
+    groups (exprs + order spec — a partitioned window prints three) where
+    the second group is an ORDER spec (contains ASC/DESC)."""
+    hits = []
+    for line in plan.splitlines():
+        t = line.strip().lstrip("+-: ")
+        if t.startswith("Window ["):
+            g = _top_level_bracket_groups(t)
+            if len(g) == 2 and (" ASC" in g[1] or " DESC" in g[1]):
+                hits.append(t)
+    return hits
+
+
+def test_catalog_global_window_lint(spark, sf_dir):
+    from etl_bigquery_pipeline_spark.plans import catalog as cat
+
+    offenders, still_global = {}, set()
+    for name in sorted(cat.QUERIES):
+        df = cat.QUERIES[name](spark, sf_dir)
+        hits = ordered_global_windows(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.catalog.clearCache()
+        if hits:
+            still_global.add(name)
+            if name not in GLOBAL_WINDOW_WHITELIST:
+                offenders[name] = hits[0][:140]
+    assert not offenders, (
+        "ordered global (single-partition) windows outside the whitelist —"
+        " rewrite via operators.windows.with_global_row_number /"
+        f" with_global_running_sums, or justify here: {offenders}"
+    )
+    stale = set(GLOBAL_WINDOW_WHITELIST) - still_global
+    assert not stale, f"whitelist entries whose plans no longer have a global window (remove them): {stale}"
