@@ -1,9 +1,13 @@
 #!/usr/bin/env python
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <dir>}
+Prints two JSON lines; the LAST is the canonical compact record (the
+driver keeps only the output tail, so it must stay well under 2000 chars):
+  {"metric": "headline_queries_total_sec", "value": <total_sec>,
+   "unit": "sec", "queries": {<slowest 25>}, "shared_prev_ratio": r,
+   "sf": <dir>, ...}
+The line before it carries the identical totals plus the FULL per-query
+map and the unmeasured-query list.
 
 Each query is executed as the driver would run it (fresh plan, count()
 action to force full execution without driver-side collect of big results).
@@ -262,6 +266,13 @@ BENCH_QUERIES = [
     # round-4 wave 45: dashboard staples
     "events_heatmap_dow_hour",
     "orders_aging_buckets",
+    # round-5: the heaviest members of families that were previously
+    # represented by a cheaper sibling — the slowest catalog query must
+    # always be measured (VERDICT r4 ask #5)
+    "copurchase_components",
+    "acctbal_quartiles_by_segment",
+    "band_index_probe_matches",
+    "mannwhitney_u_acctbal",
 ]
 
 
@@ -364,10 +375,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     unmeasured = sorted(set(catalog.QUERIES) - set(BENCH_QUERIES))
+    # Full record first (complete per-query map — ~15 KB, for anyone
+    # reading the raw log)...
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_sec",
+                "metric": "headline_queries_total_sec_full",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
@@ -377,6 +390,50 @@ def main() -> None:
                     "benched": len(BENCH_QUERIES),
                     "catalog": len(catalog.QUERIES),
                     "unmeasured": unmeasured,
+                },
+            }
+        )
+    )
+    # ...then a compact (<2000 char) summary as the LAST line: the driver
+    # records only the output tail, so the final line is the one that
+    # must parse (BENCH_r04.parsed was null because the full map outgrew
+    # the tail window). Carries total, round-over-round shared-set ratio
+    # against the newest parseable BENCH_r*.json, and the slowest 25.
+    prev_ratio = None
+    try:
+        import glob
+
+        for path in sorted(glob.glob("BENCH_r*.json"), reverse=True):
+            prev = (json.load(open(path)).get("parsed") or {}).get("queries")
+            if prev:
+                shared = set(prev) & set(timings)
+                if shared:
+                    prev_ratio = round(
+                        sum(timings[q] for q in shared)
+                        / sum(prev[q] for q in shared),
+                        3,
+                    )
+                break
+    except Exception:
+        pass
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:25]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": slowest,
+                "queries_note": "slowest 25 of %d; full map on the previous line" % len(timings),
+                "shared_prev_ratio": prev_ratio,
+                "sf": sf_dir,
+                "skew_rehearsal_sec": skew,
+                "coverage": {
+                    "benched": len(BENCH_QUERIES),
+                    "catalog": len(catalog.QUERIES),
+                    "unmeasured_count": len(unmeasured),
                 },
             }
         )

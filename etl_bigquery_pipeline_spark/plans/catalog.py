@@ -6964,7 +6964,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_bigquery_pipeline_spark.operators import graph
 
     l = _t(spark, sf_dir, "lineitem")
-    pr = l.select("l_orderkey", "l_partkey").distinct()
+    pr = scoped_cache(l.select("l_orderkey", "l_partkey").distinct())
     pairs = pr.alias("a").join(
         pr.alias("b"),
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -7014,7 +7014,7 @@ def copurchase_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_bigquery_pipeline_spark.operators import graph
 
     l = _t(spark, sf_dir, "lineitem")
-    pr_tbl = l.select("l_orderkey", "l_partkey").distinct()
+    pr_tbl = scoped_cache(l.select("l_orderkey", "l_partkey").distinct())
     pairs = pr_tbl.alias("a").join(
         pr_tbl.alias("b"),
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -7063,7 +7063,7 @@ def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_bigquery_pipeline_spark.operators import graph
 
     l = _t(spark, sf_dir, "lineitem")
-    pr_tbl = l.select("l_orderkey", "l_partkey").distinct()
+    pr_tbl = scoped_cache(l.select("l_orderkey", "l_partkey").distinct())
     strong = (
         pr_tbl.alias("a")
         .join(
@@ -8637,7 +8637,7 @@ def graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_bigquery_pipeline_spark.operators import graph
 
     l = _t(spark, sf_dir, "lineitem")
-    pr = l.select("l_orderkey", "l_partkey").distinct()
+    pr = scoped_cache(l.select("l_orderkey", "l_partkey").distinct())
     pairs = pr.alias("a").join(
         pr.alias("b"),
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -8695,7 +8695,7 @@ def deterministic_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_bigquery_pipeline_spark.operators import graph
 
     l = _t(spark, sf_dir, "lineitem")
-    pr = l.select("l_orderkey", "l_partkey").distinct()
+    pr = scoped_cache(l.select("l_orderkey", "l_partkey").distinct())
     pairs = pr.alias("a").join(
         pr.alias("b"),
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -12240,7 +12240,7 @@ def degree_distribution_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_bigquery_pipeline_spark.operators import graph
 
     l = _t(spark, sf_dir, "lineitem")
-    pr = l.select("l_orderkey", "l_partkey").distinct()
+    pr = scoped_cache(l.select("l_orderkey", "l_partkey").distinct())
     pairs = pr.alias("a").join(
         pr.alias("b"),
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
