@@ -237,6 +237,11 @@ def weighted_reservoir_topk(
     from pyspark.sql import Window as _W
 
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # A-ES requires strictly positive weights: w=0 scores Infinity (row
+    # silently excluded) and w<0 scores negative (row always wins) —
+    # filter them out up front, matching geomean_udf's positive-inputs
+    # contract.
+    df = df.filter(w > 0)
     u = (
         F.conv(
             F.substring(

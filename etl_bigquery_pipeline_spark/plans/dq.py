@@ -309,7 +309,16 @@ def quarantine_split(
     lineage (the flags projection is computed once per row, map-side,
     no shuffle); at 100 TB this is a single pass each, and callers
     writing both sides should cache the flagged frame or write
-    good/bad from one ``foreachBatch``-style pass."""
+    good/bad from one ``foreachBatch``-style pass.
+
+    Raises if the input already carries a ``violations`` column: the
+    split would silently overwrite it (and ``good`` would drop the
+    original data) — rename it first."""
+    if "violations" in df.columns:
+        raise ValueError(
+            "quarantine_split writes a 'violations' column but the input "
+            "already has one — rename it before splitting"
+        )
     flags = []
     for name in sorted(rules):
         pred = rules[name]

@@ -307,6 +307,7 @@ def write_jsonl_shards(
     shards: int,
     shard_key: str,
     compression: str | None = "gzip",
+    sort_within_shards: str | list[str] | None = None,
 ) -> dict:
     """Training-data export: hash-sharded JSONL (the interchange format
     most training loaders consume) plus a ``manifest.json`` naming every
@@ -321,23 +322,43 @@ def write_jsonl_shards(
     output-file ordinal under direct one-file-per-partition JSON write),
     not a post-hoc rescan of the written text.
 
+    ``sort_within_shards`` orders rows INSIDE each shard file
+    (``sortWithinPartitions`` after the shard shuffle — a caller-side
+    ``orderBy`` before this function would be discarded by the
+    ``repartition``; loaders that need an order either pass it here or
+    re-sort on the carried column).
+
     The manifest is written driver-side via the local filesystem — for
     object stores, swap the two ``open``/``os`` calls for the Hadoop FS
     API; everything else is storage-agnostic."""
     import json as _json
 
     sharded = df.repartition(shards, F.col(shard_key))
-    writer = sharded.write.mode("overwrite")
-    if compression:
-        writer = writer.option("compression", compression)
-    writer.json(path)
+    if sort_within_shards is not None:
+        keys = (
+            [sort_within_shards]
+            if isinstance(sort_within_shards, str)
+            else list(sort_within_shards)
+        )
+        sharded = sharded.sortWithinPartitions(*keys)
+    # persisted across the write and the count so the manifest describes
+    # the exact rows written even for non-deterministic or concurrently
+    # mutated sources (the two jobs would otherwise re-evaluate lineage)
+    sharded = sharded.persist()
+    try:
+        writer = sharded.write.mode("overwrite")
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.json(path)
 
-    counts = {
-        int(r["pid"]): int(r["n"])
-        for r in sharded.groupBy(
-            F.spark_partition_id().alias("pid")
-        ).agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+        counts = {
+            int(r["pid"]): int(r["n"])
+            for r in sharded.groupBy(
+                F.spark_partition_id().alias("pid")
+            ).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    finally:
+        sharded.unpersist()
     files = sorted(
         f for f in os.listdir(path)
         if f.startswith("part-") and not f.endswith(".crc")

@@ -99,11 +99,14 @@ def export(spark, sf_dir: str, out_dir: str, *, shards: int = 8) -> dict:
         bucket < F.col("rate") * 10000
     )
 
-    # 4. Epoch-0 training order: reproducible global permutation.
+    # 4. Epoch-0 training order: reproducible permutation key. A global
+    # orderBy here would be discarded by the writer's shard shuffle —
+    # instead the writer sorts WITHIN each shard on epoch_key, and a
+    # loader interleaving shards re-sorts on the carried column.
     ordered = sampled.withColumn(
         "epoch_key",
         F.md5(F.concat(F.lit("epoch:0:"), F.col("doc_id").cast("string"))),
-    ).orderBy("epoch_key")
+    )
 
     # 5. Sharded JSONL + manifest.
     manifest = write_jsonl_shards(
@@ -111,6 +114,7 @@ def export(spark, sf_dir: str, out_dir: str, *, shards: int = 8) -> dict:
         out_dir,
         shards=shards,
         shard_key="doc_id",
+        sort_within_shards="epoch_key",
     )
     return manifest
 

@@ -208,3 +208,14 @@ def test_expect_schema_contract(spark):
         "nullability loosened" in s
         for s in expect_schema(df2, "id long not null")
     )
+
+
+def test_quarantine_split_refuses_violations_column_collision(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.plans.dq import quarantine_split
+
+    df = spark.createDataFrame([(1, "x")], "v long, violations string")
+    with pytest.raises(ValueError, match="violations"):
+        quarantine_split(df, {"neg": F.col("v") < 0})

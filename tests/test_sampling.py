@@ -193,3 +193,20 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert planted_ids
     for pid in planted_ids:
         assert split_of[pid] == split_of[pid - 1000000], pid
+
+
+def test_weighted_reservoir_rejects_nonpositive_weights(spark):
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.operators.sampling import (
+        weighted_reservoir_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -2.0), (4, 1.0)], "id long, w double"
+    )
+    out = weighted_reservoir_topk(df, F.col("w"), "id", k=10, salt="t")
+    ids = {r["id"] for r in out.collect()}
+    # w=0 (score Infinity) and w<0 (always-first) rows are filtered, not
+    # silently mis-ranked
+    assert ids == {1, 4}

@@ -695,3 +695,27 @@ def test_streaming_python_datasource_offsets_and_determinism(spark, tmp_path):
     by_id_both = {r.event_id: (r.user_id, r.event_type, r.value)
                   for r in both if r.event_id < 40}
     assert by_id_first == by_id_both  # deterministic replay
+
+
+def test_write_jsonl_shards_sort_within_shards(spark, tmp_path):
+    import gzip
+    import json as _json
+    import os
+
+    from etl_bigquery_pipeline_spark.sources.sinks import write_jsonl_shards
+
+    df = spark.createDataFrame(
+        [(i, f"k-{(i * 37) % 100:03d}") for i in range(100)],
+        "doc_id long, epoch_key string",
+    )
+    dest = str(tmp_path / "sorted_export")
+    manifest = write_jsonl_shards(
+        df, dest, shards=4, shard_key="doc_id", sort_within_shards="epoch_key"
+    )
+    assert manifest["total_rows"] == 100
+    # rows inside every shard file are in epoch_key order (the ADVICE r4
+    # finding: a caller-side orderBy is discarded by the shard shuffle)
+    for s in manifest["shards"]:
+        with gzip.open(os.path.join(dest, s["file"]), "rt") as fh:
+            keys = [_json.loads(line)["epoch_key"] for line in fh]
+        assert keys == sorted(keys), s["file"]
