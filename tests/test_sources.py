@@ -719,3 +719,80 @@ def test_write_jsonl_shards_sort_within_shards(spark, tmp_path):
         with gzip.open(os.path.join(dest, s["file"]), "rt") as fh:
             keys = [_json.loads(line)["epoch_key"] for line in fh]
         assert keys == sorted(keys), s["file"]
+
+
+def _wh_rows(spark, wh, table):
+    return {
+        (r["k"], r["v"]) for r in wh.read(spark, table).collect()
+    }
+
+
+def test_upsert_crash_between_renames_heals(spark, tmp_path, monkeypatch):
+    """Crash point 1 of the park-and-swap (VERDICT r4 ask #9): the writer
+    dies AFTER parking the live table at .__old but BEFORE moving staging
+    into place — the brief missing-directory window the upsert docstring
+    documents. The next entry point's _heal must restore the parked
+    version, and a retried upsert must then land the update."""
+    import os as _os
+
+    from etl_bigquery_pipeline_spark.sources import sinks
+
+    wh = sinks.ParquetWarehouse(str(tmp_path))
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    wh.overwrite(base, "t")
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+
+    real_rename = _os.rename
+
+    def crash_on_swap_in(src, dst):
+        if src.endswith(".__staging"):
+            raise OSError("simulated crash between the two renames")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", crash_on_swap_in)
+    with pytest.raises(OSError, match="simulated crash"):
+        wh.upsert(upd, "t", ["k"])
+    monkeypatch.setattr(_os, "rename", real_rename)
+
+    # table directory is gone, parked copy remains — _heal restores it
+    assert not _os.path.exists(str(tmp_path / "t"))
+    assert _os.path.exists(str(tmp_path / "t.__old"))
+    assert _wh_rows(spark, wh, "t") == {(1, "a"), (2, "b")}
+    assert not _os.path.exists(str(tmp_path / "t.__old"))
+
+    # the retried merge completes
+    wh.upsert(upd, "t", ["k"])
+    assert _wh_rows(spark, wh, "t") == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_upsert_crash_before_old_cleanup_heals(spark, tmp_path, monkeypatch):
+    """Crash point 2: both renames landed but the writer died before
+    dropping the parked .__old — the swap is complete, so _heal must keep
+    the NEW table and discard the leftover."""
+    import shutil as _shutil
+
+    from etl_bigquery_pipeline_spark.sources import sinks
+
+    wh = sinks.ParquetWarehouse(str(tmp_path))
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    wh.overwrite(base, "t")
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+
+    real_rmtree = _shutil.rmtree
+
+    def crash_on_cleanup(p, *a, **kw):
+        if str(p).endswith(".__old"):
+            raise OSError("simulated crash before .__old cleanup")
+        real_rmtree(p, *a, **kw)
+
+    monkeypatch.setattr(_shutil, "rmtree", crash_on_cleanup)
+    with pytest.raises(OSError, match="simulated crash"):
+        wh.upsert(upd, "t", ["k"])
+    monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
+
+    import os as _os
+
+    assert _os.path.exists(str(tmp_path / "t.__old"))
+    # heal keeps the completed swap (new data) and drops the parked copy
+    assert _wh_rows(spark, wh, "t") == {(1, "a"), (2, "B"), (3, "c")}
+    assert not _os.path.exists(str(tmp_path / "t.__old"))
