@@ -162,6 +162,9 @@ _SAMPLE_FIRST = [
     "lsh_false_positive_audit",
     "minhash_estimate_error_gate",
     "embedding_norm_outliers",
+    # round-5 additions (sampled after the backlog drains):
+    "semantic_decontamination",
+    "temperature_mixture_rates",
 ]
 
 

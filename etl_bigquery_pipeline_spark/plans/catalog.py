@@ -13234,6 +13234,113 @@ def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic, so they yield the front of the queue to queries that do
 # not yet have a driver row.  This is pure ordering — no query is added,
 # removed, or altered here.
+# ===================================================================
+# Round-5 wave 46 — semantic decontamination (embedding-space eval-set
+# leakage), temperature-smoothed mixture rates
+# ===================================================================
+
+_SEMDECON_ORACLE = f"""
+WITH e AS (SELECT vec_id AS eval_id, embedding AS ev
+           FROM embeddings WHERE vec_id % 50 = 0),
+planted AS (SELECT vec_id + 1000003 AS vec_id, embedding
+            FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id, embedding AS cv FROM
+        (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0
+         UNION ALL SELECT * FROM planted)),
+m AS (
+  SELECT c.vec_id, max({_cosine_sql("cv", "ev")}) AS max_eval_sim
+  FROM c CROSS JOIN e GROUP BY c.vec_id)
+SELECT vec_id, max_eval_sim
+FROM m WHERE max_eval_sim >= 0.9
+"""
+
+
+@query("semantic_decontamination", _SEMDECON_ORACLE)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (the semantic companion
+    to the n-gram `decontamination` query: paraphrased eval leakage that
+    shares no 13-gram still sits next to its source in embedding space):
+    flag corpus vectors whose max cosine vs ANY eval vector >= 0.9.
+    Eval set = every 50th vector; contamination is planted by leaking
+    every 100th eval vector back into the corpus under a shifted id
+    (the corpus has no natural near-dups), same planting discipline as
+    the dedup family. Plan shape: eval set broadcast, corpus scanned
+    once, per-corpus-row max folded map-side — the corpus never
+    shuffles, so the pass costs one scan at any corpus size (the same
+    economics as `decontamination`'s broadcast eval-grams)."""
+    from etl_bigquery_pipeline_spark.functions import vectors as V
+
+    emb = _t(spark, sf_dir, "embeddings")
+    evals = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("embedding").alias("__ev"), norm("embedding").alias("__en")
+    )
+    planted = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1000003).alias("vec_id"), "embedding"
+    )
+    corpus = (
+        emb.filter(F.col("vec_id") % 50 != 0)
+        .select("vec_id", "embedding")
+        .unionByName(planted)
+    )
+    c = corpus.select(
+        "vec_id", "embedding", norm("embedding").alias("__cn")
+    )
+    sim = F.round(
+        V.dot("embedding", "__ev") / (F.col("__cn") * F.col("__en")), 6
+    )
+    m = (
+        c.join(F.broadcast(evals))
+        .groupBy("vec_id")
+        .agg(F.max(sim).alias("max_eval_sim"))
+    )
+    return m.filter(F.col("max_eval_sim") >= 0.9)
+
+
+_TEMPMIX_ORACLE = """
+WITH s AS (
+  SELECT source,
+         SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> ''))) AS tok
+  FROM documents GROUP BY source),
+t AS (SELECT SUM(tok) AS total, SUM(pow(tok, 0.5)) AS zsum FROM s)
+SELECT source, CAST(tok AS BIGINT) AS tokens,
+       round(tok / total, 6) AS share,
+       round(pow(tok, 0.5) / zsum, 6) AS temp_weight,
+       round((pow(tok, 0.5) / zsum) / (tok / total), 6) AS sample_rate
+FROM s CROSS JOIN t
+"""
+
+
+@query("temperature_mixture_rates", _TEMPMIX_ORACLE)
+def temperature_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source mixing (the multilingual/multi-corpus
+    sampling rule: weight source s by share^(1/T), T=2 — big sources
+    down-weighted, small ones boosted, the standard alternative to the
+    capacity-capped `mixture_waterfill_rates`). sample_rate is the
+    relative up/down-sampling each source needs to hit its temperature
+    weight. One token-count scan; everything after runs on the
+    per-SOURCE aggregate with the normalizer as a 1-row broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(TX.token_count("text")).cast("double").alias("tok")
+    )
+    t = s.agg(
+        F.sum("tok").alias("__total"),
+        F.sum(F.pow("tok", 0.5)).alias("__zsum"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.col("tok").cast("bigint").alias("tokens"),
+        F.round(F.col("tok") / F.col("__total"), 6).alias("share"),
+        F.round(F.pow("tok", 0.5) / F.col("__zsum"), 6).alias("temp_weight"),
+        F.round(
+            (F.pow("tok", 0.5) / F.col("__zsum"))
+            / (F.col("tok") / F.col("__total")),
+            6,
+        ).alias("sample_rate"),
+    )
+
+
 _DRIVER_COVERED_R02 = [
     "flagship_sales_rollup", "table_row_counts", "null_counts_orders",
     "dup_groups_lineitem_pk", "dup_groups_orderkey", "orphan_lineitem_part",
