@@ -655,8 +655,17 @@ def near_dup_clusters(
     the work is two equi-joins on (id, label) longs with map-side
     combining mins — document content never shuffles. The label table is
     ``localCheckpoint``-ed each round to stop lineage growth (the
-    standard Spark iterative-algorithm device); the convergence probe is
-    a bounded scalar count.
+    standard Spark iterative-algorithm device).
+
+    Convergence probe: labels are monotone non-increasing (every round
+    takes ``least`` of the current label and candidates), so the label
+    SUM strictly decreases iff any node changed. Comparing exact
+    decimal(38,0) sums (one single-row aggregate over the
+    just-checkpointed table) detects the fixpoint without the
+    new-vs-old equi-join a direct comparison would need — one fewer
+    shuffle per round. decimal(38,0) keeps the probe exact at any node
+    count (2e10 nodes x 2e10 max label overflows a long; 38 digits
+    cannot).
     """
     edges = (
         pairs.select(
@@ -674,6 +683,12 @@ def near_dup_clusters(
         F.least(F.min("dst"), F.first("src")).alias("label")
     ).withColumnRenamed("src", "node").localCheckpoint()
 
+    def _label_sum(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(
@@ -704,15 +719,11 @@ def near_dup_clusters(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(
         F.col("node"), F.col("label").alias("cluster_id")
     )
