@@ -281,6 +281,14 @@ def test_near_dup_clusters_long_chain_converges(spark):
     assert len(out) == n + 1
 
 
+def test_near_dup_clusters_empty_pairs(spark):
+    """No pairs => no clusters; the label-sum convergence probe must
+    treat the empty (None-sum) label table as an immediate fixpoint
+    instead of looping max_iterations times."""
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert dedup.near_dup_clusters(pairs).collect() == []
+
+
 def test_scd2_apply_versions_changes_only(spark):
     """Changed attributes close + reopen; identical updates are no-ops
     (no version churn); new keys insert; closed history passes through."""
