@@ -972,8 +972,14 @@ def build_band_index(
     )
     bk = minhash_band_keys(sig, id_col, bands=bands)
     n_buckets = 64
+    # repartition on the bucket column (same Murmur3 hash bucketBy uses)
+    # so each write task owns exactly one bucket: without it every
+    # upstream partition sorts and writes slices of all 64 buckets —
+    # measured 2x slower at bench scale and file count grows with
+    # upstream parallelism instead of staying == n_buckets
     (
         bk.join(sig, id_col)
+        .repartition(n_buckets, "band_key")
         .write.bucketBy(n_buckets, "band_key")
         .sortBy("band_key")
         .mode("overwrite")
@@ -1104,8 +1110,12 @@ def append_to_band_index(
     )
     bk = minhash_band_keys(sig, meta["id_col"], bands=meta["bands"])
     # insertInto resolves by POSITION; this join mirrors the build
-    # projection (id, band, band_key, signature) exactly
-    bk.join(sig, meta["id_col"]).write.insertInto(table, overwrite=False)
+    # projection (id, band, band_key, signature) exactly. repartition on
+    # band_key aligns write tasks with buckets (empty partitions write
+    # nothing), bounding the small files each append adds
+    bk.join(sig, meta["id_col"]).repartition("band_key").write.insertInto(
+        table, overwrite=False
+    )
 
 
 def prefix_filter_jaccard_pairs(
