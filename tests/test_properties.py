@@ -268,3 +268,51 @@ def test_progressive_jpeg_equals_baseline_any_shape(h, w, seed, ss, script):
         encode_progressive_jpeg(arr, subsampling=ss, script=script)
     )
     assert np.array_equal(got, base)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_near_dup_clusters_matches_union_find(spark, edges):
+    """For ANY pair set (self-loops, duplicates, reversed repeats,
+    multiple components), the distributed min-label closure must agree
+    with a sequential union-find: same node set, each node labeled with
+    its component's minimum id. Exercises the label-sum convergence
+    probe on arbitrary topologies."""
+    pairs = [(a, b) for a, b in edges if a != b]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    # component min == min over members sharing the same root
+    roots: dict[int, int] = {}
+    for x, r in want.items():
+        roots[r] = min(roots.get(r, x), x)
+    want = {x: roots[r] for x, r in want.items()}
+
+    df = spark.createDataFrame(
+        pairs or [(0, 0)], "id_a bigint, id_b bigint"
+    ).filter("id_a != id_b")
+    got = {
+        r.node: r.cluster_id
+        for r in dedup.near_dup_clusters(df).collect()
+    }
+    assert got == want
