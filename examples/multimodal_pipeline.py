@@ -153,7 +153,15 @@ def run(spark, out_dir: str) -> dict:
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/multimodal_out"
+    # argv convention matches the sibling examples: argv[1] is the
+    # (ignored) sf_dir, argv[2] the output dir. Earlier versions took
+    # out_dir as argv[1], which silently turned a testdata path passed
+    # positionally into an overwrite target.
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/multimodal_out"
+    if len(sys.argv) == 2 and "/testdata/" not in sys.argv[1]:
+        out_dir = sys.argv[1]
+    if "/testdata/" in out_dir:
+        raise SystemExit(f"refusing to write into testdata: {out_dir}")
     spark = get_session("multimodal-pipeline")
     spark.sparkContext.setLogLevel("ERROR")
     print(run(spark, out_dir))
