@@ -5,6 +5,8 @@ candidate-set window repartition."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -137,6 +139,17 @@ def test_band_index_probe_candidates_and_plan(spark, sf_dir):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # batch side broadcasts
     assert "CartesianProduct" not in plan
+
+    # the build repartitions onto the bucket layout, so the file count is
+    # bounded by n_buckets (64) regardless of upstream parallelism —
+    # without that alignment every input partition writes a slice of
+    # every bucket and the count scales with parallelism
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    files = [
+        f for f in os.listdir(os.path.join(wh, "band_idx_t"))
+        if f.endswith(".parquet")
+    ]
+    assert 0 < len(files) <= 64
 
     spark.sql("DROP TABLE IF EXISTS band_idx_t")
     spark.sql("DROP TABLE IF EXISTS band_idx_t__meta")
