@@ -12937,29 +12937,36 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     recombinations. Complements duplicate_ngram_spans (which hunts the
     SHARED side of the same distribution)."""
     d = _t(spark, sf_dir, "documents")
+    # sh feeds two branches (gram aggregate + per-doc size) and is
+    # deliberately NOT cached: materializing the gram arrays costs more
+    # than re-running the codegen'd tokenize projection (measured 2x)
     sh = d.select(
         "doc_id", TX.tokens("text").alias("__tk")
     ).select(
         "doc_id",
         F.array_distinct(TX.shingles_of(F.col("__tk"), 3)).alias("__grams"),
     )
-    ex = sh.select("doc_id", F.explode("__grams").alias("g")).transform(
-        scoped_cache
-    )
-    df = ex.groupBy("g").agg(F.countDistinct("doc_id").alias("d"))
-    m = (
-        ex.join(df, "g")
+    ex = sh.select("doc_id", F.explode("__grams").alias("g"))
+    # grams are distinct per doc, so count(1) per gram == document
+    # frequency, and a d==1 gram's owner IS its min(doc_id) — uniqueness
+    # counts fall out of the gram aggregate alone, with no join back of
+    # the exploded gram set (which would shuffle every (gram, doc) pair
+    # a second time; the gram-key shuffle here happens once)
+    uniq = (
+        ex.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("d"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("d") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.count_if(F.col("d") == 1).alias("unique_grams"),
-        )
+        .agg(F.count(F.lit(1)).alias("unique_grams"))
     )
-    return m.select(
+    n = sh.select("doc_id", F.size("__grams").cast("bigint").alias("n_grams"))
+    return n.join(uniq, "doc_id", "left").select(
         "doc_id",
         "n_grams",
         F.round(
-            F.col("unique_grams").cast("double") / F.col("n_grams"), 6
+            F.coalesce(F.col("unique_grams"), F.lit(0)).cast("double")
+            / F.col("n_grams"),
+            6,
         ).alias("novelty"),
     )
 
