@@ -426,6 +426,32 @@ def test_global_row_number_and_ntile_match_sql_semantics(spark):
     spark.catalog.clearCache()
 
 
+def test_global_row_number_descending_order(spark):
+    """Descending order keys (documented supported via F.col(c).desc())
+    must number high-to-low identically to ROW_NUMBER() OVER (ORDER BY v
+    DESC, id) at any partition count — repartitionByRange must range the
+    partitions along the DESCENDING order for the offsets to line up."""
+    from etl_bigquery_pipeline_spark.operators import windows as W
+
+    n = 37
+    df = spark.createDataFrame(
+        [(i, (i * 13) % 11) for i in range(n)], "id bigint, v bigint"
+    )
+    expect = {
+        (r.id, r.rn)
+        for r in df.selectExpr(
+            "id", "row_number() over (order by v desc, id) as rn"
+        ).collect()
+    }
+    for par in (1, 4, 9):
+        got, total = W.with_global_row_number(
+            df, [F.col("v").desc(), F.col("id")], rn_col="rn", partitions=par
+        )
+        assert total == n
+        assert {(r.id, r.rn) for r in got.select("id", "rn").collect()} == expect
+    spark.catalog.clearCache()
+
+
 def test_compact_small_files(spark, tmp_path):
     from etl_bigquery_pipeline_spark.operators.layout import compact_small_files
 
