@@ -22,68 +22,22 @@ SF0001 = "/root/testdata/sf0.001"
 # The driver samples the first N registered queries per round (50 in
 # recent rounds). _SAMPLE_FIRST is rebuilt each round from the set of
 # oracled catalog queries that do NOT yet have a green CORRECTNESS row
-# in any prior round (cumulative r01-r04: 145 green). Rows-only queries
-# (compression_ratio_quality, pq_cosine_topk, ivf_cosine_topk,
-# approx_distinct_orders, lsh_cosine_topk) are EXCLUDED -- they have no
-# oracle_sql entry and can never produce a green row; their oracled
-# recall/error gates are in the list or already green.
+# in any prior round (cumulative r01-r05: 194 green of 275 oracled).
+# Rows-only queries (compression_ratio_quality, pq_cosine_topk,
+# ivf_cosine_topk, approx_distinct_orders, lsh_cosine_topk) are
+# EXCLUDED -- they have no oracle_sql entry and can never produce a
+# green hash row; their oracled recall/error gates are covered.
 #
-# ROUND-6 NOTE: after CORRECTNESS_r05 lands, rebuild this list again
-# from the still-uncovered set (expected: the ~78 names past r05's
-# 50-sample window, i.e. everything below the first 50 entries here,
-# minus any newly greened). All 128 names below were judge-verified
-# green at sf0.01 in the round-4 VERDICT sweep.
+# ROUND-7 NOTE: after CORRECTNESS_r06 lands, rebuild again from the
+# still-uncovered set (expected: the ~31 names past r06's 50-sample
+# window, minus any newly greened, plus any round-6 additions).
+# clamped_running_inventory leads: its round-5 driver red was a pure
+# type mismatch (Spark BIGINT vs oracle DOUBLE stockout_moves, values
+# identical) fixed this round by aligning both sides to BIGINT.
 _SAMPLE_FIRST = [
-    "orders_aging_buckets",
-    "events_heatmap_dow_hour",
-    "ann_mrr_ndcg_eval",
-    "token_budget_coverage",
-    "ngram_novelty_scores",
-    "quantile_transform_uniformity_gate",
-    "price_size_slope_by_brand",
-    "markup_density_stats",
-    "salted_agg_parity",
-    "revenue_bridge_decomposition",
-    "linear_attribution",
-    "srm_assignment_check",
-    "cuped_variance_reduction",
-    "seasonal_naive_backtest",
-    "cohort_ltv_curves",
-    "degree_distribution_slope",
-    "discount_qty_corr_by_brand",
-    "event_type_runs",
     "clamped_running_inventory",
-    "largest_remainder_allocation",
-    "decayed_part_popularity",
-    "empirical_resample_stats",
-    "hll_intersection_estimate_gate",
-    "covered_time_per_user",
-    "order_fulfillment_status",
-    "business_days_to_ship",
-    "revenue_changepoint_cusum",
-    "weighted_median_price",
-    "key_skew_profile",
-    "embedding_drift_gate",
-    "reactivated_users",
-    "yoy_revenue_growth",
-    "inclusion_dependency_profile",
-    "null_pattern_profile",
-    "knn_distance_outliers",
-    "calendar_dimension_build",
-    "geo_grid_density",
-    "top_session_paths",
-    "jl_projection_gate",
-    "join_fanout_histogram",
-    "sources_nucleus_p90",
-    "dataset_content_fingerprints",
-    "click_exposure_conversion",
-    "churn_labels",
-    "event_type_correlations",
-    "time_weighted_avg_value",
-    "phrase_search_postings",
-    "cep_purchase_without_view",
-    "collapse_rare_categories",
-    "full_star_join_summary",
+    "temperature_mixture_rates",
+    "semantic_decontamination",
     "revenue_trend_ols",
     "readability_scores",
     "nation_share_within_region",
@@ -162,11 +116,7 @@ _SAMPLE_FIRST = [
     "lsh_false_positive_audit",
     "minhash_estimate_error_gate",
     "embedding_norm_outliers",
-    # round-5 additions (sampled after the backlog drains):
-    "semantic_decontamination",
-    "temperature_mixture_rates",
 ]
-
 
 def _ordered(mapping: dict) -> dict:
     first = {k: mapping[k] for k in _SAMPLE_FIRST if k in mapping}

@@ -12076,8 +12076,8 @@ p AS (
 SELECT l_partkey,
        CAST(COUNT(*) AS BIGINT) AS n_moves,
        round(MAX(pref - least(min_pref, 0)), 2) AS peak_stock,
-       round(SUM(CASE WHEN pref - least(min_pref, 0) = 0 THEN 1
-                      ELSE 0 END), 0) AS stockout_moves
+       CAST(SUM(CASE WHEN pref - least(min_pref, 0) = 0 THEN 1
+                     ELSE 0 END) AS BIGINT) AS stockout_moves
 FROM p GROUP BY l_partkey
 """
 
@@ -12115,9 +12115,9 @@ def clamped_running_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_moves"),
         F.round(F.max(stock), 2).alias("peak_stock"),
-        F.round(F.sum(F.when(stock == 0, 1).otherwise(0)), 0).alias(
-            "stockout_moves"
-        ),
+        F.sum(F.when(stock == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("stockout_moves"),
     )
 
 

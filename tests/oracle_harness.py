@@ -25,6 +25,73 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+_SPARK_INT = {"tinyint", "smallint", "int", "bigint", "long", "integer"}
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+
+
+def _spark_type_category(dtype: str) -> str:
+    d = dtype.lower()
+    if d in _SPARK_INT:
+        return "int"
+    if d in ("float", "double"):
+        return "float"
+    if d.startswith("decimal"):
+        return "decimal"
+    if d == "boolean":
+        return "bool"
+    if d in ("string", "varchar"):
+        return "str"
+    if d == "date":
+        return "date"
+    if d.startswith("timestamp"):
+        return "ts"
+    return "other"
+
+
+def _duck_type_category(t: Any) -> str:
+    d = str(t).upper()
+    if d in _DUCK_INT:
+        return "int"
+    if d in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if d.startswith("DECIMAL"):
+        return "decimal"
+    if d == "BOOLEAN":
+        return "bool"
+    if d in ("VARCHAR", "TEXT", "STRING"):
+        return "str"
+    if d == "DATE":
+        return "date"
+    if d.startswith("TIMESTAMP"):
+        return "ts"
+    return "other"
+
+
+def type_mismatches(spark_df, rel) -> list[str]:
+    """Per-column type-CATEGORY diff between a Spark DataFrame and a DuckDB
+    relation (schema-only — neither side executes).
+
+    The driver's value hash is type-sensitive in a way the %.10g cell
+    normalization below is not: an int cell `13` and a float cell `13.0`
+    both render "13" here but hash differently there (round-5 driver red
+    on clamped_running_inventory: Spark BIGINT vs oracle DOUBLE, values
+    identical). Categories (int/float/decimal/bool/str/date/ts) mirror
+    how Python cell types differ after collect/fetchall, which is what
+    the driver's pandas-based hash actually sees."""
+    s_cats = {n: _spark_type_category(t) for n, t in spark_df.dtypes}
+    d_cats = {
+        n: _duck_type_category(t) for n, t in zip(rel.columns, rel.types)
+    }
+    return [
+        f"{n}: spark={s_cats[n]} duck={d_cats[n]}"
+        for n in s_cats
+        if n in d_cats and s_cats[n] != d_cats[n]
+    ]
+
+
 def _norm_cell(v: Any) -> str:
     if v is None:
         return "∅"
@@ -56,6 +123,10 @@ def compare(
 
     if sorted(s_cols) != sorted(d_cols):
         return False, f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    tmis = type_mismatches(spark_df, rel)
+    if tmis:
+        return False, "type categories differ (driver hash distinguishes " \
+            "these even when %.10g-rendered values agree): " + "; ".join(tmis)
     if len(s_rows) != len(d_rows):
         return False, f"row count differs: spark={len(s_rows)} duck={len(d_rows)}"
     cs = canonicalize(s_cols, s_rows)

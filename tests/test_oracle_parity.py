@@ -4,6 +4,7 @@ DuckDB oracle at sf0.001 (fast; the driver re-checks at sf0.01)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_bigquery_pipeline_spark.plans import catalog
 from tests.oracle_harness import compare, duckdb_connection
@@ -56,6 +57,36 @@ def test_oracled_schemas_are_atomic(spark):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not offenders, f"non-atomic output columns: {offenders}"
+
+
+def test_type_category_drift_is_caught(spark, con):
+    """The driver's hash distinguishes int 13 from float 13.0; the
+    harness's %.10g cell rendering does not (the round-5
+    clamped_running_inventory red shipped through a green local sweep
+    exactly this way). compare() must now fail a seeded int-vs-float
+    drift on its own, before any value comparison could pass it."""
+    df = spark.range(1).select(F.lit(13).cast("bigint").alias("x"))
+    ok, msg = compare(df, con, "SELECT 13.0::DOUBLE AS x")
+    assert not ok and "type categories differ" in msg, msg
+    # and the aligned pair passes
+    ok, msg = compare(df, con, "SELECT 13::BIGINT AS x")
+    assert ok, msg
+
+
+def test_no_type_category_drift_catalogwide(spark, con):
+    """Schema-only sweep of every oracled query: Spark dtype category
+    must match DuckDB's bound result type category per column. Cheap
+    (no job runs on either engine) and exactly the class the driver's
+    type-sensitive hash punishes."""
+    from tests.oracle_harness import type_mismatches
+
+    offenders = []
+    for name in sorted(catalog.ORACLE):
+        df = catalog.QUERIES[name](spark, SF)
+        rel = con.sql(catalog.ORACLE[name])
+        for m in type_mismatches(df, rel):
+            offenders.append(f"{name}: {m}")
+    assert not offenders, offenders
 
 
 def test_driver_sample_order_covers_unsampled():
