@@ -116,6 +116,8 @@ _SAMPLE_FIRST = [
     "lsh_false_positive_audit",
     "minhash_estimate_error_gate",
     "embedding_norm_outliers",
+    # round-6 additions (sampled after the backlog drains):
+    "semantic_decon_prefilter_gate",
 ]
 
 def _ordered(mapping: dict) -> dict:

@@ -472,3 +472,140 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "sim", "rank")
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame | None,
+    evals: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    prefilter: str | None = None,
+    bits: int = 4,
+    seed: int = 42,
+    max_flips: int = 1,
+    index_table: str | None = None,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Flag corpus vectors whose max cosine vs ANY eval vector meets
+    ``threshold`` — embedding-space benchmark decontamination (the
+    semantic companion to n-gram decontamination: a paraphrased eval
+    leak shares no 13-gram but still sits next to its source in
+    embedding space). Returns (id_col, max_eval_sim).
+
+    Three candidate strategies, one contract:
+
+    - ``prefilter=None`` (default, EXACT): eval set broadcast, corpus
+      scanned once, per-row max folded map-side — the corpus never
+      shuffles, so the pass costs one scan at any corpus size. Right
+      whenever the eval set fits a broadcast (benchmark eval sets are
+      bounded by construction), and the recall baseline for the rest.
+    - ``prefilter="lsh"``: hyperplane-bucket the corpus map-side (no
+      shuffle — the bucket is a projected expression), explode each
+      eval vector to its multi-probe codes (own bucket + every
+      ``max_flips``-flip neighbor), broadcast-join on the code. Each
+      corpus row is scored only against evals probing its bucket:
+      ~ (bits+1)/2^bits of the eval set instead of all of it. Flags
+      are a strict SUBSET of the exact flags (the final threshold is
+      the exact cosine; the prefilter only drops candidates) — recall
+      is the only loss, gated in plans/catalog.py
+      (semantic_decon_prefilter_gate), same discipline as
+      lsh_recall_vs_exact.
+    - ``index_table``: candidates from a PERSISTED LSH index
+      (operators/ann_index.build_lsh_index) instead of re-hashing the
+      corpus: eval probe codes are collected driver-side (bounded —
+      |evals|×(bits+1) short strings) and pushed into the scan as
+      bucket pruning, so non-matching bucket files are never read.
+      The daily shape when the same corpus is decontaminated against
+      rotating eval sets: hash the corpus once, probe per eval set.
+
+    At 100 TB: every path scans the corpus at most once with zero
+    corpus shuffle; eval-side work is broadcast. Choose exact for a
+    one-shot sweep, the index for repeated sweeps, the inline LSH
+    prefilter when the eval set is large enough that |corpus|×|evals|
+    dot products dominate (the broadcast-join fan-out drops by
+    ~2^bits/(bits+1)).
+    """
+    e_base = evals.select(
+        F.col(vec_col).alias("__ev"), norm(vec_col).alias("__en")
+    )
+    sim = F.round(
+        dot(F.col(vec_col), F.col("__ev"))
+        / (F.col("__cn") * F.col("__en")),
+        sim_decimals,
+    )
+
+    if index_table is not None:
+        from etl_bigquery_pipeline_spark.operators.ann_index import _read_meta
+
+        spark = evals.sparkSession
+        meta = _read_meta(spark, index_table)
+        if meta.get("kind") != "lsh":
+            raise ValueError(
+                f"{index_table!r} is a {meta.get('kind')!r} index; "
+                "semantic_decontaminate probes LSH indexes only"
+            )
+        dim, bits, seed = meta["dim"], meta["bits"], meta["seed"]
+        e = evals.select(
+            F.col(vec_col).alias("__ev"),
+            norm(vec_col).alias("__en"),
+            F.explode(
+                probe_buckets(
+                    hyperplane_bucket(
+                        vec_col, dim=dim, bits=bits, seed=seed
+                    ),
+                    bits=bits,
+                    max_flips=max_flips,
+                )
+            ).alias("bucket"),
+        )
+        codes = sorted({r.bucket for r in e.select("bucket").collect()})
+        c = (
+            spark.table(index_table)
+            .filter(F.col("bucket").isin(codes))
+            .select(
+                F.col("neighbor_id").alias(id_col),
+                F.col("vec").alias(vec_col),
+                F.col("vnorm").alias("__cn"),
+                "bucket",
+            )
+        )
+        scored = c.join(F.broadcast(e), "bucket")
+    elif prefilter == "lsh":
+        e = evals.select(
+            F.col(vec_col).alias("__ev"),
+            norm(vec_col).alias("__en"),
+            F.explode(
+                probe_buckets(
+                    hyperplane_bucket(
+                        vec_col, dim=dim, bits=bits, seed=seed
+                    ),
+                    bits=bits,
+                    max_flips=max_flips,
+                )
+            ).alias("__bkt"),
+        )
+        c = widen_if_narrow(corpus, id_col).select(
+            id_col,
+            vec_col,
+            norm(vec_col).alias("__cn"),
+            hyperplane_bucket(vec_col, dim=dim, bits=bits, seed=seed).alias(
+                "__bkt"
+            ),
+        )
+        scored = c.join(F.broadcast(e), "__bkt")
+    elif prefilter is None:
+        c = widen_if_narrow(corpus, id_col).select(
+            id_col, vec_col, norm(vec_col).alias("__cn")
+        )
+        scored = c.join(F.broadcast(e_base))
+    else:
+        raise ValueError(f"unknown prefilter {prefilter!r}")
+
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max(sim).alias("max_eval_sim"))
+        .filter(F.col("max_eval_sim") >= threshold)
+    )

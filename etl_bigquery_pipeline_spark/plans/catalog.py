@@ -13262,24 +13262,16 @@ FROM m WHERE max_eval_sim >= 0.9
 """
 
 
-@query("semantic_decontamination", _SEMDECON_ORACLE)
-def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space benchmark decontamination (the semantic companion
-    to the n-gram `decontamination` query: paraphrased eval leakage that
-    shares no 13-gram still sits next to its source in embedding space):
-    flag corpus vectors whose max cosine vs ANY eval vector >= 0.9.
-    Eval set = every 50th vector; contamination is planted by leaking
-    every 100th eval vector back into the corpus under a shifted id
-    (the corpus has no natural near-dups), same planting discipline as
-    the dedup family. Plan shape: eval set broadcast, corpus scanned
-    once, per-corpus-row max folded map-side — the corpus never
-    shuffles, so the pass costs one scan at any corpus size (the same
-    economics as `decontamination`'s broadcast eval-grams)."""
-    from etl_bigquery_pipeline_spark.functions import vectors as V
-
+def _semdecon_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(corpus, evals) for the decontamination pair: eval set = every
+    50th vector; contamination planted by leaking every 100th eval
+    vector back into the corpus under a shifted id (the corpus has no
+    natural near-dups), same planting discipline as the dedup family."""
     emb = _t(spark, sf_dir, "embeddings")
     evals = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("embedding").alias("__ev"), norm("embedding").alias("__en")
+        "vec_id", "embedding"
     )
     planted = emb.filter(F.col("vec_id") % 100 == 0).select(
         (F.col("vec_id") + 1000003).alias("vec_id"), "embedding"
@@ -13289,18 +13281,80 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .unionByName(planted)
     )
-    c = corpus.select(
-        "vec_id", "embedding", norm("embedding").alias("__cn")
+    return corpus, evals
+
+
+@query("semantic_decontamination", _SEMDECON_ORACLE)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (the semantic companion
+    to the n-gram `decontamination` query: paraphrased eval leakage that
+    shares no 13-gram still sits next to its source in embedding space):
+    flag corpus vectors whose max cosine vs ANY eval vector >= 0.9.
+    Inputs per _semdecon_inputs; the operator is
+    operators/similarity.semantic_decontaminate (exact path — eval set
+    broadcast, corpus scanned once, per-corpus-row max folded map-side;
+    the corpus never shuffles, the same economics as `decontamination`'s
+    broadcast eval-grams). The LSH-prefiltered and persisted-index
+    variants of the same operator are gated by
+    semantic_decon_prefilter_gate."""
+    from etl_bigquery_pipeline_spark.operators.similarity import (
+        semantic_decontaminate,
     )
-    sim = F.round(
-        V.dot("embedding", "__ev") / (F.col("__cn") * F.col("__en")), 6
+
+    corpus, evals = _semdecon_inputs(spark, sf_dir)
+    return semantic_decontaminate(corpus, evals, threshold=0.9)
+
+
+@query(
+    "semantic_decon_prefilter_gate",
+    "SELECT true AS subset_ok, true AS recall_ok",
+)
+def semantic_decon_prefilter_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality gate for the approximate decontamination paths (same
+    discipline as lsh_recall_vs_exact): the LSH-prefiltered flag set
+    must be a SUBSET of the exact flags (structural — the prefilter
+    only drops candidates before the exact cosine threshold, so any
+    extra flag is a bug, not noise) and must recover >= 0.8 of them
+    (4-bit hyperplanes + 1-flip multi-probe keep ~0.9 of true
+    cosine>=0.9 pairs in expectation; planted leaks are exact
+    duplicates, which always share a bucket). Emits one boolean row so
+    the oracle is trivial while both bounds are computed in Spark."""
+    from etl_bigquery_pipeline_spark.operators.similarity import (
+        semantic_decontaminate,
     )
-    m = (
-        c.join(F.broadcast(evals))
-        .groupBy("vec_id")
-        .agg(F.max(sim).alias("max_eval_sim"))
+
+    corpus, evals = _semdecon_inputs(spark, sf_dir)
+    exact = semantic_decontaminate(corpus, evals, threshold=0.9)
+    approx = semantic_decontaminate(
+        corpus, evals, threshold=0.9, prefilter="lsh", bits=4, max_flips=1
     )
-    return m.filter(F.col("max_eval_sim") >= 0.9)
+    joined = (
+        exact.select(F.col("vec_id"), F.lit(1).alias("__e"))
+        .join(
+            approx.select(F.col("vec_id"), F.lit(1).alias("__a")),
+            "vec_id",
+            "full_outer",
+        )
+    )
+    return joined.agg(
+        (F.sum(F.when(F.col("__e").isNull(), 1).otherwise(0)) == 0).alias(
+            "subset_ok"
+        ),
+        (
+            F.try_divide(
+                F.sum(
+                    F.when(
+                        F.col("__e").isNotNull() & F.col("__a").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.sum(F.when(F.col("__e").isNotNull(), 1).otherwise(0)),
+            )
+            >= 0.8
+        ).alias("recall_ok"),
+    )
 
 
 _TEMPMIX_ORACLE = """

@@ -184,3 +184,46 @@ def test_hard_negatives_exclude_same_label(spark):
     assert 2 not in ranked
     labels = {1: "a", 2: "a", 3: "b", 4: "b", 5: "c"}
     assert all(labels[r.neighbor_id] != "a" for r in out)
+
+
+def test_semantic_decontaminate_paths_agree(spark, tmp_path):
+    """Exact / LSH-prefiltered / persisted-index decontamination on a
+    corpus with planted leaks: exact flags exactly the planted ids, the
+    approximate paths flag a subset of exact (structural — the prefilter
+    only drops candidates), and on exact-duplicate leaks (always
+    bucket-identical) both recover everything."""
+    import numpy as np
+
+    from etl_bigquery_pipeline_spark.operators import ann_index
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 8)).astype("float32")
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    evals = [(1000 + i, base[i].tolist()) for i in range(5)]
+    # corpus: 35 unrelated vectors + the 5 eval vectors leaked verbatim
+    corpus = [(i, base[5 + i].tolist()) for i in range(35)] + [
+        (500 + i, base[i].tolist()) for i in range(5)
+    ]
+    schema = "vec_id long, embedding array<float>"
+    cdf = spark.createDataFrame(corpus, schema)
+    edf = spark.createDataFrame(evals, schema)
+
+    exact = similarity.semantic_decontaminate(
+        cdf, edf, threshold=0.9, dim=8
+    )
+    got = {r.vec_id for r in exact.collect()}
+    assert got == {500, 501, 502, 503, 504}
+
+    lsh = similarity.semantic_decontaminate(
+        cdf, edf, threshold=0.9, dim=8, prefilter="lsh", bits=4
+    )
+    lsh_ids = {r.vec_id for r in lsh.collect()}
+    assert lsh_ids == got  # exact duplicates always share a bucket
+
+    ann_index.build_lsh_index(
+        cdf, "semdecon_unit_idx", dim=8, bits=4, seed=42
+    )
+    idx = similarity.semantic_decontaminate(
+        None, edf, threshold=0.9, index_table="semdecon_unit_idx"
+    )
+    assert {r.vec_id for r in idx.collect()} == got
