@@ -111,11 +111,17 @@ def pagerank_scaled(
     deg = scoped_cache(
         adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     )
+    # the (src, dst, deg) join is ALSO loop-invariant — hoisting it out
+    # of the loop turns each iteration into a single vertex-keyed join
+    # instead of two, and caches the adjacency already shuffled by src.
+    # deg stays in the row (pr / deg, same float op order as the oracle's
+    # SUM(pr/deg)) rather than a precomputed 1/deg weight, which would
+    # change the doubles.
+    adj_deg = scoped_cache(adj.join(deg, "src"))
     pr = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
     for _ in range(iters):
         contrib = (
-            adj.join(deg, "src")
-            .join(pr.withColumnRenamed("node", "src"), "src")
+            adj_deg.join(pr.withColumnRenamed("node", "src"), "src")
             .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
