@@ -17,7 +17,9 @@ regression that an idle re-run showed was load, not code).
 
 CLI: --sf DIR (overrides $SPARK_GRAFT_SF_DIR), --subset headline|heavy
 (heavy = SCALE.md's 10x-rehearsal set, for use with
-scripts/gen_scaled_testdata.py output), --repeats N.
+scripts/gen_scaled_testdata.py output), --repeats N, --queries a,b,c
+(explicit catalog-query list, overrides --subset — for the beyond-10x
+rehearsals where the quadratic-by-data queries must be excluded).
 """
 
 from __future__ import annotations
@@ -406,10 +408,23 @@ def main() -> None:
         "bench runs at end-of-round under load and a single sample cried "
         "wolf in r5; 1 for heavy, comparable with SCALE.md's table)",
     )
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated catalog query names; overrides --subset "
+        "(single-run like heavy unless --repeats is given)",
+    )
     args = ap.parse_args()
     sf_dir = args.sf
-    bench_queries = HEAVY_QUERIES if args.subset == "heavy" else BENCH_QUERIES
-    repeats = args.repeats or (1 if args.subset == "heavy" else 2)
+    if args.queries:
+        bench_queries = [q for q in args.queries.split(",") if q]
+        unknown = [q for q in bench_queries if q not in catalog.QUERIES]
+        if unknown:
+            ap.error(f"unknown catalog queries: {unknown}")
+        args.subset = "custom"
+    else:
+        bench_queries = HEAVY_QUERIES if args.subset == "heavy" else BENCH_QUERIES
+    repeats = args.repeats or (1 if args.subset != "headline" else 2)
 
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
