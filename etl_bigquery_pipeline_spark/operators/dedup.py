@@ -292,9 +292,18 @@ def minhash_near_dup_pairs(
     )
     a = sh_df.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = sh_df.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    # The candidate-pair set is DATA-DEPENDENT and unbounded (it grows with
+    # the corpus's true duplicate rate), so it must never be a broadcast
+    # side: at the sf10 (100x) rehearsal AQE judged the post-distinct pair
+    # stage "small" from its compressed shuffle bytes, converted the verify
+    # join to broadcast, and the driver-side HashedRelation build blew past
+    # 1 GiB. merge hints pin both verify joins to sort-merge — the only
+    # strategy whose memory is O(1) in candidate count on every side
+    # (spills instead of building an in-heap hash of an unbounded set).
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+        cands.hint("merge")
+        .join(a, "id_a")
+        .join(b.hint("merge"), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -59,6 +59,14 @@ def get_session(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # Dimensions up to 64 MiB broadcast instead of shuffling the fact side.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # AQE's runtime broadcast DEMOTION threshold is deliberately lower
+        # than the static one: runtime conversions are judged on COMPRESSED
+        # shuffle bytes, and the driver-built HashedRelation expands those
+        # 5-20x in heap (two-long rows compress extremely well). At 64 MiB
+        # a "small" 60 MiB candidate-pair stage became a >1 GiB driver
+        # build and killed minhash_near_dup_pairs at the 100x rehearsal
+        # (sf10); 16 MiB caps the worst-case expansion near ~300 MiB.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
