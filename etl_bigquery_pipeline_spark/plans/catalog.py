@@ -736,8 +736,29 @@ def _cosine_sql(a: str, b: str) -> str:
     return f"round({dot} / ({na} * {nb}), 6)"
 
 
+# ANN/recall/eval query panels are FIXED-SIZE, not corpus-proportional:
+# every Nth vector UP TO AN ID CAP. A recall/top-k gate gets no more
+# statistically useful with a proportional panel, but its exact arm pays
+# |panel| x |corpus| — proportional panels make every such gate QUADRATIC
+# in scale. Measured at the sf10 (100x bench) rehearsal before the cap:
+# lsh_recall_vs_exact cost 298x for 100x data (1.5s -> 448s). The cap
+# binds only above ~sf5 (vec_id < 102400 covers every vector at driver
+# and bench scales, embeddings Nv = 20k x sf), so oracle results are
+# bit-identical where the driver compares; at 100x it pins the panels at
+# 4096/2048/1024 queries (moduli 25/50/100) and the exact arms go linear.
+_ANN_PANEL_MAX_ID = 102400
+
+
+def _ann_panel(emb: DataFrame, modulus: int) -> DataFrame:
+    return emb.filter(
+        (F.col("vec_id") % modulus == 0)
+        & (F.col("vec_id") < _ANN_PANEL_MAX_ID)
+    )
+
+
 _TOPK_SIM_ORACLE = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 50 = 0 AND vec_id < {_ANN_PANEL_MAX_ID}),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
 s AS (
   SELECT query_id, neighbor_id, {_cosine_sql("qv", "cv")} AS sim
@@ -753,11 +774,11 @@ SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5
 
 @query("similarity_topk", _TOPK_SIM_ORACLE)
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for every 50th vector as query: broadcast
+    """Brute-force cosine top-5 over the fixed query panel: broadcast
     queries x one corpus scan, JVM-side double accumulation, window rank
     over (rounded sim desc, id asc)."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = _ann_panel(emb, 50)
     out = similarity.cosine_topk(
         emb, queries, k=5, id_col="vec_id", vec_col="embedding",
         query_id_col="query_id",
@@ -1525,7 +1546,7 @@ def lsh_cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale path next to the exact similarity_topk (recall measured in
     tests/test_approx.py)."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = _ann_panel(emb, 50)
     out = similarity.lsh_cosine_topk(
         emb, queries, k=5, id_col="vec_id", vec_col="embedding",
         query_id_col="query_id", dim=64, bits=4, seed=42,
@@ -1608,7 +1629,7 @@ def ivf_cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_approx.py). Rows-only: k-means cells are not
     SQL-replicable."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = _ann_panel(emb, 50)
     out = similarity.ivf_cosine_topk(
         emb, queries, k=5, id_col="vec_id", vec_col="embedding",
         query_id_col="query_id", nlist=16, nprobe=4, seed=42,
@@ -1679,7 +1700,7 @@ def lsh_index_probe_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_bigquery_pipeline_spark.operators import ann_index
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    queries_df = _ann_panel(emb, 50)
     ann_index.build_lsh_index(
         emb, "ann_lsh_catalog", dim=_DIM, bits=4, seed=42
     )
@@ -3365,7 +3386,7 @@ def pq_cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes every scanned row costs ~30x). Rows-only: k-means codebooks are
     not SQL-replicable; recall is gated by pq_recall_vs_exact."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    queries_df = _ann_panel(emb, 50)
     out = pq.pq_topk(
         emb, queries_df, k=5, rerank=50, id_col="vec_id",
         vec_col="embedding", query_id_col="query_id", m=8, codebook_k=16,
@@ -6619,7 +6640,7 @@ def _cosine_sql_dims(a: str, b: str, dims: int) -> str:
 _TRUNC_PREFIX_DIMS = 16
 _TRUNC_TOPK_ORACLE = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-           WHERE vec_id % 50 = 0),
+           WHERE vec_id % 50 = 0 AND vec_id < {_ANN_PANEL_MAX_ID}),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
 s1 AS (
   SELECT query_id, neighbor_id,
@@ -6656,7 +6677,7 @@ def truncated_dim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale: one cheap corpus scan, candidates broadcast back, corpus never
     shuffles."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    queries_df = _ann_panel(emb, 50)
     out = similarity.truncated_prefilter_topk(
         emb, queries_df, k=5, prefix_dims=_TRUNC_PREFIX_DIMS,
         candidate_factor=4, id_col="vec_id", vec_col="embedding",
@@ -7648,7 +7669,8 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HARD_NEG_ORACLE = f"""
 WITH q AS (SELECT vec_id AS query_id, label AS qlab, embedding AS qv
-           FROM embeddings WHERE vec_id % 100 = 0),
+           FROM embeddings
+           WHERE vec_id % 100 = 0 AND vec_id < {_ANN_PANEL_MAX_ID}),
 c AS (SELECT vec_id AS neighbor_id, label AS clab, embedding AS cv
       FROM embeddings),
 s AS (
@@ -7671,7 +7693,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused into the join predicate. The negatives that look most like
     positives are the ones a contrastive batch actually learns from."""
     emb = _t(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    probes = _ann_panel(emb, 100)
     out = similarity.hard_negatives(
         emb, probes, k=3, id_col="vec_id", vec_col="embedding",
         label_col="label", query_id_col="query_id",
@@ -11158,7 +11180,7 @@ def calendar_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_OUT_ORACLE = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-           WHERE vec_id % 25 = 0),
+           WHERE vec_id % 25 = 0 AND vec_id < {_ANN_PANEL_MAX_ID}),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
 s AS (
   SELECT query_id, neighbor_id, {{cos}} AS sim
@@ -11196,7 +11218,7 @@ def knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_bigquery_pipeline_spark.operators import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    probes = _ann_panel(emb, 25)
     topk = similarity.cosine_topk(
         emb, probes, k=5, id_col="vec_id", vec_col="embedding",
         query_id_col="query_id",
@@ -13032,7 +13054,7 @@ def token_budget_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MRR_NDCG_ORACLE = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-           WHERE vec_id % 50 = 0),
+           WHERE vec_id % 50 = 0 AND vec_id < {_ANN_PANEL_MAX_ID}),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
 ex AS (
   SELECT query_id, neighbor_id,
@@ -13087,7 +13109,7 @@ def ann_mrr_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_bigquery_pipeline_spark.functions.vectors import dot, norm
 
     emb = _t(spark, sf_dir, "embeddings").transform(scoped_cache)
-    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    probes = _ann_panel(emb, 50)
 
     def ranking(vec_slice_dims):
         if vec_slice_dims is None:
@@ -13248,11 +13270,14 @@ def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDECON_ORACLE = f"""
 WITH e AS (SELECT vec_id AS eval_id, embedding AS ev
-           FROM embeddings WHERE vec_id % 50 = 0),
+           FROM embeddings
+           WHERE vec_id % 50 = 0 AND vec_id < {_ANN_PANEL_MAX_ID}),
 planted AS (SELECT vec_id + 1000003 AS vec_id, embedding
-            FROM embeddings WHERE vec_id % 100 = 0),
+            FROM embeddings
+            WHERE vec_id % 100 = 0 AND vec_id < {_ANN_PANEL_MAX_ID}),
 c AS (SELECT vec_id, embedding AS cv FROM
-        (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0
+        (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id % 50 <> 0 OR vec_id >= {_ANN_PANEL_MAX_ID}
          UNION ALL SELECT * FROM planted)),
 m AS (
   SELECT c.vec_id, max({_cosine_sql("cv", "ev")}) AS max_eval_sim
@@ -13270,14 +13295,18 @@ def _semdecon_inputs(
     vector back into the corpus under a shifted id (the corpus has no
     natural near-dups), same planting discipline as the dedup family."""
     emb = _t(spark, sf_dir, "embeddings")
-    evals = emb.filter(F.col("vec_id") % 50 == 0).select(
-        "vec_id", "embedding"
-    )
-    planted = emb.filter(F.col("vec_id") % 100 == 0).select(
+    evals = _ann_panel(emb, 50).select("vec_id", "embedding")
+    planted = _ann_panel(emb, 100).select(
         (F.col("vec_id") + 1000003).alias("vec_id"), "embedding"
     )
+    # corpus = exact complement of the eval panel (plus the planted
+    # leaks): the panel cap keeps the eval side a bounded broadcast at
+    # any corpus scale — the operator's documented contract
     corpus = (
-        emb.filter(F.col("vec_id") % 50 != 0)
+        emb.filter(
+            (F.col("vec_id") % 50 != 0)
+            | (F.col("vec_id") >= _ANN_PANEL_MAX_ID)
+        )
         .select("vec_id", "embedding")
         .unionByName(planted)
     )
