@@ -45,6 +45,38 @@ def test_minhash_has_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_minhash_verify_joins_are_sort_merge(spark, sf_dir):
+    # The candidate-pair set grows with the corpus's true duplicate rate
+    # — unbounded by design — so the exact-Jaccard verify joins must
+    # never hash-build it. The sf10 (100x) rehearsal caught AQE
+    # broadcasting it (compressed shuffle bytes looked small, the
+    # driver-side HashedRelation build blew past 1 GiB); merge hints pin
+    # both verify joins to sort-merge, and this test pins the hints.
+    # >=2 SMJs = the two verify joins. The plan's one BroadcastHashJoin
+    # is _drop_hot_buckets' left-anti against the (bounded, explicitly
+    # broadcast) hot-key set — that one is supposed to broadcast.
+    plan = _plan(spark, "minhash_near_dup_pairs", sf_dir)
+    assert plan.count("SortMergeJoin") >= 2
+
+
+def test_ann_query_panels_are_bounded(spark):
+    # ANN/recall/eval panels must be FIXED-SIZE, not corpus-proportional:
+    # a proportional panel makes every exact-arm gate quadratic in scale
+    # (measured: lsh_recall_vs_exact 298x cost at 100x data before the
+    # cap). Whatever the corpus size, the panel never exceeds cap/modulus.
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.plans.catalog import (
+        _ANN_PANEL_MAX_ID,
+        _ann_panel,
+    )
+
+    emb = spark.range(0, 400_000).select(F.col("id").alias("vec_id"))
+    for modulus in (25, 50, 100):
+        n = _ann_panel(emb, modulus).count()
+        assert n == _ANN_PANEL_MAX_ID // modulus
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     from etl_bigquery_pipeline_spark.sources.readers import read_table
 
