@@ -1206,8 +1206,16 @@ def prefix_filter_jaccard_pairs(
     )
     a = pos.select(F.col("__id").alias("id_a"), F.col("__m").alias("na"), "__tok")
     b = pos.select(F.col("__id").alias("id_b"), F.col("__m").alias("nb"), "__tok")
+    # Both sides of the prefix-token self-join are corpus-proportional,
+    # but Catalyst's STATIC row estimate (window filter selectivity)
+    # reads the build side as tiny and plans a broadcast — at the sf10
+    # (100x) rehearsal that build died at >1 GiB. Pin to sort-merge:
+    # neither side of a self-join may ever be a hash-build side (SMJ
+    # spills; a hash build does not). Costs ~1s at bench scale vs the
+    # broadcast (6.7 -> 7.6s; shuffle_hash measured slower still at
+    # 9.5s), which is the price of surviving any corpus size.
     cand = (
-        a.join(b, "__tok")
+        a.hint("merge").join(b, "__tok")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("nb") * F.lit(threshold) <= F.col("na"))
@@ -1236,9 +1244,13 @@ def prefix_filter_jaccard_pairs(
     slim = base.join(cand_ids, "__id", "left_semi")
     ta = slim.select(F.col("__id").alias("id_a"), F.col("__toks").alias("__ta"))
     tb = slim.select(F.col("__id").alias("id_b"), F.col("__toks").alias("__tb"))
+    # same discipline as minhash_near_dup_pairs' verify joins: the
+    # candidate-pair set and the surviving-doc array frames are both
+    # unbounded, so the verify joins are pinned to sort-merge too
     scored = (
-        cand.join(ta, "id_a")
-        .join(tb, "id_b")
+        cand.hint("merge")
+        .join(ta, "id_a")
+        .join(tb.hint("merge"), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -59,6 +59,18 @@ def test_minhash_verify_joins_are_sort_merge(spark, sf_dir):
     assert plan.count("SortMergeJoin") >= 2
 
 
+def test_prefix_jaccard_self_join_is_sort_merge(spark, sf_dir):
+    # The prefix-token self-join's sides are corpus-proportional, but a
+    # static mis-estimate broadcast one of them (died at sf10 building a
+    # >1 GiB relation). The only sanctioned broadcasts in this plan are
+    # the vocabulary-sized document-frequency join (__tok = df lookup).
+    plan = _plan(spark, "prefix_jaccard_pairs", sf_dir)
+    assert "SortMergeJoin" in plan
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "__tok" in line  # df-annotation join only
+
+
 def test_ann_query_panels_are_bounded(spark):
     # ANN/recall/eval panels must be FIXED-SIZE, not corpus-proportional:
     # a proportional panel makes every exact-arm gate quadratic in scale
