@@ -36,6 +36,9 @@ SF0001 = "/root/testdata/sf0.001"
 # identical) fixed this round by aligning both sides to BIGINT.
 _SAMPLE_FIRST = [
     "clamped_running_inventory",
+    # round-6 wave 48 additions — newest, least-verified, sample first
+    "bm25_top_docs",
+    "heaps_law_vocab_growth",
     "temperature_mixture_rates",
     "semantic_decontamination",
     "revenue_trend_ols",

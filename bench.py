@@ -290,6 +290,9 @@ BENCH_QUERIES = [
     "canonical_docs_by_fingerprint",
     "copurchase_part_pairs",
     "lsh_index_probe_matches",
+    # round-6 wave 48 additions
+    "bm25_top_docs",
+    "heaps_law_vocab_growth",
 ]
 
 # The 10x-rehearsal subset (SCALE.md "10x scale rehearsal"): the

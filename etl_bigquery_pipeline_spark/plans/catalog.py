@@ -13431,6 +13431,197 @@ def temperature_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===================================================================
+# Round-6 wave 48 — BM25 retrieval scoring, Heaps-law vocab growth
+# ===================================================================
+
+_BM25_TERMS = ("merge", "vector", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents),
+dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ('merge', 'vector', 'window')
+  GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms,
+         SUM( ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({_BM25_K1} + 1)
+              / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, n_terms, round(score, 6) AS bm25
+FROM scored
+ORDER BY round(score, 6) DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("bm25_top_docs", _BM25_ORACLE)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed 3-term query (the retrieval
+    scoring dual of `tfidf_keywords`: tf saturation via k1, length
+    normalization via b — what a training-pipeline's quality-by-query
+    retrieval probe actually ranks with). Shape: the explode is filtered
+    to the query terms BEFORE the groupBy, so the shuffle carries only
+    matching (doc, term) pairs; df is a |query-terms|-row broadcast; N
+    and avgdl ride one 1-row broadcast aggregate; the final top-20 is an
+    ordered limit (TakeOrdered — no global sort). Ordering ties break on
+    the ROUNDED score then doc_id so both engines pick the same 20."""
+    k1, b = _BM25_K1, _BM25_B
+    d = _t(spark, sf_dir, "documents")
+    toks = widen_if_narrow(d, "doc_id").select(
+        "doc_id", TX.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    dl = toks.select(
+        "doc_id", F.size("t").cast("double").alias("dl"), "t"
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+        F.avg("dl").alias("__avgdl"),
+    )
+    tf = (
+        dl.select("doc_id", "dl", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(list(_BM25_TERMS)))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * F.col("tf") * (k1 + 1) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum(contrib).alias("score"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", "n_terms", F.round("score", 6).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+_HEAPS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents),
+m AS (SELECT MAX(doc_id) AS mx FROM documents),
+grams AS (
+  SELECT doc_id, unnest(t) AS g FROM toks
+  UNION ALL
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+1], ' ')
+                 for i in generate_series(1, greatest(len(t) - 1, 1))]) AS g
+  FROM toks),
+own AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+nb AS (
+  SELECT LEAST(CAST(FLOOR(first_doc * 10.0 / (mx + 1)) AS BIGINT), 9) AS bucket,
+         COUNT(*) AS new_grams
+  FROM own CROSS JOIN m
+  GROUP BY 1),
+tb AS (
+  SELECT LEAST(CAST(FLOOR(doc_id * 10.0 / (mx + 1)) AS BIGINT), 9) AS bucket,
+         SUM(len(t)) AS toks
+  FROM toks CROSS JOIN m
+  GROUP BY 1)
+SELECT tb.bucket,
+       CAST(SUM(tb.toks) OVER (ORDER BY tb.bucket) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(nb.new_grams, 0)) OVER (ORDER BY tb.bucket) AS BIGINT) AS cum_vocab,
+       CAST(COALESCE(nb.new_grams, 0) AS BIGINT) AS new_grams
+FROM tb LEFT JOIN nb ON tb.bucket = nb.bucket
+ORDER BY tb.bucket
+"""
+
+
+@query("heaps_law_vocab_growth", _HEAPS_ORACLE)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct vocabulary
+    (unigrams + bigrams) vs cumulative tokens across ten equal-width
+    doc_id buckets — the corpus-profiling curve that tells you whether
+    more data still buys new content or the crawl has saturated.
+
+    Scale shape: a gram's first appearance is just min(doc_id) inside
+    the gram aggregate (the aggregate-side owner-derivation lens from
+    `ngram_novelty_scores` — no join-back, no ordered scan), so the only
+    data-proportional shuffle carries (gram, doc_id). Everything after
+    is 10 bucket rows; the running sums are a bare window over that
+    fixed-width frame (whitelisted)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = widen_if_narrow(d, "doc_id").select(
+        "doc_id", TX.tokens(F.col("text")).alias("t")
+    )
+    mx = d.agg(F.max("doc_id").alias("__mx"))
+
+    def bucket(id_col: Column) -> Column:
+        return F.least(
+            F.floor(id_col * 10.0 / (F.col("__mx") + 1)).cast("bigint"),
+            F.lit(9).cast("bigint"),
+        )
+
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(F.col("t"), TX.ngrams_of(F.col("t"), 2))
+        ).alias("g"),
+    )
+    owners = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    new_per_bucket = (
+        owners.crossJoin(F.broadcast(mx))
+        .groupBy(bucket(F.col("first_doc")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("new_grams"))
+    )
+    toks_per_bucket = (
+        toks.select("doc_id", F.size("t").alias("n_tok"))
+        .crossJoin(F.broadcast(mx))
+        .groupBy(bucket(F.col("doc_id")).alias("bucket"))
+        .agg(F.sum("n_tok").alias("toks"))
+    )
+    joined = toks_per_bucket.join(
+        F.broadcast(new_per_bucket), "bucket", "left"
+    ).select(
+        "bucket",
+        "toks",
+        F.coalesce("new_grams", F.lit(0)).alias("new_grams"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "bucket",
+        F.sum("toks").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum("new_grams").over(w).cast("bigint").alias("cum_vocab"),
+        F.col("new_grams").cast("bigint").alias("new_grams"),
+    ).orderBy("bucket")
+
+
 _DRIVER_COVERED_R02 = [
     "flagship_sales_rollup", "table_row_counts", "null_counts_orders",
     "dup_groups_lineitem_pk", "dup_groups_orderkey", "orphan_lineitem_part",
