@@ -13493,7 +13493,11 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("__n_docs"),
         F.avg("dl").alias("__avgdl"),
     )
-    tf = (
+    # tf is consumed twice (scoring + df counts); without the cache the
+    # second consumer would re-run the tokenize+explode corpus scan —
+    # the dominant cost at scale. Post-filter, tf is bounded by
+    # |matching docs| x |query terms|, so the cache is small.
+    tf = scoped_cache(
         dl.select("doc_id", "dl", F.explode("t").alias("term"))
         .filter(F.col("term").isin(list(_BM25_TERMS)))
         .groupBy("doc_id", "dl", "term")
