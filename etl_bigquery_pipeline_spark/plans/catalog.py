@@ -3387,8 +3387,16 @@ def pq_cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     not SQL-replicable; recall is gated by pq_recall_vs_exact."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = _ann_panel(emb, 50)
+    # Constant-FRACTION rerank (top 10% of the ADC scan, floor 50), not a
+    # constant count: 8x4-bit codes hold ~the same neighbors-per-code
+    # density as the corpus grows, so a fixed 50-candidate rerank covers
+    # a shrinking fraction and recall decays with scale (measured 0.78 ->
+    # 0.50 at 4x corpus, sf0.1 sweep round 6; 10% restores 0.815). The
+    # count() is a cheap single-column scan; at the driver's sf0.001/0.01
+    # scales the floor keeps results bit-identical to the old rerank=50.
+    rerank = max(50, -(-emb.count() // 10))
     out = pq.pq_topk(
-        emb, queries_df, k=5, rerank=50, id_col="vec_id",
+        emb, queries_df, k=5, rerank=rerank, id_col="vec_id",
         vec_col="embedding", query_id_col="query_id", m=8, codebook_k=16,
         seed=42,
     )
@@ -3977,9 +3985,18 @@ def cms_heavy_hitter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-size mergeable aggregate (the 100 TB path: one pass, map-side
     partial sketches, bytes-sized shuffle); the exact side reuses
     skew.heavy_hitters. Probing the collected sketch is a bounded
-    driver-side read of a model-artifact-sized object."""
+    driver-side read of a model-artifact-sized object.
+
+    The over-count tolerance is the sketch's own guarantee — an ADDITIVE
+    eps*N bound (w.p. 1-delta over the seeded hash draw), not a relative
+    one: heavy-hitter counts grow sublinearly with the stream while
+    collision mass grows with N, so a fixed percentage-of-exact bar
+    (the original 5%) silently tightens with scale and failed first at
+    the sf0.1 sweep (over-count 50 vs eps*N=100, round 6). N comes from
+    the sketch itself (totalCount), not a second scan."""
     from etl_bigquery_pipeline_spark.operators import skew
 
+    eps = 0.001
     e = _t(spark, sf_dir, "events")
     exact = {
         r.user_id: r.n for r in skew.heavy_hitters(e, ["user_id"], k=5).collect()
@@ -3987,15 +4004,16 @@ def cms_heavy_hitter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk_bytes = bytes(
         e.select(
             F.count_min_sketch(
-                F.col("user_id"), F.lit(0.001), F.lit(0.99), F.lit(42)
+                F.col("user_id"), F.lit(eps), F.lit(0.99), F.lit(42)
             ).alias("sk")
         ).first()["sk"]
     )
     jvm = spark.sparkContext._jvm
     bais = jvm.java.io.ByteArrayInputStream(sk_bytes)
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bais)
+    bound = eps * cms.totalCount()
     ok = all(
-        n <= cms.estimateCount(int(uid)) <= n * 1.05
+        n <= cms.estimateCount(int(uid)) <= n + bound
         for uid, n in exact.items()
     )
     return spark.createDataFrame([(bool(ok),)], "cms_ok boolean")
