@@ -4715,22 +4715,60 @@ def chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("approx_topk_gate", "SELECT true AS topk_ok")
 def approx_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_top_k gate (Spark 4's built-in sketch-backed top-k): with a
-    generous internal capacity the approximate top-5 users must contain
-    the exact top-5 (skew.heavy_hitters) with exact counts. One pass,
-    mergeable, fixed memory — the cheap first look before committing to
-    the exact TakeOrdered profile on a 100 TB key space."""
+    """approx_top_k gate (Spark 4's built-in sketch-backed top-k): with an
+    internal capacity that dominates the keyspace the sketch never evicts,
+    so estimates are exact — but WHICH k items come back is only defined
+    up to count ties. The sf1.0 sweep (round 6) caught both halves of
+    that contract tuned away at sf0.01: a fixed capacity of 10k
+    saturated at 15k distinct users (a saturated approx_top_k returns an
+    EMPTY list, not degraded estimates), and the exact-set-equality check
+    failed on a 6-way tie at the 5th-place count (6 users at n=96 for 4
+    slots — the sketch's pick and heavy_hitters' deterministic tie-break
+    legitimately disagree). The gate now checks what the sketch actually
+    guarantees, at any scale: (a) the returned COUNT MULTISET equals the
+    exact top-5 count multiset, (b) every returned estimate equals that
+    user's true count (filtered 5-id re-count, pushdown-cheap), (c) every
+    STRICT heavy hitter — true count above 5th place — is present.
+    Capacity = max(10k, 2x count_distinct): one extra single-column agg
+    for a gate; production keyspaces past the 1M-item cap should gate on
+    the sketch's eps*N bound instead (cms_heavy_hitter_gate pattern).
+    One pass, mergeable, fixed memory — the cheap first look before
+    committing to the exact TakeOrdered profile on a 100 TB key space."""
     from etl_bigquery_pipeline_spark.operators import skew
 
     e = _t(spark, sf_dir, "events")
+    n_users = int(
+        e.select(F.count_distinct("user_id").alias("d")).first()["d"]
+    )
+    cap = max(10_000, 2 * n_users)
     exact = {
         r.user_id: r.n for r in skew.heavy_hitters(e, ["user_id"], k=5).collect()
     }
     approx = e.agg(
-        F.expr("approx_top_k(user_id, 5, 10000)").alias("tk")
+        F.expr(f"approx_top_k(user_id, 5, {cap})").alias("tk")
     ).first()["tk"]
     got = {r["item"]: r["count"] for r in approx}
-    ok = all(uid in got and got[uid] == n for uid, n in exact.items())
+    kth = min(exact.values())
+    strict = {u for u, n in exact.items() if n > kth}
+    true_counts = (
+        {
+            r.user_id: r.n
+            for r in e.where(
+                F.col("user_id").isin([int(u) for u in got])
+            )
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if got
+        else {}
+    )
+    ok = (
+        len(got) == len(exact)
+        and sorted(got.values()) == sorted(exact.values())
+        and all(got[u] == true_counts.get(u) for u in got)
+        and strict <= set(got)
+    )
     return spark.createDataFrame([(bool(ok),)], "topk_ok boolean")
 
 
@@ -6669,7 +6707,9 @@ r1 AS (
          ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY psim DESC, neighbor_id ASC) AS prnk
   FROM s1),
-cand AS (SELECT query_id, neighbor_id FROM r1 WHERE prnk <= 20),
+cand AS (SELECT query_id, neighbor_id FROM r1
+         WHERE prnk <= 5 * greatest(4, CAST(ceil(
+               (SELECT count(*) FROM c) / 500.0) AS BIGINT))),
 s2 AS (
   SELECT t.query_id, t.neighbor_id, {_cosine_sql("qv", "cv")} AS sim
   FROM cand t
@@ -6693,12 +6733,21 @@ def truncated_dim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, so the ORACLE REPLAYS BOTH STAGES and the result
     hash-matches — an ANN variant with an exact correctness contract. At
     scale: one cheap corpus scan, candidates broadcast back, corpus never
-    shuffles."""
+    shuffles.
+
+    The candidate budget is a constant FRACTION of the corpus (~1%,
+    floor 20 = the original 4*k): recall of any truncated prefilter
+    tracks the scanned fraction, so a constant count decays with corpus
+    size — the sf1.0 sweep (round 6) measured the fixed-20 recall under
+    the 0.15 floor at 20k vectors, the same defect class as the PQ
+    rerank fix. Floor keeps sf0.001-0.1 outputs bit-identical; the
+    oracle derives the same budget from its own corpus count."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = _ann_panel(emb, 50)
+    factor = max(4, -(-emb.count() // 500))
     out = similarity.truncated_prefilter_topk(
         emb, queries_df, k=5, prefix_dims=_TRUNC_PREFIX_DIMS,
-        candidate_factor=4, id_col="vec_id", vec_col="embedding",
+        candidate_factor=factor, id_col="vec_id", vec_col="embedding",
         query_id_col="query_id",
     )
     return out.select(
