@@ -121,6 +121,7 @@ _SAMPLE_FIRST = [
     "embedding_norm_outliers",
     # round-6 additions (sampled after the backlog drains):
     "semantic_decon_prefilter_gate",
+    "dsir_importance_weights",
 ]
 
 def _ordered(mapping: dict) -> dict:

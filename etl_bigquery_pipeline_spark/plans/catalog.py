@@ -13693,6 +13693,109 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+_DSIR_BUCKETS = 4096
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, source,
+         unnest([array_to_string(t[i:i+1], ' ')
+                 for i in generate_series(1, greatest(len(t) - 1, 1))]) AS g
+  FROM toks),
+hb0 AS (
+  SELECT doc_id, source, substring(md5('dsir:' || g), 1, 8) AS h
+  FROM grams),
+hb AS (
+  SELECT doc_id, source, ({{HEX}}) % {_DSIR_BUCKETS} AS b FROM hb0),
+agg AS (
+  SELECT b, COUNT(*) AS cr,
+         SUM(CASE WHEN CAST(substring(source, 4, 10) AS INT) % 4 = 0
+                  THEN 1 ELSE 0 END) AS ct
+  FROM hb GROUP BY b),
+tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM agg),
+sc AS (
+  SELECT b, ln((ct + 1) / CAST(t.nt + {_DSIR_BUCKETS} AS DOUBLE))
+           - ln((cr + 1) / CAST(t.nr + {_DSIR_BUCKETS} AS DOUBLE)) AS lr
+  FROM agg CROSS JOIN tot t)
+SELECT h.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       round(AVG(s.lr), 6) AS dsir_logratio
+FROM hb h JOIN sc s ON h.b = s.b
+GROUP BY h.doc_id
+""".replace("{HEX}", _hex8_to_int("h"))
+
+
+@query("dsir_importance_weights", _DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public): score each
+    document by the average log-likelihood ratio of its HASHED bigram
+    features under an add-one-smoothed target bag-of-ngrams LM vs the
+    raw-corpus LM. Target here = the deterministic quarter of sources
+    with source number % 4 == 0 (the "curated" slice); raw = the full
+    corpus (target included — a defined estimator, and at 100 TB the
+    raw counts are what one pass gives you). Downstream, these weights
+    feed Gumbel-top-k resampling; the weight computation is the
+    distributed part and is emitted per-doc here.
+
+    Scale shape: feature hashing (md5 -> 4096 buckets) makes BOTH
+    distributions fixed-size — the gram shuffle aggregates map-side
+    into <= 4096 rows regardless of corpus size, the per-bucket score
+    table broadcasts back, and the per-doc mean is one more map-side
+    partial aggregation. Two corpus scans total (bucket counts, then
+    join-back) — deliberately NOT caching the exploded gram frame,
+    which is corpus-token-sized. Only the per-doc AVG is
+    merge-order-sensitive — rounded at 6 (unigram_xent_scores
+    precedent)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = widen_if_narrow(d, "doc_id").select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("t")
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(TX.ngrams_of(F.col("t"), 2)).alias("g"),
+    )
+    hb = grams.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dsir:"), F.col("g"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    is_target = F.substring("source", 4, 10).cast("int") % 4 == 0
+    agg = hb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("ct"),
+    )
+    tot = agg.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    B = F.lit(_DSIR_BUCKETS)
+    sc_df = agg.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1) / (F.col("nt") + B).cast("double"))
+            - F.log((F.col("cr") + 1) / (F.col("nr") + B).cast("double"))
+        ).alias("lr"),
+    )
+    return (
+        hb.join(F.broadcast(sc_df), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.round(F.avg("lr"), 6).alias("dsir_logratio"),
+        )
+    )
+
+
 _DRIVER_COVERED_R02 = [
     "flagship_sales_rollup", "table_row_counts", "null_counts_orders",
     "dup_groups_lineitem_pk", "dup_groups_orderkey", "orphan_lineitem_part",
