@@ -36,7 +36,9 @@ SF0001 = "/root/testdata/sf0.001"
 # identical) fixed this round by aligning both sides to BIGINT.
 _SAMPLE_FIRST = [
     "clamped_running_inventory",
-    # round-6 wave 48 additions — newest, least-verified, sample first
+    # round-6 wave 47-49 additions — newest, least-verified, sample first
+    "semantic_decon_prefilter_gate",
+    "dsir_importance_weights",
     "bm25_top_docs",
     "heaps_law_vocab_growth",
     "temperature_mixture_rates",
@@ -119,9 +121,6 @@ _SAMPLE_FIRST = [
     "lsh_false_positive_audit",
     "minhash_estimate_error_gate",
     "embedding_norm_outliers",
-    # round-6 additions (sampled after the backlog drains):
-    "semantic_decon_prefilter_gate",
-    "dsir_importance_weights",
 ]
 
 def _ordered(mapping: dict) -> dict:
