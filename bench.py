@@ -293,6 +293,11 @@ BENCH_QUERIES = [
     # round-6 wave 48 additions
     "bm25_top_docs",
     "heaps_law_vocab_growth",
+    # round-5/6 curation additions not yet measured: the wave-46 pair
+    # and wave-49 DSIR (each its own family's representative)
+    "semantic_decontamination",
+    "temperature_mixture_rates",
+    "dsir_importance_weights",
 ]
 
 # The 10x-rehearsal subset (SCALE.md "10x scale rehearsal"): the
