@@ -10540,7 +10540,16 @@ def cep_purchase_without_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-PRECEDING frame excludes the current row), and the pattern
     verdict is a plain comparison. No NFA engine, no per-row state
     machine: one user-keyed window pass at any scale. The
-    blind-purchase flag is the classic attribution-gap / bot signal."""
+    blind-purchase flag is the classic attribution-gap / bot signal.
+
+    The gap comparison is in MICROSECONDS (unix_micros), not
+    cast-to-long epoch seconds: casting each timestamp to long FLOORS
+    it, so a true gap of 1800.78s can difference to exactly 1800 and
+    flip the > 30min verdict — caught by the sf1.0 oracle sweep (round
+    6; 1M events put three purchases within 2s of the boundary, where
+    sf0.1's 100k had none). Sub-second boundary events are a
+    scale-frequency fact: any threshold comparison must be computed at
+    the column's native precision."""
     e = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -10560,8 +10569,8 @@ def cep_purchase_without_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.col("last_view_ts").isNull()
                 | (
-                    F.col("ts").cast("long") - F.col("last_view_ts").cast("long")
-                    > 30 * 60
+                    F.unix_micros("ts") - F.unix_micros("last_view_ts")
+                    > 30 * 60 * 1_000_000
                 )
             ).alias("blind_purchase"),
         )
@@ -13721,7 +13730,7 @@ sc AS (
   FROM agg CROSS JOIN tot t)
 SELECT h.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_grams,
-       round(AVG(s.lr), 6) AS dsir_logratio
+       round(AVG(s.lr), 6) + 0.0 AS dsir_logratio
 FROM hb h JOIN sc s ON h.b = s.b
 GROUP BY h.doc_id
 """.replace("{HEX}", _hex8_to_int("h"))
@@ -13748,7 +13757,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-back) — deliberately NOT caching the exploded gram frame,
     which is corpus-token-sized. Only the per-doc AVG is
     merge-order-sensitive — rounded at 6 (unigram_xent_scores
-    precedent)."""
+    precedent), then + 0.0 on BOTH engines: a doc whose mean log-ratio
+    is a hair below zero rounds to IEEE -0.0 on one engine and +0.0 on
+    the other (DuckDB emitted '-0' at sf10, round-6 sweep), and a
+    signed-zero difference is a real hash difference. Adding +0.0
+    canonicalizes both zeros (-0.0 + 0.0 = +0.0 in IEEE 754)."""
     d = _t(spark, sf_dir, "documents")
     toks = widen_if_narrow(d, "doc_id").select(
         "doc_id", "source", TX.tokens(F.col("text")).alias("t")
@@ -13791,7 +13804,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.round(F.avg("lr"), 6).alias("dsir_logratio"),
+            (F.round(F.avg("lr"), 6) + F.lit(0.0)).alias("dsir_logratio"),
         )
     )
 
