@@ -3131,7 +3131,8 @@ conv AS (
   GROUP BY c.user_id, c.click_ts)
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_converting_clicks,
-       round(avg(epoch_us(first_buy_ts - click_ts) / 1000000.0), 4)
+       ((2 * CAST(SUM(epoch_us(first_buy_ts - click_ts)) AS BIGINT)
+         + 100 * COUNT(*)) // (200 * COUNT(*))) / 10000.0
          AS avg_secs_to_buy
 FROM conv GROUP BY user_id
 """
@@ -3165,17 +3166,31 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "click_ts")
         .agg(F.min("buy_ts").alias("first_buy_ts"))
     )
-    return conv.groupBy("user_id").agg(
+    # Exact-integer mean, rounded to 4 decimals in INTEGER arithmetic:
+    # the generator's microsecond gaps routinely end in ...50, i.e.
+    # exact HALF-ties at the 4th decimal, and round(double, 4) is
+    # engine-defined on ties (Spark HALF_UPs the shortest decimal
+    # repr, DuckDB rounds the binary value) — five users disagreed at
+    # sf1.0 (round-6 sweep). (2*sum_us + 100*n) div (200*n) is
+    # half-up in 1e-4-second units with no float in sight; the final
+    # /10000.0 is one correctly-rounded IEEE op on identical integers,
+    # so both engines emit the identical double. Non-tie values are
+    # unchanged vs round(avg, 4).
+    agg = conv.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_converting_clicks"),
-        F.round(
-            F.avg(
-                (
-                    F.unix_micros("first_buy_ts")
-                    - F.unix_micros("click_ts")
-                )
-                / 1_000_000.0
-            ),
-            4,
+        F.sum(
+            F.unix_micros("first_buy_ts") - F.unix_micros("click_ts")
+        ).alias("__us"),
+    )
+    return agg.select(
+        "user_id",
+        "n_converting_clicks",
+        (
+            F.expr(
+                "(2 * __us + 100 * n_converting_clicks)"
+                " div (200 * n_converting_clicks)"
+            )
+            / F.lit(10000.0)
         ).alias("avg_secs_to_buy"),
     )
 
