@@ -75,6 +75,19 @@ def widen_if_narrow(
     text/vector projection: the explicit partition count stops AQE from
     coalescing the compute stage on tiny inputs, while wide at-scale
     inputs pass through shuffle-free.
+
+    Caveat: the width this sees is the PLANNED byte-range split count.
+    A parquet file written as one giant row group yields many planned
+    splits but only ONE that emits rows (a row group is the atomic read
+    unit) — measured at sf10, where a 53 MB single-row-group embeddings
+    file planned 13 splits with 1 effective and serialized a fused
+    N x Q scan (fixed by widening in pq_topk; the repartition separates
+    compute parallelism from scan parallelism even though the READ
+    itself stays single-threaded). Planned >= par with one row group —
+    a single-row-group file bigger than maxPartitionBytes * par — would
+    still pass through unwidened; the real cure for that input is
+    fixing the writer (our sinks bound row-group size via shard
+    repartitioning), since no reader can parallelize inside one group.
     """
     par = (
         min_partitions

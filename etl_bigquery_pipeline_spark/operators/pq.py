@@ -29,6 +29,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_bigquery_pipeline_spark.functions.vectors import dot, norm
+from etl_bigquery_pipeline_spark.operators.partitioning import (
+    widen_if_narrow,
+)
 
 
 def train_pq(
@@ -147,6 +150,14 @@ def pq_topk(
     approximate candidates per query join back to the real vectors for
     exact cosine — so returned scores are exact, and recall is the only
     approximation (gated in the catalog)."""
+    # Widen before encoding: the ADC scan and the rerank projection fuse
+    # into the corpus scan stage, and a badly-laid-out upstream file (one
+    # parquet row group = one effective split, however many byte-range
+    # splits the planner makes) would otherwise serialize the whole
+    # N x Q score scan into a single task — measured at sf10, where the
+    # single-row-group embeddings file pinned 410M ADC lookups on one
+    # core (similarity.py paths already widen; this was the one gap).
+    corpus = widen_if_narrow(corpus, id_col)
     books = train_pq(
         corpus,
         vec_col=vec_col,
