@@ -7735,7 +7735,12 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     green hash proves the prefix filter is LOSSLESS (zero false
     negatives) at this threshold — the property that distinguishes it
     from MinHash-LSH. Planted: 25 near-dup copies (two appended tokens
-    -> two extra shingles, shifted ids)."""
+    -> two extra shingles, shifted ids).
+
+    The quadratic oracle is feasible through sf0.1 (5k docs = 12.5M
+    DuckDB pairs, sweep-verified); at sf1.0 it is 1.25e9 pairs and is
+    the one deliberate skip in the sf1.0 full-catalog sweep (SCALE.md)
+    — the Spark side's sf1.0/sf10 behavior is measured there instead."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     planted = d.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),

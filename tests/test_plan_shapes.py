@@ -150,6 +150,29 @@ def test_widen_if_narrow_adds_no_exchange_on_wide_input(spark, sf_dir):
     assert widened.rdd.getNumPartitions() == par
 
 
+def test_pq_topk_widens_narrow_corpus(spark, sf_dir):
+    """The sf10 single-row-group find (SCALE.md round 6): pq_topk's fused
+    ADC scan must not inherit a degenerate scan width — a narrow corpus
+    gets spread to session parallelism before encoding, so the N x Q
+    score computation parallelizes even when the upstream file is one
+    parquet row group (one effective split). Pin the REPARTITION into
+    the plan on a narrow input."""
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.operators import pq
+    from etl_bigquery_pipeline_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).limit(3)
+    out = pq.pq_topk(
+        emb, queries, k=2, rerank=10, id_col="vec_id",
+        vec_col="embedding", query_id_col="query_id", m=8,
+        codebook_k=4, seed=42,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan
+
+
 def test_ntile_firstvalue_has_no_global_window(spark, sf_dir):
     """The round-2 scale-killer: ntile/cume_dist as bare Window.orderBy
     planned a single-partition WindowExec. The rewrite derives both from
