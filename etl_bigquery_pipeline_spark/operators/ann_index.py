@@ -31,6 +31,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_bigquery_pipeline_spark.functions.vectors import dot, norm
+from etl_bigquery_pipeline_spark.operators.partitioning import (
+    widen_if_narrow,
+)
 from etl_bigquery_pipeline_spark.operators.similarity import (
     _nearest_centroids,
     hyperplane_bucket,
@@ -118,6 +121,11 @@ def build_lsh_index(
     spark = corpus.sparkSession
     _reset_table(spark, table)
     n_buckets = buckets or min(2**bits, 64)
+    # the per-vector bucket/norm projection runs MAP-SIDE of the bucket
+    # shuffle (the exchange needs the key the projection computes), so a
+    # degenerate scan width — e.g. a single-row-group parquet file —
+    # would serialize it; widen first (the pq_topk sf10 find, SCALE.md)
+    corpus = widen_if_narrow(corpus, id_col)
     indexed = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
@@ -257,6 +265,10 @@ def build_ivf_index(
     land in the meta table so probes reuse them without retraining."""
     spark = corpus.sparkSession
     _reset_table(spark, table)
+    # same map-side-projection widening as build_lsh_index — the
+    # nearest-centroid assignment (nlist distances per vector) is the
+    # most expensive per-row expression in this module
+    corpus = widen_if_narrow(corpus, id_col)
     centroids = train_centroids(
         corpus,
         vec_col=vec_col,
