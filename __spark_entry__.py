@@ -39,6 +39,7 @@ _SAMPLE_FIRST = [
     # round-6 wave 47-49 additions — newest, least-verified, sample first
     "semantic_decon_prefilter_gate",
     "dsir_importance_weights",
+    "dsir_gumbel_resample",
     "bm25_top_docs",
     "heaps_law_vocab_growth",
     "temperature_mixture_rates",

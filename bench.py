@@ -298,6 +298,7 @@ BENCH_QUERIES = [
     "semantic_decontamination",
     "temperature_mixture_rates",
     "dsir_importance_weights",
+    "dsir_gumbel_resample",
 ]
 
 # The 10x-rehearsal subset (SCALE.md "10x scale rehearsal"): the

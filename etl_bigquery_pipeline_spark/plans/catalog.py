@@ -13723,8 +13723,8 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DSIR_BUCKETS = 4096
-_DSIR_ORACLE = f"""
-WITH toks AS (
+_DSIR_CTE = f"""
+toks AS (
   SELECT doc_id, source,
          list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
   FROM documents),
@@ -13748,12 +13748,16 @@ sc AS (
   SELECT b, ln((ct + 1) / CAST(t.nt + {_DSIR_BUCKETS} AS DOUBLE))
            - ln((cr + 1) / CAST(t.nr + {_DSIR_BUCKETS} AS DOUBLE)) AS lr
   FROM agg CROSS JOIN tot t)
+""".replace("{HEX}", _hex8_to_int("h"))
+
+_DSIR_ORACLE = f"""
+WITH {_DSIR_CTE}
 SELECT h.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_grams,
        round(AVG(s.lr), 6) + 0.0 AS dsir_logratio
 FROM hb h JOIN sc s ON h.b = s.b
 GROUP BY h.doc_id
-""".replace("{HEX}", _hex8_to_int("h"))
+"""
 
 
 @query("dsir_importance_weights", _DSIR_ORACLE)
@@ -13782,7 +13786,21 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the other (DuckDB emitted '-0' at sf10, round-6 sweep), and a
     signed-zero difference is a real hash difference. Adding +0.0
     canonicalizes both zeros (-0.0 + 0.0 = +0.0 in IEEE 754)."""
-    d = _t(spark, sf_dir, "documents")
+    hb, sc_df = _dsir_gram_scores(_t(spark, sf_dir, "documents"))
+    return (
+        hb.join(F.broadcast(sc_df), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            (F.round(F.avg("lr"), 6) + F.lit(0.0)).alias("dsir_logratio"),
+        )
+    )
+
+
+def _dsir_gram_scores(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared DSIR plumbing: (hb, sc) where hb = one row per bigram
+    instance with its hashed feature bucket, and sc = the <= 4096-row
+    per-bucket log-likelihood-ratio table (broadcast side)."""
     toks = widen_if_narrow(d, "doc_id").select(
         "doc_id", "source", TX.tokens(F.col("text")).alias("t")
     )
@@ -13819,14 +13837,92 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.log((F.col("cr") + 1) / (F.col("nr") + B).cast("double"))
         ).alias("lr"),
     )
-    return (
+    return hb, sc_df
+
+
+_DSIR_RESAMPLE_ORACLE = f"""
+WITH {_DSIR_CTE},
+dw AS (
+  SELECT h.doc_id,
+         SUM(CAST(round(s.lr * 1000000000.0, 0) AS BIGINT)) AS wi
+  FROM hb h JOIN sc s ON h.b = s.b
+  GROUP BY h.doc_id),
+gu AS (
+  SELECT doc_id, wi,
+         substring(md5('gum:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+  FROM dw),
+keyd AS (
+  SELECT doc_id,
+         round(CAST(wi AS BIGINT) / 1000000000.0
+               - ln(-ln((({_hex8_to_int("h8")}) % 100000 + 1)
+                        / 100001.0)), 6) + 0.0 AS gumbel_key
+  FROM gu),
+r AS (
+  SELECT doc_id, gumbel_key,
+         CAST(ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id ASC)
+              AS BIGINT) AS rnk
+  FROM keyd)
+SELECT doc_id, gumbel_key, rnk FROM r WHERE rnk <= 100
+"""
+
+
+@query("dsir_gumbel_resample", _DSIR_RESAMPLE_ORACLE)
+def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's second half: sample EXACTLY 100 documents without
+    replacement with probability proportional to exp(importance weight)
+    via the Gumbel-top-k trick (Xie et al. 2023 resample; Gumbel-max is
+    public folklore) — key = log-weight + Gumbel(0,1), take the k
+    largest. Working in LOG space is what makes this runnable: the doc
+    log-weights (SUM of per-feature log-ratios, the paper's estimator)
+    span hundreds of nats, so materializing exp(weight) for A-ES
+    (weighted_reservoir_topk) would overflow; the Gumbel form never
+    exponentiates.
+
+    Determinism discipline (reservoir-sample precedent, plus the
+    round-6 ladder lessons): the Gumbel uniform is the md5(doc_id)
+    integer mapped into (0,1); the log-weight is summed as exact BIGINT
+    nano-nats (each per-bucket lr is a bit-identical double on both
+    engines, scaled and rounded once) so the merge order cannot move
+    it; key = one identical divide + subtract chain, rounded 6 with a
+    doc_id tie-break; + 0.0 canonicalizes signed zeros. Global top-k
+    plans as TakeOrderedAndProject; ranks assigned over the 100
+    survivors only."""
+    hb, sc_df = _dsir_gram_scores(_t(spark, sf_dir, "documents"))
+    dw = (
         hb.join(F.broadcast(sc_df), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            (F.round(F.avg("lr"), 6) + F.lit(0.0)).alias("dsir_logratio"),
+            F.sum(
+                F.round(F.col("lr") * 1_000_000_000.0, 0).cast("bigint")
+            ).alias("wi")
         )
     )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("gum:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100000
+        + 1
+    ) / 100001.0
+    key = (
+        F.round(
+            F.col("wi") / F.lit(1_000_000_000.0) - F.log(-F.log(u)), 6
+        )
+        + F.lit(0.0)
+    ).alias("gumbel_key")
+    top = (
+        dw.select("doc_id", key)
+        .orderBy(F.col("gumbel_key").desc(), F.col("doc_id").asc())
+        .limit(100)
+    )
+    win = Window.orderBy(F.col("gumbel_key").desc(), F.col("doc_id").asc())
+    return top.withColumn("rnk", F.row_number().over(win).cast("bigint"))
 
 
 _DRIVER_COVERED_R02 = [

@@ -493,6 +493,7 @@ GLOBAL_WINDOW_WHITELIST = {
     "daily_revenue_anomalies": "rolling stats over one row per calendar day",
     "daily_revenue_autocorr": "lag over one row per calendar day",
     "decayed_part_popularity": "rank window runs over the post-.limit(10) leaderboard",
+    "dsir_gumbel_resample": "rank window over the k=100 TakeOrdered survivors",
     "heaps_law_vocab_growth": "running sums over the 10 fixed equal-width doc_id buckets",
     "heavy_hitter_users": "cumulative-share window over the 20 TakeOrdered survivors",
     "knn_distance_outliers": "isolation rank over the probe-set aggregate (bounded by the broadcast-probe cosine_topk contract)",
