@@ -13844,7 +13844,7 @@ _DSIR_RESAMPLE_ORACLE = f"""
 WITH {_DSIR_CTE},
 dw AS (
   SELECT h.doc_id,
-         SUM(CAST(round(s.lr * 1000000000.0, 0) AS BIGINT)) AS wi
+         SUM(CAST(floor(s.lr * 1000000000.0 + 0.5) AS BIGINT)) AS wi
   FROM hb h JOIN sc s ON h.b = s.b
   GROUP BY h.doc_id),
 gu AS (
@@ -13892,8 +13892,13 @@ def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         hb.join(F.broadcast(sc_df), "b")
         .groupBy("doc_id")
         .agg(
+            # floor(x + 0.5), not round(x, 0): Spark HALF_UPs the
+            # shortest decimal repr while DuckDB rounds the binary
+            # value, so a per-bucket lr landing on a representational
+            # .5 tie would desync wi on the two engines (r6 ADVICE).
+            # floor of the identical IEEE double is tie-stable.
             F.sum(
-                F.round(F.col("lr") * 1_000_000_000.0, 0).cast("bigint")
+                F.floor(F.col("lr") * 1_000_000_000.0 + 0.5).cast("bigint")
             ).alias("wi")
         )
     )

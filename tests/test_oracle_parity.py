@@ -74,47 +74,47 @@ def test_type_category_drift_is_caught(spark, con):
 
 
 def test_no_type_category_drift_catalogwide(spark, con):
-    """Schema-only sweep of every oracled query: Spark dtype category
-    must match DuckDB's bound result type category per column. Cheap
-    (no job runs on either engine) and exactly the class the driver's
-    type-sensitive hash punishes."""
+    """Sweep of every oracled query: Spark dtype category must match
+    DuckDB's bound result type category per column — exactly the class
+    the driver's type-sensitive hash punishes. Mostly schema-only, but
+    a handful of constructors are eager (index builds, gate collects),
+    so real jobs do run; per-query try/except attributes any
+    construction failure to its query name instead of aborting the
+    sweep."""
     from tests.oracle_harness import type_mismatches
 
     offenders = []
     for name in sorted(catalog.ORACLE):
-        df = catalog.QUERIES[name](spark, SF)
-        rel = con.sql(catalog.ORACLE[name])
-        for m in type_mismatches(df, rel):
-            offenders.append(f"{name}: {m}")
+        try:
+            df = catalog.QUERIES[name](spark, SF)
+            rel = con.sql(catalog.ORACLE[name])
+            for m in type_mismatches(df, rel):
+                offenders.append(f"{name}: {m}")
+        except Exception as exc:  # noqa: BLE001 — attribute, don't abort
+            offenders.append(f"{name}: construction failed: {exc!r:.200}")
     assert not offenders, offenders
 
 
 def test_driver_sample_order_covers_unsampled():
     """__spark_entry__.queries() must list the never-driver-sampled set
     first (the driver samples the first ~50 registered queries per
-    round). The invariant is derived from the recorded CORRECTNESS_r*.json
-    files: _SAMPLE_FIRST must equal exactly the oracled catalog queries
-    with no green driver row in any prior round — no rows-only names
-    (they can never go green and would burn sample slots, the r04
-    failure mode), no already-green names, none missing."""
-    import json
-    import pathlib
+    round). Since r7 the order is DERIVED at import from the recorded
+    CORRECTNESS_r*.json files — no committed list to go stale when a
+    round's file lands after its final commit (the r5/r6 handoff
+    artifact). This test pins the derivation: the prefix of queries()
+    is exactly the oracled-but-never-green set, rows-only names
+    excluded (they can never hash-green and would burn sample slots,
+    the r04 failure mode), and the prefix order is
+    newest-registration-first."""
+    import importlib
 
     import __spark_entry__ as entry
 
+    entry = importlib.reload(entry)  # re-derive from current files
     qs = list(entry.queries())
     assert qs[: len(entry._SAMPLE_FIRST)] == entry._SAMPLE_FIRST
 
-    repo = pathlib.Path(__file__).resolve().parents[1]
-    green: set[str] = set()
-    for path in sorted(repo.glob("CORRECTNESS_r*.json")):
-        for name, row in json.load(open(path)).items():
-            if (
-                row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match")
-            ):
-                green.add(name)
+    green = entry._driver_green()
     uncovered_oracled = [
         q for q in catalog.QUERIES if q in catalog.ORACLE and q not in green
     ]
@@ -122,6 +122,9 @@ def test_driver_sample_order_covers_unsampled():
         "missing": set(uncovered_oracled) - set(entry._SAMPLE_FIRST),
         "extra": set(entry._SAMPLE_FIRST) - set(uncovered_oracled),
     }
+    assert entry._SAMPLE_FIRST == list(reversed(uncovered_oracled))
+    # every sampled-first name must actually be runnable by the driver
+    assert all(q in catalog.QUERIES and q in catalog.ORACLE for q in qs[:5])
 
 
 def test_survey_counts_match_catalog():
