@@ -56,14 +56,13 @@ def _sample_first() -> list[str]:
     oracle_sql entry and can never hash-green, the r04 failure mode).
     """
     green = _driver_green()
-    uncovered = [
+    # catalog._reorder_for_sweep already iterates newest-registered
+    # first, so the uncovered names come out least-verified-first.
+    return [
         name
         for name in catalog.QUERIES
         if name in catalog.ORACLE and name not in green
     ]
-    # Registration order in catalog.QUERIES is oldest-first; newest
-    # additions are the least-verified, so sweep them to the front.
-    return list(reversed(uncovered))
 
 
 _SAMPLE_FIRST = _sample_first()

@@ -306,6 +306,11 @@ BENCH_QUERIES = [
     "shingle_containment_pairs",
     "ivf_recall_vs_exact",
     "minhash_estimate_error_gate",
+    # round-7 wave 50: DOULION approximate triangles (estimate = the
+    # scale path; gate = exact-vs-estimate error, one of the slowest
+    # catalog queries by construction so it must stay measured)
+    "copurchase_triangles_doulion",
+    "triangle_sample_error_gate",
 ]
 
 # The 10x-rehearsal subset (SCALE.md "10x scale rehearsal"): the
@@ -319,6 +324,7 @@ HEAVY_QUERIES = [
     "deterministic_random_walks",
     "minhash_near_dup_pairs",
     "copurchase_triangles",
+    "copurchase_triangles_doulion",
     "copurchase_pagerank_top20",
     "band_index_probe_matches",
     "prefix_jaccard_pairs",

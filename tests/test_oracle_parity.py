@@ -122,7 +122,7 @@ def test_driver_sample_order_covers_unsampled():
         "missing": set(uncovered_oracled) - set(entry._SAMPLE_FIRST),
         "extra": set(entry._SAMPLE_FIRST) - set(uncovered_oracled),
     }
-    assert entry._SAMPLE_FIRST == list(reversed(uncovered_oracled))
+    assert entry._SAMPLE_FIRST == uncovered_oracled  # catalog order, newest first
     # every sampled-first name must actually be runnable by the driver
     assert all(q in catalog.QUERIES and q in catalog.ORACLE for q in qs[:5])
 

@@ -392,8 +392,8 @@ def test_ks_and_mannwhitney_have_no_global_window(spark, sf_dir):
 
 
 def test_graph_queries_plan_hash_joins_only(spark, sf_dir):
-    for name in ("copurchase_triangles", "copurchase_pagerank_top20",
-                 "copurchase_components"):
+    for name in ("copurchase_triangles", "copurchase_triangles_doulion",
+                 "copurchase_pagerank_top20", "copurchase_components"):
         plan = _plan(spark, name, sf_dir)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
