@@ -58,7 +58,12 @@ def curation_sink(
         if os.path.exists(marker):
             return
         spark = batch_df.sparkSession
-        batch = dedup.dedup_exact_text(batch_df, id_col, text_col)
+        # three sinks share the batch/verdict/score lineages: persist
+        # them, or each write re-executes the exact-dedup + index probe
+        # + scoring from the source (the r7 streaming rehearsal measured
+        # multiple source scans per micro-batch in the dedup twin — the
+        # same hazard, one more sink deep here)
+        batch = dedup.dedup_exact_text(batch_df, id_col, text_col).persist()
         cands = dedup.near_dup_candidates_from_index(
             spark, batch, index_table, id_col=id_col, text_col=text_col
         )
@@ -71,10 +76,7 @@ def curation_sink(
                 F.col("m.corpus_id").alias("corpus_id"),
                 F.col("m.est_jaccard").alias("est_jaccard"),
             )
-        )
-        best.write.mode("overwrite").parquet(
-            os.path.join(dup_dir, f"batch_id={batch_id}")
-        )
+        ).persist()
         fresh = batch.join(best.select(id_col), id_col, "left_anti")
 
         feats = quality_model.doc_features(
@@ -82,22 +84,32 @@ def curation_sink(
             if "n_chars" not in fresh.columns
             else fresh
         )
-        scored = quality_model.score_documents(feats, quality_weights)
-        rejects = fresh.join(
-            scored.filter(F.col("score") < quality_threshold).select(
-                id_col, "score"
-            ),
-            id_col,
-        )
-        rejects.write.mode("overwrite").parquet(
-            os.path.join(reject_dir, f"batch_id={batch_id}")
-        )
-        curated = fresh.join(
-            scored.filter(F.col("score") >= quality_threshold).select(id_col),
-            id_col,
-        )
-        out_path = os.path.join(out_dir, f"batch_id={batch_id}")
-        curated.write.mode("overwrite").parquet(out_path)
+        scored = quality_model.score_documents(feats, quality_weights).persist()
+        try:
+            best.write.mode("overwrite").parquet(
+                os.path.join(dup_dir, f"batch_id={batch_id}")
+            )
+            rejects = fresh.join(
+                scored.filter(F.col("score") < quality_threshold).select(
+                    id_col, "score"
+                ),
+                id_col,
+            )
+            rejects.write.mode("overwrite").parquet(
+                os.path.join(reject_dir, f"batch_id={batch_id}")
+            )
+            curated = fresh.join(
+                scored.filter(F.col("score") >= quality_threshold).select(
+                    id_col
+                ),
+                id_col,
+            )
+            out_path = os.path.join(out_dir, f"batch_id={batch_id}")
+            curated.write.mode("overwrite").parquet(out_path)
+        finally:
+            batch.unpersist()
+            best.unpersist()
+            scored.unpersist()
         dedup.append_to_band_index(
             spark.read.parquet(out_path),
             index_table,

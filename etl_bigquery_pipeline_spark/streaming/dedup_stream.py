@@ -59,7 +59,12 @@ def incremental_dedup_sink(
         if os.path.exists(marker):  # replay of an applied batch: skip
             return
         spark = batch_df.sparkSession
-        batch = dedup.dedup_exact_text(batch_df, id_col, text_col)
+        # persist the deduped batch and the match verdicts: the two
+        # writes below would otherwise each recompute the whole batch
+        # lineage from the source (the r7 streaming rehearsal measured
+        # ~5 source scans per micro-batch without this) — per-batch
+        # cost must track the batch ONCE, not once per sink
+        batch = dedup.dedup_exact_text(batch_df, id_col, text_col).persist()
         cands = dedup.near_dup_candidates_from_index(
             spark, batch, index_table, id_col=id_col, text_col=text_col
         )
@@ -74,16 +79,20 @@ def incremental_dedup_sink(
                 F.col("m.corpus_id").alias("corpus_id"),
                 F.col("m.est_jaccard").alias("est_jaccard"),
             )
-        )
-        best.write.mode("overwrite").parquet(
-            os.path.join(dup_dir, f"batch_id={batch_id}")
-        )
-        novel = batch.join(
-            best.select(id_col), id_col, "left_anti"
-        )
-        novel.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch_id={batch_id}")
-        )
+        ).persist()
+        try:
+            best.write.mode("overwrite").parquet(
+                os.path.join(dup_dir, f"batch_id={batch_id}")
+            )
+            novel = batch.join(
+                best.select(id_col), id_col, "left_anti"
+            )
+            novel.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={batch_id}")
+            )
+        finally:
+            batch.unpersist()
+            best.unpersist()
         # novel docs become part of the corpus for every later batch
         dedup.append_to_band_index(
             spark.read.parquet(os.path.join(out_dir, f"batch_id={batch_id}")),

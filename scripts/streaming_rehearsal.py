@@ -1,0 +1,279 @@
+#!/usr/bin/env python
+"""Streaming-tier scale rehearsal: micro-batch throughput at 10x bench.
+
+The batch tier's 10x/100x behavior is measured (SCALE.md); the
+streaming twins had only pytest-scale evidence before round 7. This
+script drives the two production streaming paths with real micro-batch
+cadence at an arbitrary scale factor and records PER-BATCH costs — the
+number that must stay flat as history accumulates:
+
+1. events -> incremental_events_sink_with_dlq: the full-volume ingest
+   path (validate -> DLQ route -> watermark dedup -> partitioned
+   parquet), N micro-batches via maxFilesPerTrigger=1. Metrics per
+   batch: rows, seconds, rows/s, state-store rows + bytes (the
+   dropDuplicatesWithinWatermark key store).
+2. documents -> incremental_dedup_sink: near-dup dedup against the
+   persisted band index (corpus = the first 1 - holdout of documents,
+   stream = the rest with planted near-copies), K micro-batches.
+   Metrics per batch: docs, seconds, docs/s, plus band-index growth
+   (rows and on-disk bytes before/after).
+
+Usage:
+    python scripts/streaming_rehearsal.py --sf /tmp/sf1.0 \
+        [--batches 10] [--doc-batches 5] [--cpus 16] [--out FILE.json]
+
+Prints a markdown table per path (paste into SCALE.md) and one JSON
+summary line. Nothing here mutates the input sf directory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def _progress_rows(query) -> list[dict]:
+    """Per-batch metrics from the finished query's progress history."""
+    rows = []
+    for p in query.recentProgress:
+        if p is None or p.get("numInputRows", 0) == 0:
+            continue
+        dur_ms = p["durationMs"].get("triggerExecution", 0)
+        state = (p.get("stateOperators") or [{}])[0]
+        rows.append(
+            {
+                "batch_id": p["batchId"],
+                "rows": p["numInputRows"],
+                "sec": round(dur_ms / 1000.0, 3),
+                "rows_per_sec": round(
+                    p["numInputRows"] / max(dur_ms / 1000.0, 1e-9), 1
+                ),
+                "state_rows": state.get("numRowsTotal"),
+                "state_bytes": state.get("memoryUsedBytes"),
+            }
+        )
+    return rows
+
+
+def _md_table(rows: list[dict], cols: list[str]) -> str:
+    out = ["| " + " | ".join(cols) + " |", "|" + "---|" * len(cols)]
+    for r in rows:
+        out.append(
+            "| " + " | ".join(str(r.get(c, "")) for c in cols) + " |"
+        )
+    return "\n".join(out)
+
+
+def _du(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def rehearse_events(spark, sf_dir: str, work: str, batches: int) -> list[dict]:
+    from etl_bigquery_pipeline_spark.streaming.incremental import (
+        incremental_events_sink_with_dlq,
+    )
+
+    import glob as globmod
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.sources.readers import read_table
+
+    src = f"{work}/src_events"
+    os.makedirs(src)
+    # read_table normalizes the generator's timestamp encoding (NANOS /
+    # NTZ -> session-TZ TIMESTAMP) — the same gotcha the batch tier hits
+    ev = read_table(spark, sf_dir, "events")
+    # plant ~0.1% invalid rows (negative value) so the DLQ route does
+    # real per-batch work instead of writing empty reject files
+    bad = (
+        ev.filter(F.col("event_id") % 1000 == 0)
+        .withColumn("value", -F.abs(F.col("value")) - F.lit(1.0))
+        .withColumn("event_id", F.col("event_id") + F.lit(10_000_000_000))
+    )
+    ev = ev.unionByName(bad)
+    # one file per micro-batch, in PRODUCTION ARRIVAL ORDER: the slices
+    # must be time-contiguous, because a random split makes every batch
+    # span the whole time range and the advancing watermark silently
+    # discards later batches as late — measuring a drop, not a pipeline.
+    # (ntile is a single-partition window: rehearsal tooling, <=10M rows.)
+    sliced = ev.withColumn(
+        "__b", F.ntile(batches).over(Window.orderBy(F.col("ts").asc_nulls_first()))
+    )
+    now = time.time()
+    for i in range(1, batches + 1):
+        tmp = f"{work}/__evslice"
+        (
+            sliced.filter(F.col("__b") == i)
+            .drop("__b")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        dst = f"{src}/{i:05d}.parquet"
+        shutil.move(globmod.glob(f"{tmp}/part-*.parquet")[0], dst)
+        # FileStreamSource orders by modification time; sequence them
+        os.utime(dst, (now - batches + i, now - batches + i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_events_sink_with_dlq(
+        stream,
+        out_path=f"{work}/events_out",
+        dlq_path=f"{work}/events_dlq",
+        checkpoint=f"{work}/ckpt_events",
+    )
+    q.awaitTermination()
+    totals = {
+        "input_rows": ev.count(),
+        "accepted_rows": spark.read.parquet(f"{work}/events_out").count(),
+        "dlq_rows": spark.read.parquet(f"{work}/events_dlq").count(),
+    }
+    return _progress_rows(q), totals
+
+
+def rehearse_dedup(
+    spark, sf_dir: str, work: str, doc_batches: int, holdout: float = 0.2
+) -> tuple[list[dict], dict]:
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.operators import dedup
+    from etl_bigquery_pipeline_spark.streaming.dedup_stream import (
+        incremental_dedup_sink,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    cut = int(n * (1 - holdout))
+    corpus = docs.filter(F.col("doc_id") < cut)
+    feed = docs.filter(F.col("doc_id") >= cut)
+    # plant near-copies of corpus docs in the feed (1 per 1000 feed
+    # docs) so the duplicate route does real work, like production
+    planted = (
+        corpus.filter(F.col("doc_id") % 997 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zz")))
+    )
+    feed = feed.unionByName(planted)
+
+    table = "rehearsal_band_index"
+    t0 = time.perf_counter()
+    dedup.build_band_index(corpus, table)
+    build_sec = round(time.perf_counter() - t0, 1)
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    idx_dir = os.path.join(warehouse, table)
+    before_rows = spark.table(table).count()
+    before_bytes = _du(idx_dir)
+
+    src = f"{work}/src_docs"
+    feed.repartition(doc_batches).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_dedup_sink(
+        stream,
+        index_table=table,
+        checkpoint=f"{work}/ckpt_docs",
+        out_dir=f"{work}/docs_out",
+        dup_dir=f"{work}/docs_dup",
+    )
+    q.awaitTermination()
+    spark.catalog.refreshTable(table)
+    after_rows = spark.table(table).count()
+    index = {
+        "corpus_docs": cut,
+        "index_build_sec": build_sec,
+        "index_rows_before": before_rows,
+        "index_rows_after": after_rows,
+        "index_bytes_before": before_bytes,
+        "index_bytes_after": _du(idx_dir),
+        "dup_routed": spark.read.parquet(f"{work}/docs_dup").count(),
+        "novel_routed": spark.read.parquet(f"{work}/docs_out").count(),
+    }
+    return _progress_rows(q), index
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/tmp/sf1.0")
+    ap.add_argument("--batches", type=int, default=10)
+    ap.add_argument("--doc-batches", type=int, default=5)
+    ap.add_argument("--cpus", type=int, default=16)
+    ap.add_argument("--out", default="")
+    ap.add_argument("--work", default="")
+    args = ap.parse_args()
+    if os.path.realpath(args.sf).startswith("/root/testdata"):
+        # reading is fine; make sure work dir never lands there
+        pass
+
+    work = args.work or f"/tmp/streaming_rehearsal_{Path(args.sf).name}"
+    assert not os.path.realpath(work).startswith("/root/testdata")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+
+    from etl_bigquery_pipeline_spark.session import get_session
+
+    spark = get_session(
+        "streaming-rehearsal", master=f"local[{args.cpus}]"
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ev_rows, ev_totals = rehearse_events(spark, args.sf, work, args.batches)
+    print("\n### events -> incremental_events_sink_with_dlq")
+    print(
+        _md_table(
+            ev_rows,
+            ["batch_id", "rows", "sec", "rows_per_sec", "state_rows",
+             "state_bytes"],
+        )
+    )
+    print(f"totals: {json.dumps(ev_totals)}")
+
+    doc_rows, index = rehearse_dedup(
+        spark, args.sf, work, args.doc_batches
+    )
+    print("\n### documents -> incremental_dedup_sink (band-index probe)")
+    print(_md_table(doc_rows, ["batch_id", "rows", "sec", "rows_per_sec"]))
+    print(f"\nindex: {json.dumps(index)}")
+
+    summary = {
+        "metric": "streaming_rehearsal",
+        "sf": args.sf,
+        "cpus": args.cpus,
+        "events": ev_rows,
+        "events_totals": ev_totals,
+        "dedup": doc_rows,
+        "dedup_index": index,
+    }
+    line = json.dumps(summary)
+    print(line)
+    if args.out:
+        Path(args.out).write_text(line)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
