@@ -215,6 +215,60 @@ def rehearse_dedup(
     return _progress_rows(q), index
 
 
+def rehearse_ann(
+    spark, sf_dir: str, work: str, batches: int, holdout: float = 0.2
+) -> tuple[list[dict], dict]:
+    """Embedding feed -> incremental_ann_sink: per-batch append cost
+    into the persisted LSH index, plus a post-stream probe to show the
+    appended vectors are searchable (the serving-loop contract)."""
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.operators import ann_index
+    from etl_bigquery_pipeline_spark.streaming.ann_stream import (
+        incremental_ann_sink,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    cut = int(n * (1 - holdout))
+    corpus = emb.filter(F.col("vec_id") < cut)
+    feed = emb.filter(F.col("vec_id") >= cut)
+
+    table = "rehearsal_lsh_index"
+    t0 = time.perf_counter()
+    ann_index.build_lsh_index(corpus, table, dim=64, bits=4, seed=42)
+    build_sec = round(time.perf_counter() - t0, 1)
+    before_rows = spark.table(table).count()
+
+    src = f"{work}/src_vecs"
+    feed.repartition(batches).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_ann_sink(
+        stream, table=table, checkpoint=f"{work}/ckpt_vecs"
+    )
+    q.awaitTermination()
+    spark.catalog.refreshTable(table)
+    after_rows = spark.table(table).count()
+    # probe with an appended vector: it must be findable post-append
+    probe = feed.limit(8).select("vec_id", "embedding")
+    t0 = time.perf_counter()
+    hits = ann_index.probe_lsh_index(spark, table, probe, k=5).count()
+    probe_sec = round(time.perf_counter() - t0, 2)
+    index = {
+        "corpus_vecs": cut,
+        "index_build_sec": build_sec,
+        "index_rows_before": before_rows,
+        "index_rows_after": after_rows,
+        "post_append_probe_hits": hits,
+        "probe_sec": probe_sec,
+    }
+    return _progress_rows(q), index
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/tmp/sf1.0")
@@ -258,6 +312,13 @@ def main() -> int:
     print(_md_table(doc_rows, ["batch_id", "rows", "sec", "rows_per_sec"]))
     print(f"\nindex: {json.dumps(index)}")
 
+    ann_rows, ann_index_stats = rehearse_ann(
+        spark, args.sf, work, args.doc_batches
+    )
+    print("\n### embeddings -> incremental_ann_sink (LSH index maintenance)")
+    print(_md_table(ann_rows, ["batch_id", "rows", "sec", "rows_per_sec"]))
+    print(f"\nindex: {json.dumps(ann_index_stats)}")
+
     summary = {
         "metric": "streaming_rehearsal",
         "sf": args.sf,
@@ -266,6 +327,8 @@ def main() -> int:
         "events_totals": ev_totals,
         "dedup": doc_rows,
         "dedup_index": index,
+        "ann": ann_rows,
+        "ann_index": ann_index_stats,
     }
     line = json.dumps(summary)
     print(line)
