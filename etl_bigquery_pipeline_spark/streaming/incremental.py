@@ -92,6 +92,15 @@ def incremental_events_sink_with_dlq(
     flagging. Consequence of bypassing the dedup: repeated invalid rows
     appear once per arrival in the DLQ — for an audit trail that is a
     feature, not a bug (every rejected arrival is accounted for).
+
+    Cost shape (measured, scripts/streaming_rehearsal.py): the
+    valid/invalid self-union reads each micro-batch's source files
+    twice — one scan through the stateful dedup branch, one through the
+    invalid branch. That is a property of the streaming plan (the two
+    branches cannot share a scan across a stateful operator), bounded
+    at 2x the batch volume and independent of history; the
+    foreachBatch side is persisted so its two sinks add no further
+    scans.
     """
     reason = (
         F.when(
