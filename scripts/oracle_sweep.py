@@ -10,10 +10,15 @@ accumulation order) would hide from the sf0.01 gates.
 
 Usage:
     python scripts/oracle_sweep.py --sf /root/testdata/sf0.1 \
-        [--only name1,name2] [--skip name1,...] [--out /tmp/sweep.json]
+        [--only name1,name2] [--skip name1,...] [--out /tmp/sweep.json] \
+        [--per-query-timeout SECONDS]
 
-Prints one line per query (PASS/FAIL + seconds per engine) and a final
-JSON summary; exit code 1 if any query fails.
+Prints one line per query (PASS/FAIL/TIMEOUT + seconds) and a final
+JSON summary; exit code 1 if any query FAILS (timeouts are budget
+exclusions, recorded but not failures — at sf10 a handful of ORACLES
+are corpus-heavy DuckDB CTEs whose cost is the oracle's, not the
+engine's; the timeout keeps the sweep bounded while recording exactly
+which comparisons were cut).
 """
 
 from __future__ import annotations
@@ -37,6 +42,14 @@ def main() -> int:
     ap.add_argument("--only", default="")
     ap.add_argument("--skip", default="")
     ap.add_argument("--out", default="")
+    ap.add_argument(
+        "--per-query-timeout",
+        type=float,
+        default=0,
+        help="seconds before a query's comparison is interrupted and "
+        "recorded as TIMEOUT (0 = no limit). Interrupts the DuckDB "
+        "connection and cancels Spark jobs; the sweep continues.",
+    )
     args = ap.parse_args()
 
     from etl_bigquery_pipeline_spark.session import get_session
@@ -55,27 +68,88 @@ def main() -> int:
     con = duckdb_connection(args.sf)
     results: dict[str, dict] = {}
     n_fail = 0
+    n_timeout = 0
+    timeout = args.per_query_timeout
+
+    def run_one(name: str) -> tuple[bool, str]:
+        df = qs[name](spark, args.sf)
+        return compare(df, con, oracles[name])
+
     for i, name in enumerate(names):
         t0 = time.time()
-        try:
-            df = qs[name](spark, args.sf)
-            ok, msg = compare(df, con, oracles[name])
-        except Exception as e:  # noqa: BLE001 — sweep must not die mid-run
-            ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
+        timed_out = False
+        if timeout:
+            import concurrent.futures as cf
+
+            ex = cf.ThreadPoolExecutor(max_workers=1)
+            fut = ex.submit(run_one, name)
+            try:
+                ok, msg = fut.result(timeout=timeout)
+            except cf.TimeoutError:
+                timed_out = True
+                ok, msg = False, f"TIMEOUT after {timeout:.0f}s"
+                # interrupt BOTH engines repeatedly until the worker
+                # yields: a single interrupt can land between engine
+                # calls and miss (engine calls themselves are
+                # interruptible; the python between them is short)
+                for _ in range(24):  # up to ~2 min of nudging
+                    con.interrupt()
+                    spark.sparkContext.cancelAllJobs()
+                    try:
+                        r = fut.result(timeout=5)
+                    except cf.TimeoutError:
+                        continue
+                    except Exception:  # noqa: BLE001 — our cancellation
+                        break
+                    else:
+                        ok, msg = r  # finished late: a real result
+                        timed_out = False
+                        break
+                else:
+                    # worker stuck despite interrupts: abandon the
+                    # thread and give later queries a fresh connection
+                    # (the old one may still be held by the zombie)
+                    ex.shutdown(wait=False)
+                    ex = None
+                    con = duckdb_connection(args.sf)
+            except Exception as e:  # noqa: BLE001
+                ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
+            finally:
+                if ex is not None:
+                    ex.shutdown(wait=False)
+        else:
+            try:
+                ok, msg = run_one(name)
+            except Exception as e:  # noqa: BLE001 — sweep continues
+                ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
         dt = time.time() - t0
-        results[name] = {"ok": ok, "msg": msg[:500], "sec": round(dt, 2)}
-        if not ok:
+        status = "TIMEOUT" if timed_out else ("PASS" if ok else "FAIL")
+        results[name] = {
+            "ok": ok,
+            "timeout": timed_out,
+            "msg": msg[:500],
+            "sec": round(dt, 2),
+        }
+        if timed_out:
+            n_timeout += 1
+        elif not ok:
             n_fail += 1
         print(
-            f"[{i + 1}/{len(names)}] {'PASS' if ok else 'FAIL'} "
-            f"{name} ({dt:.1f}s)" + ("" if ok else f"\n    {msg[:400]}"),
+            f"[{i + 1}/{len(names)}] {status} {name} ({dt:.1f}s)"
+            + ("" if ok or timed_out else f"\n    {msg[:400]}"),
             flush=True,
         )
     summary = {
         "sf": args.sf,
         "total": len(names),
         "fail": n_fail,
-        "failed": [n for n, r in results.items() if not r["ok"]],
+        "timeout": n_timeout,
+        "failed": [
+            n
+            for n, r in results.items()
+            if not r["ok"] and not r.get("timeout")
+        ],
+        "timed_out": [n for n, r in results.items() if r.get("timeout")],
     }
     print(json.dumps(summary), flush=True)
     if args.out:
