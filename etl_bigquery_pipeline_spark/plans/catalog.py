@@ -6261,19 +6261,24 @@ def minhash_estimate_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(32.0)
+    # both join sides are CORPUS-PROPORTIONAL (the exact-pair set and
+    # the full signature table) — pin to sort-merge or the planner
+    # broadcasts one and the driver-side hash build dies at 100x (the
+    # r6 candidate-set hazard, re-found by the r7 sf10 sweep here)
     joined = (
-        pairs.join(
+        pairs.hint("merge")
+        .join(
             sigs.select(
                 F.col("doc_id").alias("id_a"),
                 F.col("signature").alias("__sig_a"),
-            ),
+            ).hint("merge"),
             "id_a",
         )
         .join(
             sigs.select(
                 F.col("doc_id").alias("id_b"),
                 F.col("signature").alias("__sig_b"),
-            ),
+            ).hint("merge"),
             "id_b",
         )
         .select((F.abs(est - F.col("jaccard_sim"))).alias("err"))

@@ -59,6 +59,20 @@ def test_minhash_verify_joins_are_sort_merge(spark, sf_dir):
     assert plan.count("SortMergeJoin") >= 2
 
 
+def test_minhash_estimate_gate_joins_are_sort_merge(spark, sf_dir):
+    # The gate joins the exact-pair set to the full signature table —
+    # BOTH corpus-proportional. The r7 sf10 sweep caught the planner
+    # broadcasting one side (driver OOM building the hash relation);
+    # merge hints pin the two signature joins to sort-merge. The only
+    # sanctioned broadcast below them is the bounded hot-key anti-join
+    # inside the blocked exact-Jaccard pair build.
+    plan = _plan(spark, "minhash_estimate_error_gate", sf_dir)
+    assert plan.count("SortMergeJoin") >= 2
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "__sig" not in line  # signature joins never broadcast
+
+
 def test_prefix_jaccard_self_join_is_sort_merge(spark, sf_dir):
     # The prefix-token self-join's sides are corpus-proportional, but a
     # static mis-estimate broadcast one of them (died at sf10 building a
