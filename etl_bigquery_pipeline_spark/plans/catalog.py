@@ -11867,9 +11867,10 @@ sw AS (
          lead(t) OVER (PARTITION BY user_id ORDER BY t, d DESC) AS nxt
   FROM pts)
 SELECT user_id,
-       round(SUM(CASE WHEN active > 0 AND nxt IS NOT NULL
-                      THEN CAST(epoch_us(nxt) - epoch_us(t) AS DOUBLE)
-                      ELSE 0 END) / 60e6, 4) AS covered_minutes
+       CAST((CAST(SUM(CASE WHEN active > 0 AND nxt IS NOT NULL
+                           THEN epoch_us(nxt) - epoch_us(t)
+                           ELSE 0 END) AS BIGINT) + 3000) // 6000
+            AS DOUBLE) / 1e4 AS covered_minutes
 FROM sw GROUP BY user_id
 """
 
@@ -11883,7 +11884,14 @@ def covered_time_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracks the active count, and segments where active > 0 contribute
     their length. End-before-start ordering at ties (d DESC puts +1
     first) makes touching intervals merge. One user-keyed window pass;
-    the same shape computes concurrent-load curves and SLA coverage."""
+    the same shape computes concurrent-load curves and SLA coverage.
+
+    Covered time is summed as EXACT integer microseconds and rounded to
+    4 decimals in integer arithmetic ((us + 3000) div 6000, one final
+    /1e4) — a double sum over thousands of segments per user differed
+    from DuckDB in the last ulp at sf10 (1M events) and flipped the
+    4-decimal rounding (caught by the r7 sf10 sweep; same class and
+    same cure as funnel_click_to_purchase at sf1.0)."""
     e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     iv = e.select(
         "user_id",
@@ -11903,12 +11911,19 @@ def covered_time_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").over(cum).alias("active"),
         F.lead("t").over(w).alias("nxt"),
     )
-    seg = F.when(
+    seg_us = F.when(
         (F.col("active") > 0) & F.col("nxt").isNotNull(),
-        (F.unix_micros("nxt") - F.unix_micros("t")).cast("double"),
-    ).otherwise(F.lit(0.0))
-    return sw.groupBy("user_id").agg(
-        F.round(F.sum(seg) / 60e6, 4).alias("covered_minutes")
+        F.unix_micros("nxt") - F.unix_micros("t"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        sw.groupBy("user_id")
+        .agg(F.sum(seg_us).alias("__us"))
+        .select(
+            "user_id",
+            (
+                F.expr("(__us + 3000) div 6000").cast("double") / 1e4
+            ).alias("covered_minutes"),
+        )
     )
 
 
