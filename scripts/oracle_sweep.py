@@ -107,10 +107,18 @@ def main() -> int:
                         break
                 else:
                     # worker stuck despite interrupts: abandon the
-                    # thread and give later queries a fresh connection
-                    # (the old one may still be held by the zombie)
+                    # thread (the zombie may still hold the connection)
                     ex.shutdown(wait=False)
                     ex = None
+                if timed_out:
+                    # an interrupted connection can carry residual
+                    # allocator state (observed: a trivial oracle OOMing
+                    # right after two interrupted heavyweights) — give
+                    # later queries a fresh one unconditionally
+                    try:
+                        con.close()
+                    except Exception:  # noqa: BLE001
+                        pass
                     con = duckdb_connection(args.sf)
             except Exception as e:  # noqa: BLE001
                 ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
