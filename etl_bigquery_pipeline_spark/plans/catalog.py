@@ -3298,8 +3298,8 @@ upd AS (
          c_mktsegment
   FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
   UNION ALL
-  SELECT c_custkey + 1000000, c_name || ' (new)', c_nationkey, c_acctbal,
-         c_mktsegment
+  SELECT c_custkey + 1000000000000, c_name || ' (new)', c_nationkey,
+         c_acctbal, c_mktsegment
   FROM customer WHERE c_custkey < 10),
 versioned AS (SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0)
 SELECT c_custkey, c_name, c_acctbal, valid_from, valid_to, is_current FROM (
@@ -3314,7 +3314,7 @@ SELECT c_custkey, c_name, c_acctbal, valid_from, valid_to, is_current FROM (
   FROM upd WHERE c_custkey IN (SELECT c_custkey FROM versioned)
   UNION ALL
   SELECT c_custkey, c_name, c_acctbal, DATE '2024-06-01', CAST(NULL AS DATE), true
-  FROM upd WHERE c_custkey >= 1000000)
+  FROM upd WHERE c_custkey >= 1000000000000)
 """
 
 
@@ -3335,8 +3335,13 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100
         ).otherwise(F.col("c_acctbal")),
     ).filter((F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 11 == 0))
+    # planted-key offset must exceed the keyspace at ANY sf (custkey hit
+    # 1.5M at sf10 and the old +1e6 collided: the synthetic inserts
+    # became updates of real rows and 552k spurious versions appeared in
+    # the oracle — caught by the r7 sf10 sweep as a 3.7% row-count drift
+    # in scd2_point_in_time_join). 1e12 is out of keyspace forever.
     inserts = c.filter(F.col("c_custkey") < 10).select(
-        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        (F.col("c_custkey") + 1_000_000_000_000).alias("c_custkey"),
         F.concat(F.col("c_name"), F.lit(" (new)")).alias("c_name"),
         *[F.col(x) for x in ("c_nationkey", "c_acctbal", "c_mktsegment")],
     )
