@@ -54,7 +54,14 @@ def main() -> int:
 
     from etl_bigquery_pipeline_spark.session import get_session
 
-    spark = get_session("oracle-sweep")
+    # the COMPARISON collects both engines' full results; row-
+    # proportional outputs at sf10 (e.g. a 15M-row temporal join) blow
+    # the 1g default maxResultSize long before the query itself is in
+    # any trouble — the harness must not masquerade as an engine wall
+    spark = get_session(
+        "oracle-sweep",
+        extra_conf={"spark.driver.maxResultSize": "8g"},
+    )
     qs = entry.queries()
     oracles = entry.oracle_sql()
     names = [n for n in qs if n in oracles]
