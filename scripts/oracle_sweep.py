@@ -137,6 +137,15 @@ def main() -> int:
                 ok, msg = run_one(name)
             except Exception as e:  # noqa: BLE001 — sweep continues
                 ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
+        # operators scoped_cache intermediates; without an explicit
+        # release they accumulate across the sweep until the shared
+        # local-mode heap dies (two JVM OOM cascades at sf10, ~60-100
+        # queries in, both following an interrupted heavyweight whose
+        # cache cleanup never ran)
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001
+            pass
         dt = time.time() - t0
         status = "TIMEOUT" if timed_out else ("PASS" if ok else "FAIL")
         results[name] = {
