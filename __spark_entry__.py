@@ -38,6 +38,9 @@ def _driver_green() -> set[str]:
             rows = json.loads(path.read_text())
         except (OSError, json.JSONDecodeError):
             continue
+        if not isinstance(rows, dict):
+            # a list/scalar record must not break driver import
+            continue
         for name, row in rows.items():
             if (
                 isinstance(row, dict)

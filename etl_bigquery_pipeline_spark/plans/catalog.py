@@ -14034,8 +14034,8 @@ ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles_exact
                  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
 SELECT ex.n_triangles_exact,
        CAST(st.n_triangles_sampled * 125.0 AS DOUBLE) AS triangles_est,
-       round(abs(st.n_triangles_sampled * 125.0 - ex.n_triangles_exact)
-             / ex.n_triangles_exact, 6) AS rel_err,
+       floor(abs(st.n_triangles_sampled * 125.0 - ex.n_triangles_exact)
+             / ex.n_triangles_exact * 1e6 + 0.5) / 1e6 AS rel_err,
        (abs(st.n_triangles_sampled * 125.0 - ex.n_triangles_exact)
         / ex.n_triangles_exact) <= 0.15 AS est_ok
 FROM ex, st
@@ -14065,7 +14065,11 @@ def triangle_sample_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(est.select("triangles_est")).select(
         "n_triangles_exact",
         "triangles_est",
-        F.round(rel, 6).alias("rel_err"),
+        # tie-stable rounding: Spark's round() HALF_UPs the shortest
+        # decimal repr while DuckDB rounds the binary double, so a
+        # representational .5 tie could desync — floor(x*1e6+0.5)/1e6
+        # is bit-identical in both engines (same fix as dsir weights)
+        (F.floor(rel * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("rel_err"),
         (rel <= 0.15).alias("est_ok"),
     )
 

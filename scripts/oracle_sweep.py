@@ -14,11 +14,12 @@ Usage:
         [--per-query-timeout SECONDS]
 
 Prints one line per query (PASS/FAIL/TIMEOUT + seconds) and a final
-JSON summary; exit code 1 if any query FAILS (timeouts are budget
-exclusions, recorded but not failures — at sf10 a handful of ORACLES
-are corpus-heavy DuckDB CTEs whose cost is the oracle's, not the
-engine's; the timeout keeps the sweep bounded while recording exactly
-which comparisons were cut).
+JSON summary. Exit codes: 0 = every comparison verified; 1 = at least
+one FAIL; 2 = no failures but at least one TIMEOUT (budget exclusions
+are recorded, not failures — at sf10 a handful of ORACLES are
+corpus-heavy DuckDB CTEs whose cost is the oracle's, not the engine's —
+but a cut comparison is NOT a verification, so automation must be able
+to tell the two apart).
 """
 
 from __future__ import annotations
@@ -85,6 +86,7 @@ def main() -> int:
     for i, name in enumerate(names):
         t0 = time.time()
         timed_out = False
+        interrupted = False
         if timeout:
             import concurrent.futures as cf
 
@@ -94,6 +96,7 @@ def main() -> int:
                 ok, msg = fut.result(timeout=timeout)
             except cf.TimeoutError:
                 timed_out = True
+                interrupted = True
                 ok, msg = False, f"TIMEOUT after {timeout:.0f}s"
                 # interrupt BOTH engines repeatedly until the worker
                 # yields: a single interrupt can land between engine
@@ -117,11 +120,14 @@ def main() -> int:
                     # thread (the zombie may still hold the connection)
                     ex.shutdown(wait=False)
                     ex = None
-                if timed_out:
-                    # an interrupted connection can carry residual
-                    # allocator state (observed: a trivial oracle OOMing
-                    # right after two interrupted heavyweights) — give
-                    # later queries a fresh one unconditionally
+                # an interrupted connection can carry residual
+                # allocator/interrupt state (observed: a trivial oracle
+                # OOMing right after two interrupted heavyweights; a
+                # late-finishing worker leaves a pending interrupt that
+                # would spuriously abort the NEXT query) — refresh
+                # whenever ANY interrupt() was issued, even if the
+                # worker ultimately returned a real result
+                if interrupted:
                     try:
                         con.close()
                     except Exception:  # noqa: BLE001
@@ -180,7 +186,13 @@ def main() -> int:
         Path(args.out).write_text(
             json.dumps({"summary": summary, "results": results}, indent=1)
         )
-    return 1 if n_fail else 0
+    # distinct exit codes so automation can't mistake a sweep with cut
+    # comparisons for a fully-green one: 0 = all verified, 1 = value/
+    # schema failure, 2 = no failures but >=1 comparison was cut by the
+    # per-query budget (those names still need verification somewhere)
+    if n_fail:
+        return 1
+    return 2 if n_timeout else 0
 
 
 if __name__ == "__main__":

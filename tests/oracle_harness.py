@@ -112,6 +112,173 @@ def canonicalize(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(shaped)
 
 
+class DigestUnsupported(Exception):
+    """Raised when a result schema has a column category the engine-side
+    digest can't canonicalize identically in both engines (arrays, maps,
+    structs — their string forms diverge between Spark and DuckDB)."""
+
+
+_SEP = "\x1f"
+_NULL = "∅"
+_LANES = 4  # four 8-hex (32-bit) md5 slices; sums fit BIGINT at any sf
+
+
+def _spark_canon(col_name: str, dtype: str):
+    """Canonical-string expression for one Spark column. Must produce the
+    exact same string DuckDB's `_duck_canon` produces for the same logical
+    value — both engines then md5 the concatenated row form."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col_name)
+    cat = _spark_type_category(dtype)
+    if cat == "int":
+        return c.cast("string")
+    if cat == "bool":
+        return F.when(c.isNull(), F.lit(None)).when(c, "1").otherwise("0")
+    if cat == "float":
+        # quantize to 1e-6 via IEEE-identical double ops (both engines
+        # hold bit-identical doubles for per-row-deterministic outputs,
+        # the digest-mode contract); |x|>9e11 would overflow the scaled
+        # BIGINT, so huge/inf collapse to signed sentinels
+        return (
+            F.when(F.isnan(c), F.lit("nan"))
+            .when(c > 9e11, F.lit("big+"))
+            .when(c < -9e11, F.lit("big-"))
+            .otherwise(
+                F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint").cast("string")
+            )
+        )
+    if cat == "decimal":
+        return c.cast("string")
+    if cat == "date":
+        return F.datediff(c, F.to_date(F.lit("1970-01-01"))).cast("string")
+    if cat == "ts":
+        return F.unix_micros(c).cast("string")
+    if cat == "str":
+        return c
+    raise DigestUnsupported(f"{col_name}: {dtype}")
+
+
+def _duck_canon(col_name: str, duck_type) -> str:
+    q = f'"{col_name}"'
+    cat = _duck_type_category(duck_type)
+    if cat == "int":
+        return f"CAST({q} AS VARCHAR)"
+    if cat == "bool":
+        return (
+            f"CASE WHEN {q} IS NULL THEN NULL "
+            f"WHEN {q} THEN '1' ELSE '0' END"
+        )
+    if cat == "float":
+        return (
+            f"CASE WHEN isnan({q}) THEN 'nan' "
+            f"WHEN {q} > 9e11 THEN 'big+' "
+            f"WHEN {q} < -9e11 THEN 'big-' "
+            f"ELSE CAST(CAST(floor({q} * 1e6 + 0.5) AS BIGINT) AS VARCHAR) END"
+        )
+    if cat == "decimal":
+        return f"CAST({q} AS VARCHAR)"
+    if cat == "date":
+        return f"CAST({q} - DATE '1970-01-01' AS VARCHAR)"
+    if cat == "ts":
+        return f"CAST(epoch_us({q}) AS VARCHAR)"
+    if cat == "str":
+        return q
+    raise DigestUnsupported(f"{col_name}: {duck_type}")
+
+
+def digest_compare(
+    spark_df, con: duckdb.DuckDBPyConnection, sql: str
+) -> tuple[bool, str]:
+    """Order-insensitive ENGINE-SIDE comparison with O(1) output.
+
+    Each engine canonicalizes every cell to a shared string form
+    (ints/decimals/strings verbatim, floats quantized to 1e-6 via
+    IEEE-identical ops, dates as epoch days, timestamps as epoch
+    micros), md5s the '\\x1f'-joined row (columns in sorted-name
+    order), and aggregates COUNT(*) plus four 32-bit md5-lane SUMs.
+    Only those 5 numbers cross the engine boundary, so a 60M-row
+    full-output query compares in aggregate time instead of collect +
+    Python-canonicalize time.
+
+    Contract: sound only for PER-ROW-DETERMINISTIC outputs (projections,
+    joins, exact arithmetic). A parallel float aggregation whose cross-
+    engine results differ in last ulps can straddle a 1e-6 quantization
+    boundary — keep those queries on the %.10g full comparison.
+
+    Schema names and type CATEGORIES are still checked exactly (the
+    driver's hash distinguishes int from float cells); an unsupported
+    category (array/map/struct) raises DigestUnsupported — fall back to
+    compare().
+    """
+    from pyspark.sql import functions as F
+
+    s_cols = spark_df.columns
+    rel = con.sql(sql)
+    d_cols = rel.columns
+    if sorted(s_cols) != sorted(d_cols):
+        return False, (
+            f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+        )
+    tmis = type_mismatches(spark_df, rel)
+    if tmis:
+        return False, "type categories differ (driver hash distinguishes " \
+            "these even when %.10g-rendered values agree): " + "; ".join(tmis)
+
+    order = sorted(s_cols)
+    s_types = dict(spark_df.dtypes)
+    d_types = dict(zip(rel.columns, rel.types))
+
+    # -- Spark digest: one aggregate job, 5 numbers to the driver
+    canon_cols = [
+        F.coalesce(_spark_canon(n, s_types[n]), F.lit(_NULL)) for n in order
+    ]
+    m = F.md5(F.concat_ws(_SEP, *canon_cols))
+    lanes = [
+        F.conv(F.substring(m, 1 + 8 * k, 8), 16, 10).cast("long")
+        for k in range(_LANES)
+    ]
+    srow = (
+        spark_df.select(
+            F.lit(1).alias("__one"),
+            *[lane.alias(f"__l{k}") for k, lane in enumerate(lanes)],
+        )
+        .agg(
+            F.count("__one").alias("n"),
+            *[F.sum(f"__l{k}").alias(f"s{k}") for k in range(_LANES)],
+        )
+        .collect()[0]
+    )
+    s_digest = tuple(srow)
+
+    # -- DuckDB digest: wrap the oracle SQL, aggregate in-engine
+    d_canon = ", ".join(
+        f"coalesce({_duck_canon(n, d_types[n])}, '{_NULL}')" for n in order
+    )
+    d_lanes = ", ".join(
+        f"CAST(SUM(('0x' || substr(__m, {1 + 8 * k}, 8))::BIGINT) AS BIGINT)"
+        f" AS s{k}"
+        for k in range(_LANES)
+    )
+    wrapped = (
+        f"WITH __q AS ({sql}), "
+        f"__h AS (SELECT md5(concat_ws('{_SEP}', {d_canon})) AS __m FROM __q) "
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS n, {d_lanes} FROM __h"
+    )
+    d_digest = tuple(con.sql(wrapped).fetchall()[0])
+
+    if s_digest[0] != d_digest[0]:
+        return False, (
+            f"row count differs: spark={s_digest[0]} duck={d_digest[0]}"
+        )
+    if s_digest != d_digest:
+        return False, (
+            f"digest differs (n + 4 md5-lane sums): spark={s_digest} "
+            f"duck={d_digest}"
+        )
+    return True, f"digest ok ({s_digest[0]} rows, 4 lanes)"
+
+
 def compare(
     spark_df, con: duckdb.DuckDBPyConnection, sql: str
 ) -> tuple[bool, str]:

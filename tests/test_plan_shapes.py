@@ -66,11 +66,30 @@ def test_minhash_estimate_gate_joins_are_sort_merge(spark, sf_dir):
     # merge hints pin the two signature joins to sort-merge. The only
     # sanctioned broadcast below them is the bounded hot-key anti-join
     # inside the blocked exact-Jaccard pair build.
+    import re
+
     plan = _plan(spark, "minhash_estimate_error_gate", sf_dir)
-    assert plan.count("SortMergeJoin") >= 2
+    # the two signature joins (probe id_a-side, candidate id_b-side)
+    # must be sort-merge; assert by JOIN KEY, because a broadcast join
+    # line lists keys (id_a/id_b), never the __sig payload column — the
+    # old '__sig not in line' check passed on a regressed plan. The one
+    # sanctioned broadcast under these joins is the per-doc SIZES join
+    # inside the exact-Jaccard build (right keys __sid, narrow
+    # (id,int) rows, size-driven so it degrades to sort-merge at
+    # scale) — so the discriminator is the BUILD-side key list: a
+    # broadcast whose right keys are the renamed signature ids
+    # (id_a/id_b) is the r7 sf10 OOM shape and is banned.
+    sm_sig_joins = [
+        line
+        for line in plan.splitlines()
+        if "SortMergeJoin" in line and ("id_a" in line or "id_b" in line)
+    ]
+    assert len(sm_sig_joins) >= 2, plan
     for line in plan.splitlines():
-        if "BroadcastHashJoin" in line:
-            assert "__sig" not in line  # signature joins never broadcast
+        m = re.search(r"BroadcastHashJoin \[([^\]]*)\], \[([^\]]*)\]", line)
+        if m:
+            right_keys = m.group(2)
+            assert "id_a" not in right_keys and "id_b" not in right_keys, line
 
 
 def test_prefix_jaccard_self_join_is_sort_merge(spark, sf_dir):
