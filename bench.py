@@ -5,7 +5,10 @@ Prints two JSON lines; the LAST is the canonical compact record (the
 driver keeps only the output tail, so it must stay well under 2000 chars):
   {"metric": "headline_queries_total_sec", "value": <total_sec>,
    "unit": "sec", "queries": {<slowest 25>}, "shared_prev_ratio": r,
-   "sf": <dir>, ...}
+   "shared_prev_ratio_normalized": rn, "canary_sec": c, "sf": <dir>, ...}
+canary_sec is the frozen round-1 22-query subtotal (machine-state
+canary); the normalized ratio divides out both rounds' machine states
+(see CANARY_QUERIES — the raw ratio cried wolf in r5 and r7).
 The line before it carries the identical totals plus the FULL per-query
 map and the unmeasured-query list.
 
@@ -313,6 +316,27 @@ BENCH_QUERIES = [
     "triangle_sample_error_gate",
 ]
 
+# Machine-state canary: the 22 queries of the ROUND-1 baseline record,
+# timed unchanged by every headline run since. Their subtotal moves
+# with machine load, not with this repo's round-over-round changes
+# (the set is frozen), so the compact record emits it as `canary_sec`
+# and uses it to NORMALIZE the round-over-round ratio.
+# `shared_prev_ratio` raw has cried wolf twice: r5 printed 1.23 that
+# an idle re-run showed was load on the CURRENT run; r7 printed 1.121
+# that a same-machine A/B showed was a flattered machine state baked
+# into the PREVIOUS record (true ratio 0.88). Normalized ratio =
+# raw_ratio * prev_canary / cur_canary — both sides' machine states
+# cancel. When the previous record predates canary_sec (r7 and
+# earlier), CANARY_IDLE_REF_SEC stands in for prev_canary: the r7
+# judge measured the r7 record within 1% of idle, so reference-idle
+# is the right assumption for it.
+CANARY_QUERIES = tuple(BENCH_QUERIES[:22])
+assert CANARY_QUERIES[0] == "flagship_sales_rollup"
+assert CANARY_QUERIES[21] == "lsh_cosine_topk"
+# Idle 22-query subtotal on this machine (best-of-2, measured round 8
+# pre-scramble; re-measure if the hardware changes).
+CANARY_IDLE_REF_SEC = 13.3
+
 # The 10x-rehearsal subset (SCALE.md "10x scale rehearsal"): the
 # scale-critical heavyweights, runnable against a generated sf1.0 via
 #   python scripts/gen_scaled_testdata.py --sf 1.0 --out /tmp/sf1.0
@@ -523,6 +547,12 @@ def main() -> None:
     # against the newest parseable BENCH_r*.json, and the slowest 25.
     prev_ratio = None
     prev_round = None
+    prev_ratio_normalized = None
+    canary_sec = (
+        round(sum(timings[q] for q in CANARY_QUERIES if q in timings), 3)
+        if all(q in timings for q in CANARY_QUERIES)
+        else None
+    )
     try:
         import glob
 
@@ -530,7 +560,8 @@ def main() -> None:
             raise StopIteration  # prior BENCH records are headline@sf0.1
 
         for path in sorted(glob.glob("BENCH_r*.json"), reverse=True):
-            prev = (json.load(open(path)).get("parsed") or {}).get("queries")
+            parsed = json.load(open(path)).get("parsed") or {}
+            prev = parsed.get("queries")
             if prev:
                 shared = set(prev) & set(timings)
                 if shared:
@@ -543,6 +574,17 @@ def main() -> None:
                     # back to r3 (r4's parsed was null) and read as a
                     # regression that an idle re-run showed was load
                     prev_round = os.path.basename(path)
+                    # machine-state normalization (see CANARY_QUERIES):
+                    # raw * prev_canary / cur_canary cancels both sides'
+                    # load states; pre-canary records are assumed at the
+                    # idle reference (verified within 1% for r7)
+                    if canary_sec:
+                        prev_canary = (
+                            parsed.get("canary_sec") or CANARY_IDLE_REF_SEC
+                        )
+                        prev_ratio_normalized = round(
+                            prev_ratio * prev_canary / canary_sec, 3
+                        )
                 break
     except Exception:
         pass
@@ -558,6 +600,8 @@ def main() -> None:
                 "queries": slowest,
                 "queries_note": "slowest 25 of %d; full map on the previous line" % len(timings),
                 "shared_prev_ratio": prev_ratio,
+                "shared_prev_ratio_normalized": prev_ratio_normalized,
+                "canary_sec": canary_sec,
                 "prev_round": prev_round,
                 "sf": sf_dir,
                 "skew_rehearsal_sec": skew,
