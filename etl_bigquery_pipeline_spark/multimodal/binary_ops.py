@@ -666,17 +666,31 @@ def with_perceptual_hash(
     )
 
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = []
         for pdf in batches:
+            keys, hashes, oks = [], [], []
             for key, payload in zip(pdf[id_col], pdf[binary_col]):
+                keys.append(key)
                 try:
                     h = dhash64(decode_image(payload))
                     # two's-complement into signed int64
-                    rows.append((key, h - (1 << 64) if h >= (1 << 63) else h, True))
+                    hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+                    oks.append(True)
                 except (NotImplementedError, ValueError, TypeError):
-                    rows.append((key, None, False))
-            yield pd.DataFrame(rows, columns=[id_col, "phash", "ok"])
-            rows = []
+                    hashes.append(None)
+                    oks.append(False)
+            # phash MUST be a nullable Int64 column: a tuple-row
+            # DataFrame with one None makes pandas infer float64 for
+            # the whole column, silently zeroing the low ~11 bits of
+            # every 64-bit hash in the batch (53-bit mantissa) — found
+            # when a junk payload sharing a micro-batch corrupted its
+            # neighbors' index entries and broke cross-batch matching
+            yield pd.DataFrame(
+                {
+                    id_col: keys,
+                    "phash": pd.array(hashes, dtype="Int64"),
+                    "ok": oks,
+                }
+            )
 
     return df.mapInPandas(do, out_schema)
 
