@@ -17,6 +17,16 @@ number that must stay flat as history accumulates:
    stream = the rest with planted near-copies), K micro-batches.
    Metrics per batch: docs, seconds, docs/s, plus band-index growth
    (rows and on-disk bytes before/after).
+3. embeddings -> incremental_ann_sink: per-batch LSH-index appends +
+   a post-stream probe of appended vectors (the serving contract).
+4. images -> incremental_image_dedup_sink: synthetic PPM corpus into
+   the persisted dHash band index, feed with planted one-pixel-flip
+   near-copies + junk payloads; per-batch decode+hash+probe+append
+   cost, index growth, routing counts.
+5. events kill-mid-stream + restart-from-checkpoint: the same DLQ
+   pipeline stopped hard after ~half the micro-batches and restarted
+   from its checkpoint; exactly-once is asserted on the final totals
+   (accepted + DLQ == planted input, no loss, no dups).
 
 Usage:
     python scripts/streaming_rehearsal.py --sf /tmp/sf1.0 \
@@ -215,6 +225,197 @@ def rehearse_dedup(
     return _progress_rows(q), index
 
 
+def rehearse_events_kill_restart(
+    spark, sf_dir: str, work: str, batches: int
+) -> dict:
+    """Exactly-once at scale, demonstrated the unpleasant way: start the
+    SAME events->DLQ pipeline, kill the query mid-stream (after ~half
+    the micro-batches), restart from the checkpoint, and verify the
+    totals are exactly the planted input split — no loss, no dups.
+    Reuses the time-contiguous slices `rehearse_events` builds (call it
+    first; this phase reads its source dir with a fresh checkpoint)."""
+    import glob as globmod
+
+    from etl_bigquery_pipeline_spark.streaming.incremental import (
+        incremental_events_sink_with_dlq,
+    )
+
+    src = f"{work}/src_events"
+    n_files = len(globmod.glob(f"{src}/*.parquet"))
+    assert n_files >= 4, "run rehearse_events first"
+    schema = spark.read.parquet(src).schema
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return incremental_events_sink_with_dlq(
+            stream,
+            out_path=f"{work}/kr_out",
+            dlq_path=f"{work}/kr_dlq",
+            checkpoint=f"{work}/ckpt_kr",
+        )
+
+    q = start()
+    # kill mid-stream: wait until ~half the batches committed, then
+    # stop() hard (the in-flight batch may be abandoned uncommitted —
+    # that's the point)
+    target = batches // 2
+    t0 = time.time()
+    while time.time() - t0 < 600:
+        done = len([p for p in q.recentProgress if p])
+        if done >= target:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    batches_before_kill = len([p for p in q.recentProgress if p])
+
+    t0 = time.perf_counter()
+    q2 = start()  # restart from the same checkpoint
+    q2.awaitTermination()
+    restart_sec = round(time.perf_counter() - t0, 1)
+    batches_after_restart = len([p for p in q2.recentProgress if p])
+
+    total_in = spark.read.parquet(src).count()
+    accepted = spark.read.parquet(f"{work}/kr_out").count()
+    dlq = spark.read.parquet(f"{work}/kr_dlq").count()
+    return {
+        "batches_before_kill": batches_before_kill,
+        "batches_after_restart": batches_after_restart,
+        "restart_sec": restart_sec,
+        "input_rows": total_in,
+        "accepted_rows": accepted,
+        "dlq_rows": dlq,
+        "exactly_once": accepted + dlq == total_in,
+    }
+
+
+def _synth_images(spark, n: int, *, seed_base: int = 0, id_base: int = 0):
+    """(id, payload) of deterministic 48x48 PPM images — the rehearsal's
+    stand-in for a real image corpus (pure numpy + the repo's own PPM
+    encoder; payload ~7 KB each). seed = seed_base + i so near-copies
+    can be planted by re-generating a seed and flipping a pixel."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from etl_bigquery_pipeline_spark.multimodal import binary_ops
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["id"]:
+                arr = np.random.RandomState(seed_base + int(i)).randint(
+                    0, 256, size=(48, 48, 3), dtype=np.uint8
+                )
+                ids.append(id_base + int(i))
+                payloads.append(binary_ops.encode_ppm(arr))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return spark.range(n).mapInPandas(gen, schema)
+
+
+def rehearse_image_dedup(
+    spark, work: str, *, corpus_n: int, feed_n: int, batches: int
+) -> tuple[list[dict], dict]:
+    """Image feed -> incremental_image_dedup_sink: per-batch decode+
+    dHash+probe+append cost against the persisted dHash band index —
+    the multimodal twin of rehearse_dedup, planted the same way (1
+    near-copy per ~100 feed images, regenerated from corpus seeds with
+    one pixel flipped) plus 1 junk payload per ~500 to keep the reject
+    route real."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from etl_bigquery_pipeline_spark.multimodal import dhash_index
+    from etl_bigquery_pipeline_spark.streaming.image_dedup_stream import (
+        incremental_image_dedup_sink,
+    )
+
+    corpus = _synth_images(spark, corpus_n)
+    table = "rehearsal_dhash_index"
+    t0 = time.perf_counter()
+    dhash_index.build_dhash_index(corpus, table)
+    build_sec = round(time.perf_counter() - t0, 1)
+    before_rows = spark.table(table).count()
+
+    # feed: novel images (fresh seeds), planted near-copies of corpus
+    # seeds (flip one pixel), junk payloads
+    novel = _synth_images(
+        spark, feed_n, seed_base=10_000_000, id_base=10_000_000
+    )
+    n_planted = max(feed_n // 100, batches)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen_copies(batches_iter):
+        import numpy as np
+
+        from etl_bigquery_pipeline_spark.multimodal import binary_ops
+
+        for pdf in batches_iter:
+            ids, payloads = [], []
+            for i in pdf["id"]:
+                arr = np.random.RandomState(int(i)).randint(
+                    0, 256, size=(48, 48, 3), dtype=np.uint8
+                )
+                arr[0, 0] = 255 - arr[0, 0]  # near-copy, hamming <= 3
+                ids.append(20_000_000 + int(i))
+                payloads.append(binary_ops.encode_ppm(arr))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    copies = spark.range(n_planted).mapInPandas(gen_copies, schema)
+    junk = spark.range(max(feed_n // 500, 1)).selectExpr(
+        "id + 30000000 AS id",
+        "CAST(concat('junkpayload', id) AS BINARY) AS payload",
+    )
+    feed = novel.unionByName(copies).unionByName(junk)
+
+    src = f"{work}/src_imgs"
+    feed.repartition(batches).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_image_dedup_sink(
+        stream,
+        index_table=table,
+        checkpoint=f"{work}/ckpt_imgs",
+        out_dir=f"{work}/imgs_out",
+        dup_dir=f"{work}/imgs_dup",
+        reject_dir=f"{work}/imgs_rej",
+    )
+    q.awaitTermination()
+    spark.catalog.refreshTable(table)
+    stats = {
+        "corpus_images": corpus_n,
+        "index_build_sec": build_sec,
+        "index_rows_before": before_rows,
+        "index_rows_after": spark.table(table).count(),
+        "planted_near_copies": n_planted,
+        "dup_routed": spark.read.parquet(f"{work}/imgs_dup").count(),
+        "novel_routed": spark.read.parquet(f"{work}/imgs_out").count(),
+        "rejects_routed": spark.read.parquet(f"{work}/imgs_rej").count(),
+    }
+    return _progress_rows(q), stats
+
+
 def rehearse_ann(
     spark, sf_dir: str, work: str, batches: int, holdout: float = 0.2
 ) -> tuple[list[dict], dict]:
@@ -274,6 +475,13 @@ def main() -> int:
     ap.add_argument("--sf", default="/tmp/sf1.0")
     ap.add_argument("--batches", type=int, default=10)
     ap.add_argument("--doc-batches", type=int, default=5)
+    ap.add_argument(
+        "--images",
+        type=int,
+        default=20000,
+        help="synthetic image-corpus size for the dHash rehearsal "
+        "(feed = half that, planted near-copies 1 per 100)",
+    )
     ap.add_argument("--cpus", type=int, default=16)
     ap.add_argument("--out", default="")
     ap.add_argument("--work", default="")
@@ -319,16 +527,34 @@ def main() -> int:
     print(_md_table(ann_rows, ["batch_id", "rows", "sec", "rows_per_sec"]))
     print(f"\nindex: {json.dumps(ann_index_stats)}")
 
+    img_rows, img_stats = rehearse_image_dedup(
+        spark,
+        work,
+        corpus_n=args.images,
+        feed_n=max(args.images // 2, args.doc_batches),
+        batches=args.doc_batches,
+    )
+    print("\n### images -> incremental_image_dedup_sink (dHash band index)")
+    print(_md_table(img_rows, ["batch_id", "rows", "sec", "rows_per_sec"]))
+    print(f"\nindex: {json.dumps(img_stats)}")
+
+    kr = rehearse_events_kill_restart(spark, args.sf, work, args.batches)
+    print("\n### events kill-mid-stream + restart-from-checkpoint")
+    print(json.dumps(kr))
+
     summary = {
         "metric": "streaming_rehearsal",
         "sf": args.sf,
         "cpus": args.cpus,
         "events": ev_rows,
         "events_totals": ev_totals,
+        "events_kill_restart": kr,
         "dedup": doc_rows,
         "dedup_index": index,
         "ann": ann_rows,
         "ann_index": ann_index_stats,
+        "image_dedup": img_rows,
+        "image_dedup_index": img_stats,
     }
     line = json.dumps(summary)
     print(line)
