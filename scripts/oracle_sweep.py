@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -99,6 +100,18 @@ def main() -> int:
         "connection and cancels Spark jobs; the sweep continues.",
     )
     ap.add_argument(
+        "--duck-memory-limit",
+        default="48GB",
+        help="DuckDB allocator cap — a runaway oracle spills (see "
+        "--duck-temp) or fails ALONE instead of malloc-killing the "
+        "whole sweep process.",
+    )
+    ap.add_argument(
+        "--duck-temp",
+        default="/tmp/duckdb_spill",
+        help="DuckDB spill directory once the memory limit is hit.",
+    )
+    ap.add_argument(
         "--digest",
         action="store_true",
         help="use the engine-side digest comparison (O(1) output) for "
@@ -128,11 +141,32 @@ def main() -> int:
         drop = {s.strip() for s in args.skip.split(",") if s.strip()}
         names = [n for n in names if n not in drop]
 
-    con = duckdb_connection(args.sf)
+    def fresh_con():
+        """DuckDB connection with a BOUNDED allocator: an unbounded
+        oracle CTE at sf10 can malloc the machine to death (r8 observed
+        the process die with 'bad allocation' while a zombie heavyweight
+        still held its memory). With a limit + spill dir, a heavy oracle
+        spills to disk or raises OutOfMemoryException for ITSELF —
+        recorded as that query's failure, never process death."""
+        c = duckdb_connection(args.sf)
+        c.sql(f"SET memory_limit='{args.duck_memory_limit}'")
+        os.makedirs(args.duck_temp, exist_ok=True)
+        c.sql(f"SET temp_directory='{args.duck_temp}'")
+        return c
+
+    con = fresh_con()
     results: dict[str, dict] = {}
     n_fail = 0
     n_timeout = 0
     timeout = args.per_query_timeout
+
+    def checkpoint_out():
+        # crash-durable: the record survives a mid-sweep process death
+        # (r8's first attempt died at 107/278 with --out never written)
+        if args.out:
+            Path(args.out).write_text(
+                json.dumps({"results": results, "partial": True}, indent=1)
+            )
 
     def run_one(name: str) -> tuple[bool, str]:
         df = qs[name](spark, args.sf)
@@ -151,6 +185,7 @@ def main() -> int:
         t0 = time.time()
         timed_out = False
         interrupted = False
+        zombie = False
         if timeout:
             import concurrent.futures as cf
 
@@ -184,6 +219,7 @@ def main() -> int:
                     # thread (the zombie may still hold the connection)
                     ex.shutdown(wait=False)
                     ex = None
+                    zombie = True
                 # an interrupted connection can carry residual
                 # allocator/interrupt state (observed: a trivial oracle
                 # OOMing right after two interrupted heavyweights; a
@@ -192,11 +228,17 @@ def main() -> int:
                 # whenever ANY interrupt() was issued, even if the
                 # worker ultimately returned a real result
                 if interrupted:
-                    try:
-                        con.close()
-                    except Exception:  # noqa: BLE001
-                        pass
-                    con = duckdb_connection(args.sf)
+                    if not zombie:
+                        try:
+                            con.close()
+                        except Exception:  # noqa: BLE001
+                            pass
+                    # a ZOMBIE's connection is deliberately LEAKED:
+                    # closing a connection another thread is still
+                    # executing on can take down the process; the
+                    # memory_limit bounds what the leak can hold until
+                    # the interrupt lands
+                    con = fresh_con()
             except Exception as e:  # noqa: BLE001
                 ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
             finally:
@@ -229,6 +271,7 @@ def main() -> int:
             n_timeout += 1
         elif not ok:
             n_fail += 1
+        checkpoint_out()
         print(
             f"[{i + 1}/{len(names)}] {status} {name} ({dt:.1f}s)"
             + ("" if ok or timed_out else f"\n    {msg[:400]}"),
