@@ -100,6 +100,15 @@ def main() -> int:
         "connection and cancels Spark jobs; the sweep continues.",
     )
     ap.add_argument(
+        "--spark-restart-every",
+        type=int,
+        default=60,
+        help="recycle the local JVM every N queries (0 = never): a "
+        "single 8g driver accumulates heap pressure over a long sf10 "
+        "sweep and a task-level OutOfMemoryError kills every "
+        "subsequent query on the dead gateway.",
+    )
+    ap.add_argument(
         "--duck-memory-limit",
         default="48GB",
         help="DuckDB allocator cap — a runaway oracle spills (see "
@@ -123,14 +132,44 @@ def main() -> int:
 
     from etl_bigquery_pipeline_spark.session import get_session
 
-    # the COMPARISON collects both engines' full results; row-
-    # proportional outputs at sf10 (e.g. a 15M-row temporal join) blow
-    # the 1g default maxResultSize long before the query itself is in
-    # any trouble — the harness must not masquerade as an engine wall
-    spark = get_session(
-        "oracle-sweep",
-        extra_conf={"spark.driver.maxResultSize": "8g"},
-    )
+    def fresh_spark():
+        """(Re)build the SparkSession in a NEW JVM. A single 8g local
+        JVM accumulates heap pressure over a 200+-query sf10 sweep
+        (r7 and r8 both lost a segment to a task-level
+        java.lang.OutOfMemoryError ~160 queries in, after which every
+        remaining query failed on the dead gateway) — so the sweep
+        recycles the JVM every --spark-restart-every queries and on
+        any dead-gateway exception, instead of praying over one.
+
+        The COMPARISON collects both engines' full results; row-
+        proportional outputs at sf10 (e.g. a 15M-row temporal join)
+        blow the 1g default maxResultSize long before the query itself
+        is in any trouble — the harness must not masquerade as an
+        engine wall; hence maxResultSize=8g."""
+        from pyspark import SparkContext
+        from pyspark.sql import SparkSession
+
+        active = SparkContext._active_spark_context
+        if active is not None:
+            try:
+                active.stop()
+            except Exception:  # noqa: BLE001 — JVM may already be dead
+                pass
+        # clear EVERY cached handle so getOrCreate launches a new
+        # gateway/JVM rather than re-serving the dead one
+        SparkContext._active_spark_context = None
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+        s = get_session(
+            "oracle-sweep",
+            extra_conf={"spark.driver.maxResultSize": "8g"},
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    spark = fresh_spark()
     qs = entry.queries()
     oracles = entry.oracle_sql()
     names = [n for n in qs if n in oracles]
@@ -181,74 +220,110 @@ def main() -> int:
                 return ok, f"[digest unsupported: {e}; full compare] {msg}"
         return compare(df, con, oracles[name])
 
-    for i, name in enumerate(names):
-        t0 = time.time()
-        timed_out = False
-        interrupted = False
-        zombie = False
-        if timeout:
-            import concurrent.futures as cf
+    def _jvm_dead(message: str) -> bool:
+        # dead-gateway / heap-death signatures: the QUERY didn't fail,
+        # the JVM did — recycle and retry once instead of cascading
+        return any(
+            s in message
+            for s in (
+                "Connection refused",
+                "Py4JNetworkError",
+                "Java heap space",
+                "Answer from Java side is empty",
+            )
+        )
 
-            ex = cf.ThreadPoolExecutor(max_workers=1)
-            fut = ex.submit(run_one, name)
-            try:
-                ok, msg = fut.result(timeout=timeout)
-            except cf.TimeoutError:
-                timed_out = True
-                interrupted = True
-                ok, msg = False, f"TIMEOUT after {timeout:.0f}s"
-                # interrupt BOTH engines repeatedly until the worker
-                # yields: a single interrupt can land between engine
-                # calls and miss (engine calls themselves are
-                # interruptible; the python between them is short)
-                for _ in range(24):  # up to ~2 min of nudging
-                    con.interrupt()
-                    spark.sparkContext.cancelAllJobs()
-                    try:
-                        r = fut.result(timeout=5)
-                    except cf.TimeoutError:
-                        continue
-                    except Exception:  # noqa: BLE001 — our cancellation
-                        break
-                    else:
-                        ok, msg = r  # finished late: a real result
-                        timed_out = False
-                        break
-                else:
-                    # worker stuck despite interrupts: abandon the
-                    # thread (the zombie may still hold the connection)
-                    ex.shutdown(wait=False)
-                    ex = None
-                    zombie = True
-                # an interrupted connection can carry residual
-                # allocator/interrupt state (observed: a trivial oracle
-                # OOMing right after two interrupted heavyweights; a
-                # late-finishing worker leaves a pending interrupt that
-                # would spuriously abort the NEXT query) — refresh
-                # whenever ANY interrupt() was issued, even if the
-                # worker ultimately returned a real result
-                if interrupted:
-                    if not zombie:
+    for i, name in enumerate(names):
+        if i and args.spark_restart_every and i % args.spark_restart_every == 0:
+            spark = fresh_spark()
+        attempt = 0
+        t0 = time.time()
+        while True:
+            timed_out = False
+            interrupted = False
+            zombie = False
+            if timeout:
+                import concurrent.futures as cf
+
+                ex = cf.ThreadPoolExecutor(max_workers=1)
+                fut = ex.submit(run_one, name)
+                try:
+                    ok, msg = fut.result(timeout=timeout)
+                except cf.TimeoutError:
+                    timed_out = True
+                    interrupted = True
+                    ok, msg = False, f"TIMEOUT after {timeout:.0f}s"
+                    # interrupt BOTH engines repeatedly until the worker
+                    # yields: a single interrupt can land between engine
+                    # calls and miss (engine calls themselves are
+                    # interruptible; the python between them is short)
+                    for _ in range(24):  # up to ~2 min of nudging
+                        con.interrupt()
+                        spark.sparkContext.cancelAllJobs()
                         try:
-                            con.close()
-                        except Exception:  # noqa: BLE001
-                            pass
-                    # a ZOMBIE's connection is deliberately LEAKED:
-                    # closing a connection another thread is still
-                    # executing on can take down the process; the
-                    # memory_limit bounds what the leak can hold until
-                    # the interrupt lands
-                    con = fresh_con()
-            except Exception as e:  # noqa: BLE001
-                ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
-            finally:
-                if ex is not None:
-                    ex.shutdown(wait=False)
-        else:
-            try:
-                ok, msg = run_one(name)
-            except Exception as e:  # noqa: BLE001 — sweep continues
-                ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
+                            r = fut.result(timeout=5)
+                        except cf.TimeoutError:
+                            continue
+                        except Exception:  # noqa: BLE001 — our cancel
+                            break
+                        else:
+                            ok, msg = r  # finished late: a real result
+                            timed_out = False
+                            break
+                    else:
+                        # worker stuck despite interrupts: abandon the
+                        # thread (the zombie may still hold the
+                        # connection)
+                        ex.shutdown(wait=False)
+                        ex = None
+                        zombie = True
+                    # an interrupted connection can carry residual
+                    # allocator/interrupt state (observed: a trivial
+                    # oracle OOMing right after two interrupted
+                    # heavyweights; a late-finishing worker leaves a
+                    # pending interrupt that would spuriously abort the
+                    # NEXT query) — refresh whenever ANY interrupt()
+                    # was issued, even if the worker ultimately
+                    # returned a real result
+                    if interrupted:
+                        if not zombie:
+                            try:
+                                con.close()
+                            except Exception:  # noqa: BLE001
+                                pass
+                        # a ZOMBIE's connection is deliberately LEAKED:
+                        # closing a connection another thread is still
+                        # executing on can take down the process; the
+                        # memory_limit bounds what the leak can hold
+                        # until the interrupt lands
+                        con = fresh_con()
+                except Exception as e:  # noqa: BLE001
+                    ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
+                finally:
+                    if ex is not None:
+                        ex.shutdown(wait=False)
+            else:
+                try:
+                    ok, msg = run_one(name)
+                except Exception as e:  # noqa: BLE001 — sweep continues
+                    ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
+            if (
+                not ok
+                and not timed_out
+                and attempt == 0
+                and _jvm_dead(msg)
+            ):
+                # the JVM died, not the query: new JVM + connection,
+                # one retry — without this a single heap death fails
+                # every remaining query on the dead gateway (the r7/r8
+                # cascade class)
+                print(f"    JVM death on {name}; recycling and retrying",
+                      flush=True)
+                attempt = 1
+                spark = fresh_spark()
+                con = fresh_con()
+                continue
+            break
         # operators scoped_cache intermediates; without an explicit
         # release they accumulate across the sweep until the shared
         # local-mode heap dies (two JVM OOM cascades at sf10, ~60-100
