@@ -350,9 +350,11 @@ def ngram_jaccard_pairs(
     candidate pair (n×block_width array copies — the dominant cost of the
     naive plan). It explodes each document's shingle set once and
     equi-joins on (bucket, shingle_hash): only co-occurring shingles meet,
-    a groupBy counts |a∩b| per pair, and a join with the per-doc set
-    sizes (AQE broadcasts it when small) finishes
-    jaccard = c / (|a|+|b|-c). Pairs sharing zero
+    a groupBy counts |a∩b| per pair, and a merge-pinned join with the
+    per-doc set sizes finishes jaccard = c / (|a|+|b|-c) (the sizes
+    side is corpus-proportional, so it must never STATICALLY broadcast
+    — the r8 sf10 sweep measured the driver build dying; sort-merge is
+    pinned, AQE still free to re-optimize locally). Pairs sharing zero
     shingles never materialize — correct for any threshold > 0 (their
     similarity is exactly 0); for threshold <= 0 or a custom ``block``
     predicate the pairwise array-intersect plan is used instead.
@@ -440,14 +442,25 @@ def ngram_jaccard_pairs(
     sim = F.round(
         inter / (F.col("__na") + F.col("__nb") - inter).cast("double"), 6
     ).alias("jaccard_sim")
+    # the SIZES side is corpus-proportional (one row per doc): the
+    # static planner broadcast it at sf10 and the driver-side hash
+    # build died ("Not enough memory to build and broadcast") — found
+    # by the r8 digest-mode sweep, the same hazard class as the r7
+    # minhash-gate OOM. merge hints pin both joins to sort-merge; AQE
+    # may still locally optimize, but never a driver broadcast of an
+    # unbounded side. (Plan-shape test: test_plan_shapes.py.)
     return (
         common.join(
-            sizes.select(F.col("__sid"), F.col("__n").alias("__na")),
+            sizes.select(F.col("__sid"), F.col("__n").alias("__na")).hint(
+                "merge"
+            ),
             F.col("id_a") == F.col("__sid"),
         )
         .drop("__sid")
         .join(
-            sizes.select(F.col("__sid"), F.col("__n").alias("__nb")),
+            sizes.select(F.col("__sid"), F.col("__n").alias("__nb")).hint(
+                "merge"
+            ),
             F.col("id_b") == F.col("__sid"),
         )
         .select("id_a", "id_b", sim)

@@ -230,6 +230,8 @@ def main() -> int:
                 "Py4JNetworkError",
                 "Java heap space",
                 "Answer from Java side is empty",
+                "SparkContext was shut down",
+                "Cannot call methods on a stopped SparkContext",
             )
         )
 

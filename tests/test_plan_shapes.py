@@ -72,13 +72,12 @@ def test_minhash_estimate_gate_joins_are_sort_merge(spark, sf_dir):
     # the two signature joins (probe id_a-side, candidate id_b-side)
     # must be sort-merge; assert by JOIN KEY, because a broadcast join
     # line lists keys (id_a/id_b), never the __sig payload column — the
-    # old '__sig not in line' check passed on a regressed plan. The one
-    # sanctioned broadcast under these joins is the per-doc SIZES join
-    # inside the exact-Jaccard build (right keys __sid, narrow
-    # (id,int) rows, size-driven so it degrades to sort-merge at
-    # scale) — so the discriminator is the BUILD-side key list: a
-    # broadcast whose right keys are the renamed signature ids
-    # (id_a/id_b) is the r7 sf10 OOM shape and is banned.
+    # old '__sig not in line' check passed on a regressed plan. The
+    # per-doc SIZES join inside the exact-Jaccard build (right keys
+    # __sid) is ALSO corpus-proportional and ALSO banned from static
+    # broadcast: the r8 digest-mode sf10 sweep measured the driver
+    # build dying on exactly that join ("Not enough memory to build
+    # and broadcast"), so ngram_jaccard_pairs now merge-pins it.
     sm_sig_joins = [
         line
         for line in plan.splitlines()
@@ -90,6 +89,7 @@ def test_minhash_estimate_gate_joins_are_sort_merge(spark, sf_dir):
         if m:
             right_keys = m.group(2)
             assert "id_a" not in right_keys and "id_b" not in right_keys, line
+            assert "__sid" not in right_keys, line  # sizes join: r8 find
 
 
 def test_prefix_jaccard_self_join_is_sort_merge(spark, sf_dir):
