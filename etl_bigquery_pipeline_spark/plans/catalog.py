@@ -2161,25 +2161,99 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def _hist_exact_percentiles(
+    df: DataFrame, gcol: str, vcol: str, ps: list, names: list
+) -> DataFrame:
+    """Exact interpolated (type-7 / quantile_cont) percentiles computed
+    over the VALUE-FREQUENCY HISTOGRAM instead of Spark's percentile()
+    buffer.
+
+    percentile()/median() hold a per-group value->count map inside each
+    partial-aggregation task — at sf10 (20M+ rows per l_returnflag
+    group, 4 exact percentiles at once) that buffer OOMed a 16 GiB
+    driver JVM (r8 sweep finding; BufferHolder.grow). The histogram
+    form is the scale-correct plan: groupBy(group, value) with map-side
+    combine (state bounded by DISTINCT values, not rows), a cumulative
+    count over the per-group sorted distinct values (window input is
+    the histogram, not the data), then each target order statistic
+    located by its cumulative range and interpolated:
+    target = (n-1)*p, value = x_lo + (x_hi - x_lo) * frac — exactly
+    DuckDB's quantile_cont."""
+    hist = df.groupBy(F.col(gcol), F.col(vcol).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wcum = Window.partitionBy(gcol).orderBy("__v")
+    hist = hist.select(
+        gcol,
+        "__v",
+        "__c",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(Window.partitionBy(gcol)).alias("__n"),
+    )
+    aggs = []
+    for p, nm in zip(ps, names):
+        tgt = (F.col("__n") - 1) * F.lit(float(p))
+        lo, hi = F.floor(tgt), F.ceil(tgt)
+        at = lambda k: F.max(  # noqa: E731 — value holding index k
+            F.when(
+                ((F.col("__cum") - F.col("__c")) <= k) & (k < F.col("__cum")),
+                F.col("__v"),
+            )
+        )
+        aggs += [
+            at(lo).alias(f"__{nm}_lo"),
+            at(hi).alias(f"__{nm}_hi"),
+            F.max(tgt - lo).alias(f"__{nm}_fr"),  # constant per group
+        ]
+    out = hist.groupBy(gcol).agg(*aggs)
+    return out.select(
+        gcol,
+        *[
+            (
+                F.col(f"__{nm}_lo")
+                + (F.col(f"__{nm}_hi") - F.col(f"__{nm}_lo"))
+                * F.col(f"__{nm}_fr")
+            ).alias(nm)
+            for nm in names
+        ],
+    )
+
+
 @query("stats_aggregates", _STATS_ORACLE)
 def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles/median + second-moment aggregates
     (corr/covar/stddev/var, rounded — moment sums are order-sensitive in
-    the last bits). Percentiles are exact sort-based values: identical
-    across engines with no rounding."""
+    the last bits). Percentiles are exact quantile_cont values computed
+    via `_hist_exact_percentiles` (value-frequency histogram): Spark's
+    percentile()/median() buffer a per-group value map inside each
+    task, which the r8 sf10 sweep measured dying at 20M+ rows per group
+    (Java heap OOM even at 16g) — the histogram plan keeps state
+    bounded by distinct values and is identical across engines with no
+    rounding. Moments stream (Welford-style) and are unaffected."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    moments = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
-        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
-        F.median("l_quantity").alias("qty_median"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
             "qty_price_covar"
         ),
         F.round(F.stddev_samp("l_extendedprice"), 6).alias("price_stddev"),
         F.round(F.var_samp("l_extendedprice"), 4).alias("price_var"),
+    )
+    price_p = _hist_exact_percentiles(
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.25, 0.75],
+        ["p50", "p25", "p75"],
+    )
+    qty_m = _hist_exact_percentiles(
+        li, "l_returnflag", "l_quantity", [0.5], ["qty_median"]
+    )
+    return (
+        moments.join(price_p, "l_returnflag")
+        .join(qty_m, "l_returnflag")
+        .select(
+            "l_returnflag", "n_rows", "p50", "p25", "p75", "qty_median",
+            "qty_price_corr", "qty_price_covar", "price_stddev", "price_var",
+        )
     )
 
 
