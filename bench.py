@@ -333,8 +333,14 @@ BENCH_QUERIES = [
 CANARY_QUERIES = tuple(BENCH_QUERIES[:22])
 assert CANARY_QUERIES[0] == "flagship_sales_rollup"
 assert CANARY_QUERIES[21] == "lsh_cosine_topk"
-# Idle 22-query subtotal on this machine (best-of-2, measured round 8
-# pre-scramble; re-measure if the hardware changes).
+# Idle 22-query subtotal at the r7 code state (the r7 judge's idle
+# measurement — stands in for prev_canary until records carry their
+# own canary_sec). Caveat recorded for honesty: the canary set's
+# code-freeze was violated once in round 8 (ngram_jaccard_pairs'
+# sizes joins merge-pinned after an sf10 broadcast OOM; solo idle
+# cost 1.8s), so r8's normalized ratio is CONSERVATIVE — part of a
+# genuine speedup is normalized away. From r9 on, prev records carry
+# canary_sec and this constant is only a last-resort fallback.
 CANARY_IDLE_REF_SEC = 13.3
 
 # The 10x-rehearsal subset (SCALE.md "10x scale rehearsal"): the
