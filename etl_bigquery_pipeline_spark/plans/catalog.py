@@ -3177,13 +3177,21 @@ def approx_percentile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx-family gates next to approx_distinct_error and the ANN recall
     checks."""
     li = _t(spark, sf_dir, "lineitem")
-    agg = li.agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("__exact"),
+    # the exact arm uses the histogram plan (state bounded by distinct
+    # values) — percentile()'s per-task buffer is the r8 sf10 OOM class
+    exact = _hist_exact_percentiles(
+        li.withColumn("__g", F.lit(1)),
+        "__g",
+        "l_extendedprice",
+        [0.5],
+        ["__exact"],
+    ).drop("__g")
+    approx = li.agg(
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias(
             "__approx"
-        ),
+        )
     )
-    return agg.select(
+    return approx.crossJoin(F.broadcast(exact)).select(
         (
             F.abs(F.col("__approx") - F.col("__exact"))
             <= 0.01 * F.abs(F.col("__exact"))
@@ -4168,11 +4176,19 @@ def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (price_histogram) needs one pass; equi-depth costs the extra scan in
     exchange for balanced buckets."""
     o = _t(spark, sf_dir, "orders").select("o_totalprice")
-    qs = o.agg(
-        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
-        F.percentile("o_totalprice", F.lit(0.50)).alias("q2"),
-        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
-    )
+    # exact quartiles via the value-frequency histogram (see
+    # _hist_exact_percentiles): percentile()'s per-task value buffer is
+    # the r8 sf10 OOM class; the ungrouped case degenerates the final
+    # cumulative window to one partition, but its input is the
+    # HISTOGRAM and the window sort is external/spill-safe — bounded
+    # memory where the old plan was not
+    qs = _hist_exact_percentiles(
+        o.withColumn("__g", F.lit(1)),
+        "__g",
+        "o_totalprice",
+        [0.25, 0.50, 0.75],
+        ["q1", "q2", "q3"],
+    ).drop("__g")
     bucket = (
         F.when(F.col("o_totalprice") <= F.col("q1"), 0)
         .when(F.col("o_totalprice") <= F.col("q2"), 1)
