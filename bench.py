@@ -9,6 +9,16 @@ driver keeps only the output tail, so it must stay well under 2000 chars):
 canary_sec is the frozen round-1 22-query subtotal (machine-state
 canary); the normalized ratio divides out both rounds' machine states
 (see CANARY_QUERIES — the raw ratio cried wolf in r5 and r7).
+
+`shared_prev_ratio_normalized` is a DIRECTION signal, not a magnitude
+(r8 verdict What's-wrong #2): the normalization scales the WHOLE ratio
+by the canary's load factor, which assumes contention hits every query
+uniformly — it doesn't (shuffle-heavy queries suffer more than
+scan-bound ones under load). r8 printed 0.778 where the judge's
+idle-to-idle A/B measured 0.89. Both times it has been consulted it
+pointed the right way; never quote its magnitude. The number of record
+is an IDLE re-run: if canary_sec deviates >10% from the best known
+idle canary value, re-run on an idle machine before recording.
 The line before it carries the identical totals plus the FULL per-query
 map and the unmeasured-query list.
 
@@ -330,9 +340,38 @@ BENCH_QUERIES = [
 # earlier), CANARY_IDLE_REF_SEC stands in for prev_canary: the r7
 # judge measured the r7 record within 1% of idle, so reference-idle
 # is the right assumption for it.
-CANARY_QUERIES = tuple(BENCH_QUERIES[:22])
-assert CANARY_QUERIES[0] == "flagship_sales_rollup"
-assert CANARY_QUERIES[21] == "lsh_cosine_topk"
+# Frozen as an EXPLICIT tuple (r8 ADVICE): slicing the live
+# BENCH_QUERIES list meant an insert/reorder anywhere in positions
+# 1-20 would silently change the canary set and corrupt the
+# normalization without tripping the two endpoint asserts.
+CANARY_QUERIES = (
+    "flagship_sales_rollup",
+    "revenue_by_segment",
+    "rollup_region_nation",
+    "window_rank_parts",
+    "orphan_lineitem_part",
+    "dedup_exact_documents",
+    "minhash_near_dup_pairs",
+    "simhash_fingerprints",
+    "ngram_jaccard_pairs",
+    "similarity_topk",
+    "embedding_near_dup_pairs",
+    "token_stats_by_lang",
+    "quality_scores",
+    "events_tumbling_hourly",
+    "events_sliding_1h_30m",
+    "sessionization",
+    "json_extract_events",
+    "asof_join_error_signup",
+    "range_join_signup_followups",
+    "window_lag_running_orders",
+    "cube_orders",
+    "lsh_cosine_topk",
+)
+assert tuple(BENCH_QUERIES[:22]) == CANARY_QUERIES, (
+    "BENCH_QUERIES' first 22 entries are the frozen canary prefix — "
+    "append new queries after position 21, never insert before it"
+)
 # Idle 22-query subtotal at the r7 code state (the r7 judge's idle
 # measurement — stands in for prev_canary until records carry their
 # own canary_sec). Caveat recorded for honesty: the canary set's
@@ -604,7 +643,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": slowest,
-                "queries_note": "slowest 25 of %d; full map on the previous line" % len(timings),
+                "queries_note": "slowest 25 of %d; full map on the previous line; shared_prev_ratio_normalized is a direction signal, not a magnitude (uniform-load assumption overcorrects shuffle-heavy queries — r8: printed 0.778, idle A/B 0.89)" % len(timings),
                 "shared_prev_ratio": prev_ratio,
                 "shared_prev_ratio_normalized": prev_ratio_normalized,
                 "canary_sec": canary_sec,

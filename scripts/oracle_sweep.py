@@ -82,6 +82,11 @@ DIGEST_SAFE = {
     "knn_distance_outliers",       # round(,6) sims + rank
     "duplicate_ngram_spans",       # 4 global counts
     "cross_source_contamination",  # gram-overlap counts
+    # r9: 15M-row lag/lead projection + DECIMAL(18,4)-exact running sum
+    # over a tie-broken total order per customer — per-row deterministic
+    # on both engines (the double cast happens after the exact sum);
+    # its sf10 cost was the full-output collect, exactly digest's case
+    "window_lag_running_orders",
 }
 
 
@@ -128,7 +133,71 @@ def main() -> int:
         "queries whose collect + Python canonicalization, not their "
         "computation, exceeds the sf10 budget.",
     )
+    ap.add_argument(
+        "--retry-timed-out",
+        type=float,
+        default=0,
+        help="after the sweep, re-run each budget timeout ONCE at this "
+        "factor x the per-query budget (0 = off). The tail retry runs "
+        "with no concurrent heavyweights — the regime in which r8's "
+        "hll gate converted a 240s timeout into a 183s idle PASS.",
+    )
+    ap.add_argument(
+        "--materialize",
+        action="store_true",
+        help="use scripts/oracle_overrides.ORACLE_OVERRIDES: equivalent "
+        "oracle rewrites that materialize each family's shared "
+        "monolithic CTE (co-purchase edges, embedding dot products, "
+        "document shingle sets) into a DuckDB temp table ONCE, so N "
+        "family members stop paying the same corpus-sized CTE N times. "
+        "Every override is equivalence-tested against its original "
+        "oracle at sf0.01 (tests/test_oracle_overrides.py).",
+    )
+    ap.add_argument(
+        "--mat-dir",
+        default="",
+        help="directory for the --materialize parquet files (default "
+        "/tmp/sweep_mat_<basename of --sf>; files are keyed by sf so "
+        "two sweeps at different scales never share them).",
+    )
     args = ap.parse_args()
+
+    if args.materialize:
+        from scripts.oracle_overrides import (
+            get_materializations,
+            get_overrides,
+        )
+
+        mat_dir = args.mat_dir or (
+            "/tmp/sweep_mat_" + os.path.basename(args.sf.rstrip("/"))
+        )
+        os.makedirs(mat_dir, exist_ok=True)
+        ORACLE_OVERRIDES = get_overrides(mat_dir)
+        MATERIALIZATIONS = get_materializations(mat_dir)
+    else:
+        mat_dir = ""
+        ORACLE_OVERRIDES = {}
+        MATERIALIZATIONS = {}
+
+    def ensure_materialized(con, keys: list[str]) -> None:
+        """Build any missing family parquet files (write-to-temp +
+        os.replace: an interrupted build never leaves a half-written
+        file that a later query would silently read). Runs inside the
+        calling query's budget — the first family member pays, every
+        later member reads the file; files survive connection/JVM
+        recycling and even a sweep restart."""
+        for key in keys:
+            path = os.path.join(mat_dir, key + ".parquet")
+            if os.path.exists(path):
+                continue
+            tmp = path + ".building"
+            t0 = time.time()
+            con.sql(f"COPY ({MATERIALIZATIONS[key]}) TO '{tmp}' (FORMAT PARQUET)")
+            os.replace(tmp, path)
+            print(
+                f"    materialized {key}.parquet ({time.time() - t0:.1f}s)",
+                flush=True,
+            )
 
     from etl_bigquery_pipeline_spark.session import get_session
 
@@ -198,6 +267,7 @@ def main() -> int:
     n_fail = 0
     n_timeout = 0
     timeout = args.per_query_timeout
+    engines = {"spark": spark, "con": con}
 
     def checkpoint_out():
         # crash-durable: the record survives a mid-sweep process death
@@ -208,17 +278,26 @@ def main() -> int:
             )
 
     def run_one(name: str) -> tuple[bool, str]:
-        df = qs[name](spark, args.sf)
+        spark, con = engines["spark"], engines["con"]
+        sql = oracles[name]
+        tag = ""
+        if args.materialize and name in ORACLE_OVERRIDES:
+            keys, sql = ORACLE_OVERRIDES[name]
+            ensure_materialized(con, keys)
+            tag = "[materialized] "
         if args.digest and name in DIGEST_SAFE:
+            df = qs[name](spark, args.sf)
             try:
-                ok, msg = digest_compare(df, con, oracles[name])
-                return ok, "[digest] " + msg
+                ok, msg = digest_compare(df, con, sql)
+                return ok, tag + "[digest] " + msg
             except DigestUnsupported as e:
                 # schema has a category the digest can't canonicalize
                 # identically in both engines — honest fallback
-                ok, msg = compare(df, con, oracles[name])
-                return ok, f"[digest unsupported: {e}; full compare] {msg}"
-        return compare(df, con, oracles[name])
+                ok, msg = compare(df, con, sql)
+                return ok, f"{tag}[digest unsupported: {e}; full compare] {msg}"
+        df = qs[name](spark, args.sf)
+        ok, msg = compare(df, con, sql)
+        return ok, tag + msg
 
     def _jvm_dead(message: str) -> bool:
         # dead-gateway / heap-death signatures: the QUERY didn't fail,
@@ -235,33 +314,34 @@ def main() -> int:
             )
         )
 
-    for i, name in enumerate(names):
-        if i and args.spark_restart_every and i % args.spark_restart_every == 0:
-            spark = fresh_spark()
+    def execute(name: str, budget: float) -> tuple[bool, bool, str, float]:
+        """One query's comparison under ``budget`` seconds (0 = no limit).
+        Returns (ok, timed_out, msg, seconds). Mutates engines['spark'] /
+        engines['con'] on interrupt/JVM-death recovery."""
         attempt = 0
         t0 = time.time()
         while True:
             timed_out = False
             interrupted = False
             zombie = False
-            if timeout:
+            if budget:
                 import concurrent.futures as cf
 
                 ex = cf.ThreadPoolExecutor(max_workers=1)
                 fut = ex.submit(run_one, name)
                 try:
-                    ok, msg = fut.result(timeout=timeout)
+                    ok, msg = fut.result(timeout=budget)
                 except cf.TimeoutError:
                     timed_out = True
                     interrupted = True
-                    ok, msg = False, f"TIMEOUT after {timeout:.0f}s"
+                    ok, msg = False, f"TIMEOUT after {budget:.0f}s"
                     # interrupt BOTH engines repeatedly until the worker
                     # yields: a single interrupt can land between engine
                     # calls and miss (engine calls themselves are
                     # interruptible; the python between them is short)
                     for _ in range(24):  # up to ~2 min of nudging
-                        con.interrupt()
-                        spark.sparkContext.cancelAllJobs()
+                        engines["con"].interrupt()
+                        engines["spark"].sparkContext.cancelAllJobs()
                         try:
                             r = fut.result(timeout=5)
                         except cf.TimeoutError:
@@ -290,7 +370,7 @@ def main() -> int:
                     if interrupted:
                         if not zombie:
                             try:
-                                con.close()
+                                engines["con"].close()
                             except Exception:  # noqa: BLE001
                                 pass
                         # a ZOMBIE's connection is deliberately LEAKED:
@@ -298,7 +378,7 @@ def main() -> int:
                         # executing on can take down the process; the
                         # memory_limit bounds what the leak can hold
                         # until the interrupt lands
-                        con = fresh_con()
+                        engines["con"] = fresh_con()
                 except Exception as e:  # noqa: BLE001
                     ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
                 finally:
@@ -322,8 +402,8 @@ def main() -> int:
                 print(f"    JVM death on {name}; recycling and retrying",
                       flush=True)
                 attempt = 1
-                spark = fresh_spark()
-                con = fresh_con()
+                engines["spark"] = fresh_spark()
+                engines["con"] = fresh_con()
                 continue
             break
         # operators scoped_cache intermediates; without an explicit
@@ -332,10 +412,12 @@ def main() -> int:
         # queries in, both following an interrupted heavyweight whose
         # cache cleanup never ran)
         try:
-            spark.catalog.clearCache()
+            engines["spark"].catalog.clearCache()
         except Exception:  # noqa: BLE001
             pass
-        dt = time.time() - t0
+        return ok, timed_out, msg, time.time() - t0
+
+    def record(name, ok, timed_out, msg, dt, pos, total, retried=False):
         status = "TIMEOUT" if timed_out else ("PASS" if ok else "FAIL")
         results[name] = {
             "ok": ok,
@@ -343,17 +425,54 @@ def main() -> int:
             "msg": msg[:500],
             "sec": round(dt, 2),
             "digest": bool(args.digest and name in DIGEST_SAFE),
+            "materialized": bool(
+                args.materialize and name in ORACLE_OVERRIDES
+            ),
+            "retried": retried,
         }
-        if timed_out:
-            n_timeout += 1
-        elif not ok:
-            n_fail += 1
         checkpoint_out()
         print(
-            f"[{i + 1}/{len(names)}] {status} {name} ({dt:.1f}s)"
+            f"[{pos}/{total}] {status} {name} ({dt:.1f}s)"
+            + (" [retry]" if retried else "")
             + ("" if ok or timed_out else f"\n    {msg[:400]}"),
             flush=True,
         )
+
+    for i, name in enumerate(names):
+        if i and args.spark_restart_every and i % args.spark_restart_every == 0:
+            engines["spark"] = fresh_spark()
+        ok, timed_out, msg, dt = execute(name, timeout)
+        record(name, ok, timed_out, msg, dt, i + 1, len(names))
+
+    # ---- tail retry pass (r8 verdict ask #3 lever b) ----
+    # Budget timeouts get ONE more attempt at retry-factor x budget,
+    # AFTER the whole sweep: the tail runs with no concurrent
+    # heavyweight contention — the same conditions under which
+    # hll_intersection_estimate_gate's 183.1s idle PASS converted an
+    # r7 exclusion. A retry PASS is a full verification (same compare);
+    # a retry timeout stays an exclusion, now attributed at the bigger
+    # budget.
+    if args.retry_timed_out and timeout:
+        retry_names = [n for n, r in results.items() if r.get("timeout")]
+        big = timeout * args.retry_timed_out
+        if retry_names:
+            print(
+                f"-- retry pass: {len(retry_names)} budget timeouts at "
+                f"{big:.0f}s --",
+                flush=True,
+            )
+            engines["spark"] = fresh_spark()
+        for j, name in enumerate(retry_names):
+            ok, timed_out, msg, dt = execute(name, big)
+            record(
+                name, ok, timed_out, msg, dt, j + 1, len(retry_names),
+                retried=True,
+            )
+
+    n_fail = sum(
+        1 for r in results.values() if not r["ok"] and not r.get("timeout")
+    )
+    n_timeout = sum(1 for r in results.values() if r.get("timeout"))
     summary = {
         "sf": args.sf,
         "total": len(names),
@@ -369,6 +488,12 @@ def main() -> int:
             n
             for n, r in results.items()
             if r["ok"] and r.get("digest") and "[digest]" in r["msg"]
+        ],
+        "retry_converted": [
+            n for n, r in results.items() if r["ok"] and r.get("retried")
+        ],
+        "materialized": [
+            n for n, r in results.items() if r.get("materialized")
         ],
     }
     print(json.dumps(summary), flush=True)
