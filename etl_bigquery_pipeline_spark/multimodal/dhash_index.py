@@ -69,33 +69,24 @@ def build_dhash_index(
     upstream via the ok=false flag. Metadata persists alongside so
     probes and appends can never disagree with the build's geometry."""
     from etl_bigquery_pipeline_spark.multimodal import binary_ops
-    from etl_bigquery_pipeline_spark.operators import ann_index
+    from etl_bigquery_pipeline_spark.operators import band_index_core
 
-    spark = corpus.sparkSession
-    ann_index._reset_table(spark, table)
     hashed = binary_ops.with_perceptual_hash(
         corpus, id_col=id_col, binary_col=binary_col
     ).filter(F.col("ok"))
-    # same bucket-aligned write as the text band index: repartition on
-    # the bucket column so each task owns one bucket (file count stays
-    # == n_buckets instead of growing with upstream parallelism)
-    (
-        dhash_bands(hashed, id_col)
-        .repartition(_N_BUCKETS, "band_val")
-        .write.bucketBy(_N_BUCKETS, "band_val")
-        .sortBy("band_val")
-        .mode("overwrite")
-        .saveAsTable(table)
-    )
-    ann_index._write_meta(
-        spark,
+    # bucket-aligned write + meta via the shared band-index skeleton
+    # (band_index_core — same implementation as the text MinHash tier)
+    band_index_core.write_band_index(
+        dhash_bands(hashed, id_col),
         table,
+        "band_val",
         {
             "bands": _BANDS,
             "band_bits": _BAND_BITS,
             "id_col": id_col,
             "binary_col": binary_col,
         },
+        n_buckets=_N_BUCKETS,
     )
 
 
@@ -116,7 +107,7 @@ def near_dup_candidates_from_dhash_index(
     rows only. max_hamming > 3 weakens the pigeonhole guarantee over
     four 16-bit bands (a distance-4 pair can corrupt all four) — the
     same banded-recall trade as text LSH, kept at the guaranteed 3."""
-    from etl_bigquery_pipeline_spark.operators import ann_index
+    from etl_bigquery_pipeline_spark.operators import ann_index, band_index_core
 
     meta = ann_index._read_meta(spark, table)
     id_col = meta["id_col"]
@@ -126,11 +117,8 @@ def near_dup_candidates_from_dhash_index(
         "band",
         "band_val",
     )
-    idx = spark.table(table)
-    collisions = idx.alias("c").join(
-        F.broadcast(bands_b.alias("b")),
-        (F.col("c.band_val") == F.col("b.band_val"))
-        & (F.col("c.band") == F.col("b.band")),
+    collisions = band_index_core.probe_collisions(
+        spark, bands_b, table, ["band_val", "band"]
     )
     return (
         collisions.select(
@@ -149,15 +137,27 @@ def near_dup_candidates_from_dhash_index(
     )
 
 
-def append_to_dhash_index(batch_hashed: DataFrame, table: str) -> None:
+def append_to_dhash_index(
+    batch_hashed: DataFrame, table: str, *, recovery: bool = False
+) -> None:
     """Insert a hashed batch's band rows into the bucketed layout —
     one pass over the batch, corpus untouched. insertInto resolves by
     POSITION; dhash_bands mirrors the build projection exactly.
-    Id uniqueness across batches is the caller's contract."""
-    from etl_bigquery_pipeline_spark.operators import ann_index
+    Id uniqueness across batches is the caller's contract.
+
+    ``recovery=True`` (crash-recovery replays only — it costs one index
+    scan) drops rows already present under (id, band, band_val) first,
+    so re-running a batch whose previous attempt died between the index
+    insert and its commit marker cannot duplicate index rows (r8 ADVICE:
+    duplicates were benign for matching but inflated index row counts
+    that the rehearsal asserts on)."""
+    from etl_bigquery_pipeline_spark.operators import ann_index, band_index_core
 
     spark = batch_hashed.sparkSession
     meta = ann_index._read_meta(spark, table)
-    dhash_bands(batch_hashed, meta["id_col"]).repartition(
-        "band_val"
-    ).write.insertInto(table, overwrite=False)
+    band_index_core.append_band_rows(
+        dhash_bands(batch_hashed, meta["id_col"]),
+        table,
+        "band_val",
+        dedupe_on=[meta["id_col"], "band", "band_val"] if recovery else None,
+    )

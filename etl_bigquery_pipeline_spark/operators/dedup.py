@@ -985,31 +985,18 @@ def build_band_index(
     agreement without access to corpus text. Metadata persists alongside
     so probes can't be run with mismatched hash parameters.
     """
-    from etl_bigquery_pipeline_spark.operators import ann_index
+    from etl_bigquery_pipeline_spark.operators import band_index_core
 
-    spark = corpus.sparkSession
-    ann_index._reset_table(spark, table)
     sig = minhash_signatures(
         corpus, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
     )
     bk = minhash_band_keys(sig, id_col, bands=bands)
-    n_buckets = 64
-    # repartition on the bucket column (same Murmur3 hash bucketBy uses)
-    # so each write task owns exactly one bucket: without it every
-    # upstream partition sorts and writes slices of all 64 buckets —
-    # measured 2x slower at bench scale and file count grows with
-    # upstream parallelism instead of staying == n_buckets
-    (
-        bk.join(sig, id_col)
-        .repartition(n_buckets, "band_key")
-        .write.bucketBy(n_buckets, "band_key")
-        .sortBy("band_key")
-        .mode("overwrite")
-        .saveAsTable(table)
-    )
-    ann_index._write_meta(
-        spark,
+    # bucket-aligned write + meta via the shared band-index skeleton
+    # (band_index_core — one implementation for the text AND image tiers)
+    band_index_core.write_band_index(
+        bk.join(sig, id_col),
         table,
+        "band_key",
         {
             "num_hashes": num_hashes,
             "bands": bands,
@@ -1040,7 +1027,7 @@ def near_dup_candidates_from_index(
     """
     from pyspark.sql import SparkSession  # noqa: F401 (typing only)
 
-    from etl_bigquery_pipeline_spark.operators import ann_index
+    from etl_bigquery_pipeline_spark.operators import ann_index, band_index_core
 
     meta = ann_index._read_meta(spark, table)
     sig_b = minhash_signatures(
@@ -1051,13 +1038,16 @@ def near_dup_candidates_from_index(
         shingle_n=meta["shingle_n"],
     )
     bk_b = minhash_band_keys(sig_b, id_col, bands=meta["bands"])
-    idx = spark.table(table)
-    if max_band_bucket is not None:
-        idx = _drop_hot_buckets(idx, ["band", "band_key"], max_band_bucket)
-    collisions = idx.alias("c").join(
-        F.broadcast(bk_b.alias("b")),
-        (F.col("c.band_key") == F.col("b.band_key"))
-        & (F.col("c.band") == F.col("b.band")),
+    collisions = band_index_core.probe_collisions(
+        spark,
+        bk_b,
+        table,
+        ["band_key", "band"],
+        index_filter=(
+            (lambda idx: _drop_hot_buckets(idx, ["band", "band_key"], max_band_bucket))
+            if max_band_bucket is not None
+            else None
+        ),
     )
     cands = collisions.select(
         F.col(f"b.{id_col}").alias("batch_id"),
@@ -1119,7 +1109,7 @@ def append_to_band_index(
     same daily-ingest shape as ``ann_index.append_to_lsh_index``. Per-
     batch cost is one pass over the batch; the corpus is never touched.
     Id uniqueness across batches is the caller's contract."""
-    from etl_bigquery_pipeline_spark.operators import ann_index
+    from etl_bigquery_pipeline_spark.operators import ann_index, band_index_core
 
     spark = batch.sparkSession
     meta = ann_index._read_meta(spark, table)
@@ -1132,11 +1122,9 @@ def append_to_band_index(
     )
     bk = minhash_band_keys(sig, meta["id_col"], bands=meta["bands"])
     # insertInto resolves by POSITION; this join mirrors the build
-    # projection (id, band, band_key, signature) exactly. repartition on
-    # band_key aligns write tasks with buckets (empty partitions write
-    # nothing), bounding the small files each append adds
-    bk.join(sig, meta["id_col"]).repartition("band_key").write.insertInto(
-        table, overwrite=False
+    # projection (id, band, band_key, signature) exactly
+    band_index_core.append_band_rows(
+        bk.join(sig, meta["id_col"]), table, "band_key"
     )
 
 

@@ -140,6 +140,82 @@ def with_global_running_sums(
     return out.drop("__gpid")
 
 
+def with_grouped_running_sums(
+    df: DataFrame,
+    gcols: Sequence[str],
+    order_by: Sequence[Column | str],
+    sum_cols: Sequence[str],
+    *,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Running SUMs per LOW-CARDINALITY group over a within-group order —
+    the grouped sibling of ``with_global_running_sums``.
+
+    An ordinary ``Window.partitionBy(group).orderBy(...)`` moves each
+    group's whole input through ONE task: fine when groups are many and
+    small, a serial funnel when groups are FEW and corpus-proportional
+    (a per-returnflag value histogram is ~millions of rows per group at
+    sf10 through 3 tasks — same hazard class as the global window, one
+    partitionBy removed). This range-partitions on (group, order) so a
+    group SPANS partitions, computes the local running sum inside each
+    (partition, group) slice, and adds exact per-(partition, group)
+    offsets from one bounded collect (partitions x groups rows — which
+    is why this is for low-cardinality groups; high-cardinality groups
+    should keep the ordinary partitioned window, whose per-task state
+    is already small). Integer counters merge exactly, so the result is
+    bit-identical to the serial plan. Appends ``cum_<col>`` columns.
+    """
+    spark = df.sparkSession
+    par = (
+        partitions
+        if partitions is not None
+        else spark.sparkContext.defaultParallelism
+    )
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    gc = [F.col(c) for c in gcols]
+    ranged = (
+        df.repartitionByRange(par, *gc, *ocols)
+        .withColumn("__gpid", F.spark_partition_id())
+        .transform(scoped_cache)
+    )
+    totals = (
+        ranged.groupBy("__gpid", *gcols)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    )
+    # running offsets per group along the partition order
+    acc: dict[tuple, dict[str, int]] = {}
+    offsets: list[tuple] = []  # (gpid, *gvals, {col: offset})
+    for r in sorted(totals, key=lambda r: r["__gpid"]):
+        gkey = tuple(r[c] for c in gcols)
+        cur = acc.setdefault(gkey, {c: 0 for c in sum_cols})
+        offsets.append((r["__gpid"], gkey, dict(cur)))
+        for c in sum_cols:
+            cur[c] += r[c] or 0
+    off_rows = [
+        (gpid, *gkey, *[offs[c] for c in sum_cols])
+        for gpid, gkey, offs in offsets
+    ]
+    off_df = spark.createDataFrame(
+        off_rows,
+        ["__gpid", *gcols, *[f"__off_{c}" for c in sum_cols]],
+    )
+    w = (
+        Window.partitionBy("__gpid", *gcols)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = ranged
+    for c in sum_cols:
+        out = out.withColumn(f"cum_{c}", F.sum(c).over(w))
+    out = out.join(F.broadcast(off_df), ["__gpid", *gcols])
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}", F.col(f"cum_{c}") + F.col(f"__off_{c}")
+        ).drop(f"__off_{c}")
+    return out.drop("__gpid")
+
+
 def ntile_from_row_number(rn: Column, total: int, buckets: int) -> Column:
     """Closed-form NTILE(buckets) from a 1-based global row number.
 

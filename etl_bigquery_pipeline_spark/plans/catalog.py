@@ -2207,17 +2207,22 @@ def _hist_exact_percentiles(
         hist = hist.crossJoin(F.broadcast(total))
         key: list = []
     else:
+        # grouped: the same hazard one partitionBy removed — a
+        # per-group histogram of a near-continuous column is
+        # corpus-proportional, so Window.partitionBy(group) would run
+        # each group's millions of histogram rows through ONE task
+        # (3 tasks total for l_returnflag at sf10). The grouped
+        # range-partitioned running sum spans each group across
+        # partitions with exact integer offsets; per-group totals are
+        # a tiny aggregate broadcast back.
         hist = df.groupBy(F.col(gcol), F.col(vcol).alias("__v")).agg(
             F.count(F.lit(1)).alias("__c")
         )
-        wcum = Window.partitionBy(gcol).orderBy("__v")
-        hist = hist.select(
-            gcol,
-            "__v",
-            "__c",
-            F.sum("__c").over(wcum).alias("__cum"),
-            F.sum("__c").over(Window.partitionBy(gcol)).alias("__n"),
-        )
+        hist = windows.with_grouped_running_sums(
+            hist, [gcol], ["__v"], ["__c"]
+        ).withColumnRenamed("cum___c", "__cum")
+        totals = hist.groupBy(gcol).agg(F.sum("__c").alias("__n"))
+        hist = hist.join(F.broadcast(totals), gcol)
         key = [gcol]
     aggs = []
     for p, nm in zip(ps, names):

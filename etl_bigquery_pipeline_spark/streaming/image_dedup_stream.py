@@ -22,7 +22,12 @@ Exactly-once: parquet outputs write to `batch_id=N` directories with
 overwrite (idempotent under replay); the band-index INSERT is not
 naturally idempotent, so an applied-batch marker commits AFTER the
 insert and a replayed batch whose marker exists is skipped whole —
-the same contract as dedup_stream/ann_stream.
+the same contract as dedup_stream/ann_stream. The crash window BETWEEN
+the insert and the marker commit is closed by a second, "inserting"
+pre-marker (r8 ADVICE): a replay that finds the pre-marker without the
+commit marker re-runs the append in recovery mode, which anti-joins
+the batch's band rows against the index first — one extra index scan
+on that rare path only, zero duplicate rows ever.
 """
 
 from __future__ import annotations
@@ -61,6 +66,15 @@ def incremental_image_dedup_sink(
         marker = os.path.join(marker_dir, f"batch_{batch_id}")
         if os.path.exists(marker):  # replay of an applied batch: skip
             return
+        # two-marker protocol (r8 ADVICE): an "inserting" pre-marker
+        # lands BEFORE the index append; the commit marker lands after.
+        # A replay that finds the pre-marker but not the commit marker
+        # knows the previous attempt died inside the crash window
+        # between insert and commit — only THAT rare path pays the
+        # idempotent (anti-join) append, so duplicate index rows can't
+        # accumulate while the normal path stays one-pass.
+        pre_marker = marker + ".__inserting"
+        recovery = os.path.exists(pre_marker)
         spark = batch_df.sparkSession
         # exact in-batch dedup first: identical payloads collapse to the
         # smallest id (deterministic), so re-uploads inside one batch
@@ -119,8 +133,12 @@ def incremental_image_dedup_sink(
             novel_ids = spark.read.parquet(
                 os.path.join(out_dir, f"batch_id={batch_id}")
             ).select(id_col)
+            with open(pre_marker, "w"):
+                pass  # pre-marker: the index append starts now
             dhash_index.append_to_dhash_index(
-                ok_hashes.join(novel_ids, id_col, "semi"), index_table
+                ok_hashes.join(novel_ids, id_col, "semi"),
+                index_table,
+                recovery=recovery,
             )
         finally:
             batch.unpersist()
@@ -130,6 +148,7 @@ def incremental_image_dedup_sink(
         with open(staging, "w"):
             pass
         os.rename(staging, marker)  # marker lands only after the insert
+        os.remove(pre_marker)
 
     return (
         images.writeStream.foreachBatch(write_batch)

@@ -219,3 +219,67 @@ def test_streaming_sink_replay_is_idempotent(spark, corpus_index, tmp_path):
     run()
     assert spark.table(corpus_index).count() == after_first  # no double append
     assert spark.read.parquet(os.path.join(work, "novel")).count() == 1
+
+
+def test_streaming_sink_crash_window_replay_no_duplicate_rows(
+    spark, corpus_index, tmp_path
+):
+    """The r8-ADVICE crash window: the previous attempt died AFTER the
+    band-index insert but BEFORE its commit marker landed. The replay
+    must detect the leftover "inserting" pre-marker and run the append
+    in recovery mode (anti-join against the index) — index row counts
+    stay exact instead of silently inflating."""
+    work = str(tmp_path)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    (
+        spark.createDataFrame(
+            [(500, _ppm(_img(999))), (501, _ppm(_img(31337)))],
+            "id long, payload binary",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(work, "__slice"))
+    )
+    import glob
+    import shutil
+
+    shutil.move(
+        glob.glob(os.path.join(work, "__slice", "part-*.parquet"))[0],
+        os.path.join(src, "001.parquet"),
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema("id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = incremental_image_dedup_sink(
+            stream,
+            index_table=corpus_index,
+            checkpoint=os.path.join(work, "ckpt"),
+            out_dir=os.path.join(work, "novel"),
+            dup_dir=os.path.join(work, "dups"),
+            reject_dir=os.path.join(work, "rejects"),
+        )
+        q.awaitTermination()
+
+    run()
+    after_first = spark.table(corpus_index).count()
+    marker_dir = os.path.join(work, "ckpt", "__applied_batches")
+    markers = [
+        m for m in os.listdir(marker_dir) if not m.endswith("__inserting")
+    ]
+    assert markers, "sanity: a commit marker landed"
+    # forge the crash window: commit marker gone, pre-marker left behind
+    for m in markers:
+        os.remove(os.path.join(marker_dir, m))
+        with open(os.path.join(marker_dir, m + ".__inserting"), "w"):
+            pass
+    commits = os.path.join(work, "ckpt", "commits")
+    for f in os.listdir(commits):
+        os.remove(os.path.join(commits, f))
+    run()
+    # recovery-mode append anti-joined the already-inserted rows away
+    assert spark.table(corpus_index).count() == after_first

@@ -594,6 +594,37 @@ def test_with_global_running_sums_matches_serial(spark):
             assert got[v] == (acc_a, acc_b), (par, v)
 
 
+def test_with_grouped_running_sums_matches_serial(spark):
+    """Grouped range-partitioned running sums == per-group serial prefix
+    sums for any partition count — including partition counts that force
+    a single group to SPAN partitions (the scale case the helper exists
+    for: few corpus-proportional groups)."""
+    import random
+
+    from etl_bigquery_pipeline_spark.operators import windows
+
+    rnd = random.Random(11)
+    rows = [
+        (["x", "y", "z"][rnd.randint(0, 2)], float(v), rnd.randint(0, 5))
+        for v in rnd.sample(range(1000), 240)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, c long")
+    serial = {}
+    acc = {}
+    for g, v, c in sorted(rows):
+        acc[g] = acc.get(g, 0) + c
+        serial[(g, v)] = acc[g]
+    for par in (1, 2, 16):
+        got = {
+            (r.g, r.v): r.cum_c
+            for r in windows.with_grouped_running_sums(
+                df, ["g"], ["v"], ["c"], partitions=par
+            ).collect()
+        }
+        assert got == serial, par
+
+
+
 def test_triangle_count_known_graphs(spark):
     from etl_bigquery_pipeline_spark.operators import graph
 
