@@ -33,15 +33,6 @@ from __future__ import annotations
 # plans/catalog.py — equivalence depends on byte-level identical
 # expressions, notably the round(,6) placement and tie-break orders).
 
-_COS = (
-    "round(list_sum([CAST(q.embedding[i] AS DOUBLE) * "
-    "CAST(c.embedding[i] AS DOUBLE) for i in generate_series(1, {d})]) / "
-    "(sqrt(list_sum([CAST(q.embedding[i] AS DOUBLE) * "
-    "CAST(q.embedding[i] AS DOUBLE) for i in generate_series(1, {d})])) * "
-    "sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE) * "
-    "CAST(c.embedding[i] AS DOUBLE) for i in generate_series(1, {d})]))), 6)"
-)
-
 # the minhash chain over the PLANTED doc corpus, verbatim through
 # `scored` (shared by four oracles)
 _MH_SCORED = """
@@ -90,31 +81,50 @@ SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
 FROM pr a JOIN pr b
   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 """,
-    # EMBEDDING family: the brute-force cosine panel. Query side is the
-    # %25 SUPERSET panel (the members' %50 / %100 panels are subsets),
-    # neighbor side the whole corpus, SELF-PAIRS INCLUDED (semantic
-    # decontamination's planted copies need sim(x, x)); both the 64-dim
-    # and the 16-dim (truncated/approx arm) cosines, rounded exactly as
-    # the originals round them.
-    "cos_sims": f"""
+    # EMBEDDING family: the brute-force cosine panels. Per-vector norms
+    # precompute ONCE (the originals recompute both norms per PAIR —
+    # 3x the list-comprehension work over 819M pairs at sf10);
+    # sqrt(sum(q^2)) * sqrt(sum(c^2)) is the same two doubles
+    # multiplied, so the rounded cosine is bit-identical.
+    #
+    # cos64: the %25 SUPERSET panel (members' %50 / %100 panels are
+    # subsets) x whole corpus, SELF-PAIRS INCLUDED (semantic
+    # decontamination's planted copies need sim(x, x)), 64-dim only.
+    "cos64": """
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)])) AS nrm
+  FROM embeddings)
 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       q.label AS qlab, c.label AS clab,
-       {_COS.format(d=64)} AS sim64,
-       {_COS.format(d=16)} AS sim16
-FROM embeddings q JOIN embeddings c
-  ON q.vec_id % 25 = 0 AND q.vec_id < 102400
+       round(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in generate_series(1, 64)]) / (q.nrm * c.nrm), 6) AS sim64
+FROM n q JOIN n c ON q.vec_id % 25 = 0 AND q.vec_id < 102400
 """,
-    # per-query ranks with self-pairs EXCLUDED (every ranking member
-    # filters query_id <> neighbor_id); rank64/rank16 reproduce the
-    # originals' ORDER BY sim DESC, neighbor_id ASC tie-break
-    "cos_rank": """
-SELECT query_id, neighbor_id, sim64, sim16,
+    # per-query 64-dim ranks, self EXCLUDED (every ranking member
+    # filters query_id <> neighbor_id); reproduces the originals'
+    # ORDER BY sim DESC, neighbor_id ASC tie-break
+    "rank64": """
+SELECT query_id, neighbor_id, sim64,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-            ORDER BY sim64 DESC, neighbor_id ASC) AS BIGINT) AS rnk64,
+            ORDER BY sim64 DESC, neighbor_id ASC) AS BIGINT) AS rnk64
+FROM read_parquet('{mat}/cos64.parquet')
+WHERE query_id <> neighbor_id
+""",
+    # 16-dim (truncated/approx arm) sims + ranks for the %50 panel the
+    # two consumers (ann_mrr_ndcg_eval, truncated_dim_topk) share
+    "rank16": """
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 16)])) AS nrm
+  FROM embeddings),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in generate_series(1, 16)]) / (q.nrm * c.nrm), 6) AS sim16
+  FROM n q JOIN n c ON q.vec_id % 50 = 0 AND q.vec_id < 102400
+  WHERE q.vec_id <> c.vec_id)
+SELECT query_id, neighbor_id, sim16,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY sim16 DESC, neighbor_id ASC) AS BIGINT) AS rnk16
-FROM read_parquet('{mat}/cos_sims.parquet')
-WHERE query_id <> neighbor_id
+FROM s
 """,
     # DOCS family: distinct word-2-gram shingle lists per document
     "sh2": """
@@ -226,15 +236,15 @@ r AS (
 SELECT probe, cand AS negative, rnk FROM r WHERE rnk <= 5
 """),
     # EMBEDDINGS ------------------------------------------------------
-    "similarity_topk": (["cos_sims", "cos_rank"], """
+    "similarity_topk": (["cos64", "rank64"], """
 SELECT query_id, neighbor_id, sim64 AS sim, rnk64 AS rnk
-FROM read_parquet('{mat}/cos_rank.parquet')
+FROM read_parquet('{mat}/rank64.parquet')
 WHERE query_id % 50 = 0 AND rnk64 <= 5
 """),
-    "knn_distance_outliers": (["cos_sims", "cos_rank"], """
+    "knn_distance_outliers": (["cos64", "rank64"], """
 WITH m AS (
   SELECT query_id, round(AVG(sim64), 6) AS knn_sim
-  FROM read_parquet('{mat}/cos_rank.parquet')
+  FROM read_parquet('{mat}/rank64.parquet')
   WHERE rnk64 <= 5 GROUP BY query_id),
 z AS (
   SELECT query_id, knn_sim,
@@ -243,11 +253,13 @@ z AS (
   FROM m)
 SELECT query_id, knn_sim, isolation_rank FROM z WHERE isolation_rank <= 5
 """),
-    "ann_mrr_ndcg_eval": (["cos_sims", "cos_rank"], """
+    "ann_mrr_ndcg_eval": (["cos64", "rank64", "rank16"], """
 WITH j AS (
-  SELECT query_id, rnk16 AS ap_rank, rnk64 AS ex_rank
-  FROM read_parquet('{mat}/cos_rank.parquet')
-  WHERE query_id % 50 = 0 AND rnk16 <= 10),
+  SELECT a.query_id, a.rnk16 AS ap_rank, e.rnk64 AS ex_rank
+  FROM read_parquet('{mat}/rank16.parquet') a
+  JOIN read_parquet('{mat}/rank64.parquet') e
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  WHERE a.rnk16 <= 10),
 mrr AS (
   SELECT query_id,
          coalesce(MAX(CASE WHEN ex_rank = 1 THEN 1.0 / ap_rank END), 0.0)
@@ -267,13 +279,14 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
        round(AVG(dcg.dcg / idcg.v), 6) AS ndcg_at_10
 FROM mrr JOIN dcg ON mrr.query_id = dcg.query_id CROSS JOIN idcg
 """),
-    "truncated_dim_topk": (["cos_sims", "cos_rank"], """
+    "truncated_dim_topk": (["cos64", "rank16"], """
 WITH c AS (SELECT vec_id AS neighbor_id FROM embeddings),
 cand AS (
-  SELECT query_id, neighbor_id, sim64
-  FROM read_parquet('{mat}/cos_rank.parquet')
-  WHERE query_id % 50 = 0
-    AND rnk16 <= 5 * greatest(4, CAST(ceil(
+  SELECT a.query_id, a.neighbor_id, s.sim64
+  FROM read_parquet('{mat}/rank16.parquet') a
+  JOIN read_parquet('{mat}/cos64.parquet') s
+    ON a.query_id = s.query_id AND a.neighbor_id = s.neighbor_id
+  WHERE a.rnk16 <= 5 * greatest(4, CAST(ceil(
           (SELECT count(*) FROM c) / 500.0) AS BIGINT))),
 r2 AS (
   SELECT query_id, neighbor_id, sim64 AS sim,
@@ -282,11 +295,13 @@ r2 AS (
   FROM cand)
 SELECT query_id, neighbor_id, sim, rnk FROM r2 WHERE rnk <= 5
 """),
-    "hard_negative_mining": (["cos_sims"], """
+    "hard_negative_mining": (["cos64"], """
 WITH s AS (
-  SELECT query_id, neighbor_id, sim64 AS sim
-  FROM read_parquet('{mat}/cos_sims.parquet')
-  WHERE query_id % 100 = 0 AND qlab <> clab),
+  SELECT t.query_id, t.neighbor_id, t.sim64 AS sim
+  FROM read_parquet('{mat}/cos64.parquet') t
+  JOIN embeddings q ON q.vec_id = t.query_id
+  JOIN embeddings c ON c.vec_id = t.neighbor_id
+  WHERE t.query_id % 100 = 0 AND q.label <> c.label),
 r AS (
   SELECT query_id, neighbor_id, sim,
          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -294,10 +309,10 @@ r AS (
   FROM s)
 SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 3
 """),
-    "semantic_decontamination": (["cos_sims"], """
+    "semantic_decontamination": (["cos64"], """
 WITH sims AS (
   SELECT query_id, neighbor_id, sim64
-  FROM read_parquet('{mat}/cos_sims.parquet')
+  FROM read_parquet('{mat}/cos64.parquet')
   WHERE query_id % 50 = 0),
 m1 AS (
   SELECT neighbor_id AS vec_id, max(sim64) AS max_eval_sim

