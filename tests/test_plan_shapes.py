@@ -296,9 +296,19 @@ def test_mixture_resample_is_pure_filter(spark, sf_dir):
 
 
 def test_equidepth_broadcasts_quartiles(spark, sf_dir):
+    # The quartile scalars reach the bucketing scan as broadcast 1-row
+    # joins (the sanctioned BNLJ class). Since r9 the boundary pass
+    # computes its cumulative count via the range-partitioned running
+    # sum (windows.with_global_running_sums), so EVERY window in the
+    # plan must be partitioned on the range-partition id — an ordered
+    # global window here would re-open the single-task funnel the r8
+    # lint flagged. (The old assertion pinned FileScan==2, a brittle
+    # count the running-sum rewrite legitimately changed.)
     plan = _plan(spark, "equidepth_price_histogram", sf_dir)
     assert "BroadcastNestedLoopJoin" in plan  # sanctioned 1-row scalar join
-    assert plan.count("FileScan") == 2  # boundary pass + bucketing pass
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__gpid" in line, line
 
 
 def test_transitive_partition_pruning_through_join(spark, tmp_path):
