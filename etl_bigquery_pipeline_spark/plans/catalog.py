@@ -4986,8 +4986,14 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.size("__sa").cast("double"),
         6,
     )
+    # BOTH sides are corpus-proportional and carry full shingle arrays
+    # — the static planner broadcast one at sf10 ("Not enough memory to
+    # build and broadcast", r9 sweep; the r7 minhash / r8 ngram hazard
+    # class, one more member). Merge-pinned: block ids are the join key
+    # on both sides, so sort-merge shuffles each side once and never
+    # hash-builds a corpus-sized relation on the driver.
     return (
-        a.join(b, "__blk")
+        a.join(b.hint("merge"), "__blk")
         .filter(
             (F.col("id_a") != F.col("id_b"))
             & (F.abs(F.col("id_a") - F.col("id_b")) <= 100)

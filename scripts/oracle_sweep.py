@@ -326,6 +326,17 @@ def main() -> int:
             )
         )
 
+    def _duck_env_dead(message: str) -> bool:
+        # DuckDB allocator exhaustion is usually the ENVIRONMENT, not
+        # the query: a zombie connection leaked after an interrupted
+        # heavyweight still holds (up to) its own memory_limit, so the
+        # next oracle's allocation fails at process level ("bad
+        # allocation" — observed r9: two copurchase oracles failed
+        # right after hard_negative_mining's interrupt left a zombie).
+        # Recycle the connection and retry once; a query whose oracle
+        # genuinely exceeds the cap fails the retry too and is recorded.
+        return "Out of Memory Error" in message or "bad allocation" in message
+
     def execute(name: str, budget: float) -> tuple[bool, bool, str, float]:
         """One query's comparison under ``budget`` seconds (0 = no limit).
         Returns (ok, timed_out, msg, seconds). Mutates engines['spark'] /
@@ -405,14 +416,18 @@ def main() -> int:
                 not ok
                 and not timed_out
                 and attempt == 0
-                and _jvm_dead(msg)
+                and (_jvm_dead(msg) or _duck_env_dead(msg))
             ):
-                # the JVM died, not the query: new JVM + connection,
-                # one retry — without this a single heap death fails
-                # every remaining query on the dead gateway (the r7/r8
-                # cascade class)
-                print(f"    JVM death on {name}; recycling and retrying",
-                      flush=True)
+                # the ENGINE ENVIRONMENT died, not the query (dead JVM
+                # gateway, or a zombie DuckDB connection's allocator
+                # starving the process): new JVM + connection, one
+                # retry — without this a single environment death
+                # records as a value failure (or cascades)
+                print(
+                    f"    engine-environment death on {name}; "
+                    "recycling and retrying",
+                    flush=True,
+                )
                 attempt = 1
                 engines["spark"] = fresh_spark()
                 engines["con"] = fresh_con()

@@ -92,6 +92,18 @@ def test_minhash_estimate_gate_joins_are_sort_merge(spark, sf_dir):
             assert "__sid" not in right_keys, line  # sizes join: r8 find
 
 
+def test_shingle_containment_block_join_is_sort_merge(spark, sf_dir):
+    # Both sides of the id-block self-join are corpus-proportional and
+    # carry full shingle arrays; the static planner broadcast one at
+    # sf10 (r9 sweep: driver died building the hash relation — the
+    # r7 minhash / r8 ngram class, one more member). The merge hint
+    # pins sort-merge; this test pins the hint. The plan has no other
+    # join, so ANY broadcast hash join here is a regression.
+    plan = _plan(spark, "shingle_containment_pairs", sf_dir)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
 def test_prefix_jaccard_self_join_is_sort_merge(spark, sf_dir):
     # The prefix-token self-join's sides are corpus-proportional, but a
     # static mis-estimate broadcast one of them (died at sf10 building a
