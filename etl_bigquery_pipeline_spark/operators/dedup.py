@@ -429,8 +429,15 @@ def ngram_jaccard_pairs(
             )
         ),
     )
+    # BOTH exploded gram tables are corpus x grams-per-doc proportional
+    # (~60M rows each at sf10); the static planner broadcast the b-side
+    # at sf10 once the materialized oracle let the query run past the
+    # old budget cut (r9 sweep: "Not enough memory to build and
+    # broadcast" — the sizes-join hazard one join earlier). Merge-pinned
+    # like the sizes joins below; no join in this plan may hash-build
+    # an unbounded side on the driver.
     common = (
-        a_t.join(b_t, ["__bk", "__h"])
+        a_t.join(b_t.hint("merge"), ["__bk", "__h"])
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & ((F.col("id_b") - F.col("id_a")) <= block_width)

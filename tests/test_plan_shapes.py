@@ -37,6 +37,12 @@ def test_ngram_jaccard_plans_hash_join_not_nested_loop(spark, sf_dir):
     plan = _plan(spark, "ngram_jaccard_pairs", sf_dir)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    # every side of every join in this plan is corpus-proportional
+    # (exploded gram tables, per-doc sizes) — r8 caught the sizes join
+    # statically broadcast at sf10, r9 caught the gram-collision join
+    # (the next one up the plan). All three are merge-pinned; no
+    # broadcast hash join may appear at all.
+    assert "BroadcastHashJoin" not in plan, plan
 
 
 def test_minhash_has_no_cartesian(spark, sf_dir):
