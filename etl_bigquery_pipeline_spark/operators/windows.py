@@ -16,6 +16,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from etl_bigquery_pipeline_spark.operators.caching import scoped_cache
 
@@ -178,27 +179,51 @@ def with_grouped_running_sums(
         .withColumn("__gpid", F.spark_partition_id())
         .transform(scoped_cache)
     )
-    totals = (
-        ranged.groupBy("__gpid", *gcols)
-        .agg(*[F.sum(c).alias(c) for c in sum_cols])
-        .collect()
+    tot_df = ranged.groupBy("__gpid", *gcols).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
     )
-    # running offsets per group along the partition order
+    totals = tot_df.collect()
+    # running offsets per group along the partition order. Zeros take
+    # the summed column's python type so the explicit schema below
+    # verifies (a double sum's first-partition offset must be 0.0).
+    def _zero(dt: T.DataType):
+        if isinstance(dt, T.DecimalType):
+            import decimal
+
+            return decimal.Decimal(0)
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return 0.0
+        return 0
+
+    zero = {c: _zero(tot_df.schema[c].dataType) for c in sum_cols}
     acc: dict[tuple, dict[str, int]] = {}
     offsets: list[tuple] = []  # (gpid, *gvals, {col: offset})
     for r in sorted(totals, key=lambda r: r["__gpid"]):
         gkey = tuple(r[c] for c in gcols)
-        cur = acc.setdefault(gkey, {c: 0 for c in sum_cols})
+        cur = acc.setdefault(gkey, dict(zero))
         offsets.append((r["__gpid"], gkey, dict(cur)))
         for c in sum_cols:
-            cur[c] += r[c] or 0
+            cur[c] += r[c] or zero[c]
     off_rows = [
         (gpid, *gkey, *[offs[c] for c in sum_cols])
         for gpid, gkey, offs in offsets
     ]
+    # explicit schema, derived from the aggregate's own: inference from
+    # data raises "can not infer schema" on an EMPTY input frame (no
+    # off_rows) or an all-NULL group column (r9 ADVICE) — cases where
+    # the serial window plan simply returned an empty/typed result
     off_df = spark.createDataFrame(
         off_rows,
-        ["__gpid", *gcols, *[f"__off_{c}" for c in sum_cols]],
+        T.StructType(
+            [tot_df.schema["__gpid"]]
+            + [tot_df.schema[c] for c in gcols]
+            + [
+                T.StructField(
+                    f"__off_{c}", tot_df.schema[c].dataType, True
+                )
+                for c in sum_cols
+            ]
+        ),
     )
     w = (
         Window.partitionBy("__gpid", *gcols)
@@ -208,7 +233,16 @@ def with_grouped_running_sums(
     out = ranged
     for c in sum_cols:
         out = out.withColumn(f"cum_{c}", F.sum(c).over(w))
-    out = out.join(F.broadcast(off_df), ["__gpid", *gcols])
+    # null-safe group equality: Window.partitionBy treats NULL as its
+    # own group, so the offset join must too (plain `=` would silently
+    # drop every NULL-group row)
+    cond = out["__gpid"].eqNullSafe(off_df["__gpid"])
+    for c in gcols:
+        cond = cond & out[c].eqNullSafe(off_df[c])
+    joined = out.join(F.broadcast(off_df), cond)
+    out = joined.drop(off_df["__gpid"])
+    for c in gcols:
+        out = out.drop(off_df[c])
     for c in sum_cols:
         out = out.withColumn(
             f"cum_{c}", F.col(f"cum_{c}") + F.col(f"__off_{c}")

@@ -64,7 +64,17 @@ def incremental_image_dedup_sink(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(marker_dir, f"batch_{batch_id}")
+        pre_marker = marker + ".__inserting"
         if os.path.exists(marker):  # replay of an applied batch: skip
+            # a crash between the commit-marker rename and the
+            # pre-marker removal leaves a stale __inserting file that
+            # this short-circuit would otherwise preserve forever —
+            # sweep it here so marker_dir never misreads a committed
+            # batch as in-flight (r9 ADVICE)
+            try:
+                os.remove(pre_marker)
+            except FileNotFoundError:
+                pass
             return
         # two-marker protocol (r8 ADVICE): an "inserting" pre-marker
         # lands BEFORE the index append; the commit marker lands after.
@@ -73,7 +83,6 @@ def incremental_image_dedup_sink(
         # between insert and commit — only THAT rare path pays the
         # idempotent (anti-join) append, so duplicate index rows can't
         # accumulate while the normal path stays one-pass.
-        pre_marker = marker + ".__inserting"
         recovery = os.path.exists(pre_marker)
         spark = batch_df.sparkSession
         # exact in-batch dedup first: identical payloads collapse to the
@@ -98,6 +107,23 @@ def incremental_image_dedup_sink(
         matches = dhash_index.near_dup_candidates_from_dhash_index(
             spark, ok_hashes, index_table, max_hamming=max_hamming
         )
+        if recovery:
+            # the crashed attempt already appended this batch's novel
+            # band rows, so a recovery probe sees the batch's OWN ids
+            # on the corpus side: every previously-novel image collides
+            # with itself (hamming 0) and would be routed to dup_dir as
+            # a bogus (id, id, 0) pair while out_dir loses its payload
+            # rows. Ids are globally unique, so any corpus_id in the
+            # batch id set can only be the crashed attempt's own insert
+            # — excluding them reproduces the routing the crashed
+            # attempt computed (in-batch near-dup pairs are likewise
+            # not dup-routed on the normal path, where the probe runs
+            # before the append). (r9 ADVICE, high)
+            matches = matches.join(
+                batch.select(F.col(id_col).alias("corpus_id")),
+                "corpus_id",
+                "left_anti",
+            )
         # one image can collide with many corpus images: keep the
         # closest match (tie -> smallest corpus id) as evidence,
         # route the image once

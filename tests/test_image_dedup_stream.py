@@ -228,14 +228,106 @@ def test_streaming_sink_crash_window_replay_no_duplicate_rows(
     band-index insert but BEFORE its commit marker landed. The replay
     must detect the leftover "inserting" pre-marker and run the append
     in recovery mode (anti-join against the index) — index row counts
-    stay exact instead of silently inflating."""
+    stay exact instead of silently inflating.
+
+    r9 ADVICE (high): the recovery probe runs against an index that
+    already holds the crashed attempt's own rows, so without the
+    batch-id exclusion every previously-novel image self-collides
+    (hamming 0), dup_dir fills with bogus (id, id, 0) pairs and
+    out_dir is overwritten WITHOUT the novel payloads. The test now
+    asserts the routed outputs, not just the index count: 500 is a
+    genuine corpus near-dup, 501 is novel, and both must route the
+    same way on the recovery replay as on the first attempt."""
     work = str(tmp_path)
     src = os.path.join(work, "src")
     os.makedirs(src)
     (
         spark.createDataFrame(
-            [(500, _ppm(_img(999))), (501, _ppm(_img(31337)))],
+            [(500, _ppm(_noisy(_img(2)))), (501, _ppm(_img(31337)))],
             "id long, payload binary",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(work, "__slice"))
+    )
+    import glob
+    import shutil
+
+    shutil.move(
+        glob.glob(os.path.join(work, "__slice", "part-*.parquet"))[0],
+        os.path.join(src, "001.parquet"),
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema("id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = incremental_image_dedup_sink(
+            stream,
+            index_table=corpus_index,
+            checkpoint=os.path.join(work, "ckpt"),
+            out_dir=os.path.join(work, "novel"),
+            dup_dir=os.path.join(work, "dups"),
+            reject_dir=os.path.join(work, "rejects"),
+        )
+        q.awaitTermination()
+
+    run()
+    after_first = spark.table(corpus_index).count()
+
+    def routed():
+        dups = {
+            (r.id, r.corpus_id, r.hamming)
+            for r in spark.read.parquet(os.path.join(work, "dups")).collect()
+        }
+        novel = spark.read.parquet(os.path.join(work, "novel"))
+        novel_rows = {
+            (r.id, r.payload is not None) for r in novel.collect()
+        }
+        return dups, novel_rows
+
+    dups_first, novel_first = routed()
+    assert {(i, c) for i, c, _ in dups_first} == {(500, 2)}
+    assert novel_first == {(501, True)}
+    marker_dir = os.path.join(work, "ckpt", "__applied_batches")
+    markers = [
+        m for m in os.listdir(marker_dir) if not m.endswith("__inserting")
+    ]
+    assert markers, "sanity: a commit marker landed"
+    # forge the crash window: commit marker gone, pre-marker left behind
+    for m in markers:
+        os.remove(os.path.join(marker_dir, m))
+        with open(os.path.join(marker_dir, m + ".__inserting"), "w"):
+            pass
+    commits = os.path.join(work, "ckpt", "commits")
+    for f in os.listdir(commits):
+        os.remove(os.path.join(commits, f))
+    run()
+    # recovery-mode append anti-joined the already-inserted rows away
+    assert spark.table(corpus_index).count() == after_first
+    # ... and the routed outputs survived the replay byte-for-byte in
+    # shape: no (501, 501, 0) self-pair in dup_dir, the novel payload
+    # row still present in out_dir (the r9-ADVICE corruption mode)
+    dups_replay, novel_replay = routed()
+    assert dups_replay == dups_first
+    assert novel_replay == novel_first
+
+
+def test_streaming_sink_stale_pre_marker_swept_on_committed_replay(
+    spark, corpus_index, tmp_path
+):
+    """A crash between the commit-marker rename and the pre-marker
+    removal leaks a permanent __inserting file (r9 ADVICE, low): the
+    replay short-circuits on the commit marker, so the stale pre-marker
+    must be swept there or it misreads forever as an in-flight insert."""
+    work = str(tmp_path)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    (
+        spark.createDataFrame(
+            [(600, _ppm(_img(424242)))], "id long, payload binary"
         )
         .coalesce(1)
         .write.mode("overwrite")
@@ -272,14 +364,17 @@ def test_streaming_sink_crash_window_replay_no_duplicate_rows(
         m for m in os.listdir(marker_dir) if not m.endswith("__inserting")
     ]
     assert markers, "sanity: a commit marker landed"
-    # forge the crash window: commit marker gone, pre-marker left behind
+    # forge the leak: commit marker present AND pre-marker left behind
     for m in markers:
-        os.remove(os.path.join(marker_dir, m))
         with open(os.path.join(marker_dir, m + ".__inserting"), "w"):
             pass
     commits = os.path.join(work, "ckpt", "commits")
     for f in os.listdir(commits):
         os.remove(os.path.join(commits, f))
     run()
-    # recovery-mode append anti-joined the already-inserted rows away
+    # the short-circuit swept the stale pre-marker and touched nothing
     assert spark.table(corpus_index).count() == after_first
+    leftovers = [
+        m for m in os.listdir(marker_dir) if m.endswith("__inserting")
+    ]
+    assert leftovers == []

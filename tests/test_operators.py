@@ -624,6 +624,35 @@ def test_with_grouped_running_sums_matches_serial(spark):
         assert got == serial, par
 
 
+def test_with_grouped_running_sums_empty_and_all_null_group(spark):
+    """r9 ADVICE: schema inference from collected offset rows raised
+    'can not infer schema' on an empty input (no rows to infer from)
+    and an all-NULL group column (no values to infer from) — cases
+    where the serial window plan returned an empty / NULL-group result.
+    The offset frame now takes an explicit schema and the offset join
+    is null-safe (partitionBy treats NULL as its own group)."""
+    from etl_bigquery_pipeline_spark.operators import windows
+
+    empty = spark.createDataFrame([], "g string, v double, c long")
+    out = windows.with_grouped_running_sums(
+        empty, ["g"], ["v"], ["c"], partitions=4
+    )
+    assert out.collect() == []
+    assert "cum_c" in out.columns
+
+    nulls = spark.createDataFrame(
+        [(None, 1.0, 2), (None, 2.0, 3), (None, 3.0, 5)],
+        "g string, v double, c long",
+    )
+    got = {
+        r.v: r.cum_c
+        for r in windows.with_grouped_running_sums(
+            nulls, ["g"], ["v"], ["c"], partitions=4
+        ).collect()
+    }
+    assert got == {1.0: 2, 2.0: 5, 3.0: 10}
+
+
 
 def test_triangle_count_known_graphs(spark):
     from etl_bigquery_pipeline_spark.operators import graph
