@@ -213,27 +213,35 @@ def negative_samples(
     contract as operators.sampling).
 
     ``edges`` is the canonical undirected (u, v) u<v set; ``probes`` a
-    1-column frame of probe node ids (small — broadcast). Work per probe
-    is one pass over the vertex set (probes x |V| hashed candidates), the
-    true-edge anti-join ships only (probe, candidate) id pairs. Returns
-    (probe, negative, rnk)."""
+    1-column frame of probe node ids (small — broadcast). Returns
+    (probe, negative, rnk).
+
+    Scale: the naive plan shuffles the FULL probes x |V| candidate set
+    through the anti-join and the per-probe rank window — ~8e9 rows at
+    sf10 (4k probes x 2M parts), which exhausted shuffle disk in the r9
+    sweep. The md5 rank key is uniform, so the hashes are generated
+    map-side (broadcast nested loop, no shuffle) and PRE-FILTERED on
+    their 32-bit prefix to an expected ~256 survivors per probe before
+    anything shuffles. Exactness is structural, not probabilistic: hex
+    md5 is fixed-width, so prefix order dominates full-key order —
+    every survivor ranks before every non-survivor — hence when a probe
+    keeps >= k non-adjacent survivors its survivor top-k IS the global
+    top-k. Probes left short (P ~ e^-250; a probe adjacent to almost
+    the whole graph) are re-ranked over their full candidate set in a
+    declarative fallback branch that stays empty in practice (an empty
+    broadcast build side scans nothing twice). One bounded scalar
+    (|V|) reaches the driver to set the threshold."""
     from pyspark.sql import Window as _W
 
-    nodes = (
+    nodes = scoped_cache(  # consumed 3x: count, candidates, fallback
         edges.select(F.col("u").alias("cand"))
         .unionAll(edges.select(F.col("v").alias("cand")))
         .distinct()
     )
     p = probes.select(F.col(probes.columns[0]).alias("probe"))
-    cands = nodes.crossJoin(F.broadcast(p)).filter(
-        F.col("cand") != F.col("probe")
-    )
-    # anti-join both orientations against the canonical edge set
-    cu = F.least("probe", "cand")
-    cv = F.greatest("probe", "cand")
-    non_adj = cands.withColumns({"u": cu, "v": cv}).join(
-        edges, ["u", "v"], "left_anti"
-    )
+    n_nodes = max(nodes.count(), 1)  # bounded scalar: threshold input
+    thresh = min((1 << 32) - 1, ((1 << 32) * 256) // n_nodes)
+
     key = F.md5(
         F.concat(
             F.lit(f"{salt}:"),
@@ -242,12 +250,50 @@ def negative_samples(
             F.col("cand").cast("string"),
         )
     )
-    w = _W.partitionBy("probe").orderBy(key.asc(), F.col("cand").asc())
-    return (
-        non_adj.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= k)
-        .select("probe", F.col("cand").alias("negative"), "rnk")
+    cu = F.least("probe", "cand")
+    cv = F.greatest("probe", "cand")
+
+    def _ranked(non_adj: DataFrame) -> DataFrame:
+        w = _W.partitionBy("probe").orderBy(
+            F.col("__h").asc(), F.col("cand").asc()
+        )
+        return (
+            non_adj.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= k)
+            .select("probe", F.col("cand").alias("negative"), "rnk")
+        )
+
+    cands = (
+        nodes.crossJoin(F.broadcast(p))
+        .filter(F.col("cand") != F.col("probe"))
+        .withColumn("__h", key)
     )
+    surv = cands.filter(
+        F.conv(F.substring("__h", 1, 8), 16, 10).cast("bigint")
+        <= F.lit(thresh)
+    )
+    non_adj_s = scoped_cache(
+        surv.withColumns({"u": cu, "v": cv})
+        .join(edges, ["u", "v"], "left_anti")
+        .drop("u", "v")
+    )
+    enough = non_adj_s.groupBy("probe").agg(
+        F.count(F.lit(1)).alias("__n")
+    ).filter(F.col("__n") >= k).select("probe")
+    # probes with < k non-adjacent survivors (incl. zero): full re-rank
+    short = p.join(enough, "probe", "left_anti")
+    main = _ranked(non_adj_s.join(F.broadcast(enough), "probe", "semi"))
+    fb_cands = (
+        nodes.crossJoin(F.broadcast(short))
+        .filter(F.col("cand") != F.col("probe"))
+        .withColumn("__h", key)
+    )
+    fb = _ranked(
+        fb_cands.withColumns({"u": cu, "v": cv})
+        .join(edges, ["u", "v"], "left_anti")
+        .drop("u", "v")
+    )
+    return main.unionAll(fb)
 
 
 def deterministic_walks(

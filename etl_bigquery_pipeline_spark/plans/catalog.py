@@ -5725,8 +5725,10 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency/frequency/monetary split at
     the exact medians (broadcast 1-row thresholds — the same two-phase
     scalar device as the equi-depth histogram), counted into the 8
-    segment cells. Per-customer aggregate bounds every window; the
-    median pass is the only extra scan."""
+    segment cells. The per-customer frame is corpus-proportional, so
+    the three medians run on the histogram plan rather than
+    percentile()'s per-task value buffer (the r8 sf10 OOM class);
+    the frame is cached once and reused by all three + the join."""
     o = _t(spark, sf_dir, "orders")
     maxd = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
     base = (
@@ -5741,11 +5743,19 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("monetary"),
         )
-    )
-    th = base.agg(
-        F.percentile("recency", F.lit(0.5)).alias("r_med"),
-        F.percentile("frequency", F.lit(0.5)).alias("f_med"),
-        F.percentile("monetary", F.lit(0.5)).alias("m_med"),
+    ).transform(scoped_cache)
+    th = (
+        _hist_exact_percentiles(base, None, "recency", [0.5], ["r_med"])
+        .crossJoin(
+            _hist_exact_percentiles(
+                base, None, "frequency", [0.5], ["f_med"]
+            )
+        )
+        .crossJoin(
+            _hist_exact_percentiles(
+                base, None, "monetary", [0.5], ["m_med"]
+            )
+        )
     )
     j = base.crossJoin(F.broadcast(th))
     return (
@@ -7968,25 +7978,41 @@ FROM documents
 
 @query("corpus_datasheet", _DATASHEET_ORACLE)
 def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dataset-card summary in ONE corpus scan (datasheets-for-datasets
-    style): volume, source/lang diversity, length distribution (exact
-    interpolated percentiles), short-doc fraction, and total whitespace
-    tokens. The two distinct-aggregates expand the scan 2x map-side but
-    group to a single row — the shuffle is a handful of partial states,
-    so the scan cost dominates at any scale."""
+    """Dataset-card summary (datasheets-for-datasets style): volume,
+    source/lang diversity, length distribution (exact interpolated
+    percentiles), short-doc fraction, and total whitespace tokens. The
+    two distinct-aggregates expand the scan 2x map-side but group to a
+    single row — the shuffle is a handful of partial states, so the
+    scan cost dominates at any scale. The length percentiles run on the
+    histogram plan (`_hist_exact_percentiles`): percentile()'s per-task
+    value buffer over an unaggregated corpus column is the r8 sf10 OOM
+    class, and the extra pass it costs here is a pruned single-column
+    (n_chars) scan — cheap next to the text-bearing main aggregate."""
     d = _t(spark, sf_dir, "documents")
-    return d.agg(
+    pcts = _hist_exact_percentiles(
+        d, None, "n_chars", [0.5, 0.9], ["__p50", "__p90"]
+    )
+    agg = d.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.countDistinct("source").cast("bigint").alias("n_sources"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
-        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
         F.round(
             F.avg(F.when(F.col("n_chars") < 100, 1.0).otherwise(0.0)), 6
         ).alias("short_frac"),
         F.sum(TX.token_count("text")).cast("bigint").alias("total_tokens"),
+    )
+    return agg.crossJoin(F.broadcast(pcts)).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_chars",
+        "avg_chars",
+        F.round(F.col("__p50"), 4).alias("p50_chars"),
+        F.round(F.col("__p90"), 4).alias("p90_chars"),
+        "short_frac",
+        "total_tokens",
     )
 
 
@@ -9810,10 +9836,12 @@ def imputed_acctbal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c_acctbal"))
         .alias("bal"),
     )
-    med = (
-        c.filter(F.col("bal").isNotNull())
-        .groupBy("c_mktsegment")
-        .agg(F.expr("percentile(bal, 0.5)").alias("seg_median"))
+    # grouped exact median on the histogram plan — percentile()'s
+    # per-task value buffer over an unaggregated base table is the r8
+    # sf10 OOM class (bit-identical interpolated values either way)
+    med = _hist_exact_percentiles(
+        c.select("c_mktsegment", "bal"), "c_mktsegment", "bal",
+        [0.5], ["seg_median"],
     )
     r = c.join(F.broadcast(med), "c_mktsegment").select(
         "c_mktsegment",
@@ -10040,11 +10068,12 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     every row, unlike the trimmed mean which drops the tails): balances
     clamped to the exact [p5, p95] interpolated percentiles, then
     ordinary mean/stddev per segment. The two cutoffs are one scalar row
-    broadcast back; everything else is a single scan + segment groupBy."""
+    broadcast back (computed on the histogram plan — percentile()'s
+    per-task value buffer over an unaggregated base table is the r8
+    sf10 OOM class); everything else is a scan + segment groupBy."""
     c = _t(spark, sf_dir, "customer")
-    b = c.agg(
-        F.expr("percentile(c_acctbal, 0.05)").alias("lo"),
-        F.expr("percentile(c_acctbal, 0.95)").alias("hi"),
+    b = _hist_exact_percentiles(
+        c, None, "c_acctbal", [0.05, 0.95], ["lo", "hi"]
     )
     w = c.crossJoin(F.broadcast(b)).select(
         "c_mktsegment",
@@ -10181,17 +10210,19 @@ FROM customer GROUP BY c_mktsegment
 
 @query("acctbal_quartiles_by_segment", _QUARTILE_ORACLE)
 def acctbal_quartiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT interpolated quartiles PER GROUP in one aggregate (the
-    grouped complement of percentile_lineitem's global form and the
-    exact sibling of grouped_approx_percentile_gate): Spark's percentile
-    aggregate computes all three cut points in a single shuffle; the IQR
-    falls out as a projection. At 100 TB you reach for approx_percentile
-    — the gate query quantifies exactly what that trade costs."""
+    """EXACT interpolated quartiles PER GROUP (the grouped complement of
+    percentile_lineitem's global form and the exact sibling of
+    grouped_approx_percentile_gate), on the histogram plan — all three
+    cut points come out of ONE grouped value-frequency histogram, with
+    state bounded by distinct values rather than percentile()'s
+    per-task value map over the raw rows (the r8 sf10 OOM class; this
+    is the identical plan shape over customer instead of lineitem); the
+    IQR falls out as a projection. At 100 TB you reach for
+    approx_percentile — the gate query quantifies what that costs."""
     c = _t(spark, sf_dir, "customer")
-    g = c.groupBy("c_mktsegment").agg(
-        F.expr("percentile(c_acctbal, 0.25)").alias("q1"),
-        F.expr("percentile(c_acctbal, 0.50)").alias("q2"),
-        F.expr("percentile(c_acctbal, 0.75)").alias("q3"),
+    g = _hist_exact_percentiles(
+        c, "c_mktsegment", "c_acctbal", [0.25, 0.50, 0.75],
+        ["q1", "q2", "q3"],
     )
     return g.select(
         "c_mktsegment",
@@ -11200,7 +11231,11 @@ def jl_projection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios = p.select(
         F.try_divide(sq(F.col("proj")), sq(F.col("orig"))).alias("r")
     )
-    med = ratios.agg(F.expr("percentile(r, 0.5)").alias("m")).first()["m"]
+    # per-vector ratios are corpus-proportional: exact medians run on
+    # the histogram plan, not percentile()'s per-task value buffer
+    med = _hist_exact_percentiles(ratios, None, "r", [0.5], ["m"]).first()[
+        "m"
+    ]
 
     a = p.select(
         F.col("vec_id").alias("ia"),
@@ -11222,10 +11257,8 @@ def jl_projection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             d2(F.col("pa"), F.col("pb")), d2(F.col("oa"), F.col("ob"))
         ).alias("r")
     )
-    q = dist.agg(
-        F.expr("percentile(r, 0.05)").alias("p05"),
-        F.expr("percentile(r, 0.5)").alias("p50"),
-        F.expr("percentile(r, 0.95)").alias("p95"),
+    q = _hist_exact_percentiles(
+        dist, None, "r", [0.05, 0.5, 0.95], ["p05", "p50", "p95"]
     ).first()
     dist_ok = (
         0.7 <= q["p50"] <= 1.4 and q["p05"] >= 0.3 and q["p95"] <= 2.2
@@ -11798,16 +11831,27 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision input for salting/AQE-skew handling, computed as one
     groupBy + one scalar aggregate."""
     e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    g = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("double").alias("n"))
-    return g.agg(
+    # per-key counts are corpus-proportional (one row per user), so the
+    # group-size percentiles run on the histogram plan — and the
+    # histogram of COUNTS is tiny (distinct group sizes, not groups)
+    g = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    ).transform(scoped_cache)
+    pcts = _hist_exact_percentiles(
+        g, None, "n", [0.99, 0.5], ["__p99", "__p50"]
+    )
+    agg = g.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.round(F.max("n") / F.sum("n"), 6).alias("top_key_share"),
-        F.round(
-            F.expr("percentile(n, 0.99)") / F.expr("percentile(n, 0.5)"), 4
-        ).alias("p99_over_p50"),
         F.round(F.max("n") / (F.sum("n") / F.count(F.lit(1))), 4).alias(
             "max_over_mean"
         ),
+    )
+    return agg.crossJoin(F.broadcast(pcts)).select(
+        "n_keys",
+        "top_key_share",
+        F.round(F.col("__p99") / F.col("__p50"), 4).alias("p99_over_p50"),
+        "max_over_mean",
     )
 
 

@@ -148,6 +148,32 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 100
     # the full minhash band chain over the planted corpus, through the
     # exact-jaccard scoring of banded candidates (four oracles share it)
     "mh_scored_p": _MH_SCORED,
+    # GRAPH family: the full negative-sampling rank (probes x |V| md5
+    # ranking + true-edge anti-join) — the quadratic candidate scan is
+    # the whole oracle cost (8.4e9 md5s at sf10), paid once here
+    # instead of inside every sweep's budget
+    "negs": """
+WITH __e AS (SELECT u, v FROM read_parquet('{mat}/edges.parquet')),
+__nodes AS (SELECT u AS node FROM __e UNION SELECT v FROM __e),
+probes AS (SELECT node AS probe FROM __nodes WHERE node % 500 = 0),
+cands AS (
+  SELECT p.probe, n.node AS cand
+  FROM probes p CROSS JOIN __nodes n WHERE n.node <> p.probe),
+non_adj AS (
+  SELECT probe, cand FROM cands c
+  WHERE NOT EXISTS (SELECT 1 FROM __e
+                    WHERE u = least(c.probe, c.cand)
+                      AND v = greatest(c.probe, c.cand))),
+r AS (
+  SELECT probe, cand,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY probe
+           ORDER BY md5('negs:' || CAST(probe AS VARCHAR) || ':'
+                        || CAST(cand AS VARCHAR)) ASC, cand ASC)
+         AS BIGINT) AS rnk
+  FROM non_adj)
+SELECT probe, cand, rnk FROM r WHERE rnk <= 5
+""",
     # lowercase word-3-gram lists (decontamination's tokenization)
     "g3l": """
 WITH t AS (
@@ -212,28 +238,9 @@ WITH __e AS (SELECT u, v FROM read_parquet('{mat}/edges.parquet')),
 __nodes AS (SELECT u AS node FROM __e UNION SELECT v FROM __e)
 , __adj AS (SELECT u AS src, v AS nbr FROM __e UNION ALL SELECT v AS src, u AS nbr FROM __e), w0 AS (SELECT node AS walk_id, node FROM __nodes WHERE node % 500 = 0), c1 AS (SELECT w.walk_id, a.nbr, ROW_NUMBER() OVER (PARTITION BY w.walk_id ORDER BY md5('walk:' || CAST(w.walk_id AS VARCHAR) || ':1:' || CAST(w.node AS VARCHAR) || ':' || CAST(a.nbr AS VARCHAR)) ASC, a.nbr ASC) AS rn FROM w0 w JOIN __adj a ON w.node = a.src), w1 AS (SELECT walk_id, nbr AS node FROM c1 WHERE rn = 1), c2 AS (SELECT w.walk_id, a.nbr, ROW_NUMBER() OVER (PARTITION BY w.walk_id ORDER BY md5('walk:' || CAST(w.walk_id AS VARCHAR) || ':2:' || CAST(w.node AS VARCHAR) || ':' || CAST(a.nbr AS VARCHAR)) ASC, a.nbr ASC) AS rn FROM w1 w JOIN __adj a ON w.node = a.src), w2 AS (SELECT walk_id, nbr AS node FROM c2 WHERE rn = 1), c3 AS (SELECT w.walk_id, a.nbr, ROW_NUMBER() OVER (PARTITION BY w.walk_id ORDER BY md5('walk:' || CAST(w.walk_id AS VARCHAR) || ':3:' || CAST(w.node AS VARCHAR) || ':' || CAST(a.nbr AS VARCHAR)) ASC, a.nbr ASC) AS rn FROM w2 w JOIN __adj a ON w.node = a.src), w3 AS (SELECT walk_id, nbr AS node FROM c3 WHERE rn = 1) SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM w0 UNION ALL SELECT walk_id, CAST(1 AS BIGINT) AS step, node FROM w1 UNION ALL SELECT walk_id, CAST(2 AS BIGINT) AS step, node FROM w2 UNION ALL SELECT walk_id, CAST(3 AS BIGINT) AS step, node FROM w3
 """),
-    "graph_negative_samples": (["edges"], """
-WITH __e AS (SELECT u, v FROM read_parquet('{mat}/edges.parquet')),
-__nodes AS (SELECT u AS node FROM __e UNION SELECT v FROM __e)
-,
-probes AS (SELECT node AS probe FROM __nodes WHERE node % 500 = 0),
-cands AS (
-  SELECT p.probe, n.node AS cand
-  FROM probes p CROSS JOIN __nodes n WHERE n.node <> p.probe),
-non_adj AS (
-  SELECT probe, cand FROM cands c
-  WHERE NOT EXISTS (SELECT 1 FROM __e
-                    WHERE u = least(c.probe, c.cand)
-                      AND v = greatest(c.probe, c.cand))),
-r AS (
-  SELECT probe, cand,
-         CAST(ROW_NUMBER() OVER (
-           PARTITION BY probe
-           ORDER BY md5('negs:' || CAST(probe AS VARCHAR) || ':'
-                        || CAST(cand AS VARCHAR)) ASC, cand ASC)
-         AS BIGINT) AS rnk
-  FROM non_adj)
-SELECT probe, cand AS negative, rnk FROM r WHERE rnk <= 5
+    "graph_negative_samples": (["edges", "negs"], """
+SELECT probe, cand AS negative, rnk
+FROM read_parquet('{mat}/negs.parquet')
 """),
     # EMBEDDINGS ------------------------------------------------------
     "similarity_topk": (["cos64", "rank64"], """

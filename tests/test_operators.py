@@ -933,6 +933,66 @@ def test_negative_samples_exclude_edges_and_are_deterministic(spark):
     assert again == {(r.probe, r.negative, r.rnk) for r in out}
 
 
+def test_negative_samples_prefilter_matches_bruteforce(spark):
+    """The r10 hash-prefix prefilter (shuffle-volume fix: the naive plan
+    shuffled probes x |V| rows, ~8e9 at sf10) must be invisible in the
+    output: on a graph large enough that the 32-bit threshold actually
+    drops candidates, the result equals a serial brute-force rank over
+    ALL non-adjacent candidates."""
+    import hashlib
+    import random
+
+    from etl_bigquery_pipeline_spark.operators import graph
+
+    rnd = random.Random(7)
+    n = 600  # thresh = 2^32*256/600 keeps ~43% of candidates
+    pairs = {
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rnd.randrange(n), rnd.randrange(n)) for _ in range(1500)
+        )
+        if a != b
+    }
+    edges = spark.createDataFrame(sorted(pairs), "u long, v long")
+    probe_ids = [0, 7, 123, 599]
+    probes = spark.createDataFrame([(i,) for i in probe_ids], "node long")
+    got = {
+        (r.probe, r.negative, r.rnk)
+        for r in graph.negative_samples(edges, probes, k=5).collect()
+    }
+    nodes = sorted({x for e in pairs for x in e})
+    adj = {(a, b) for a, b in pairs} | {(b, a) for a, b in pairs}
+    want = set()
+    for pr in probe_ids:
+        cands = [
+            c for c in nodes if c != pr and (pr, c) not in adj
+        ]
+        ranked = sorted(
+            cands,
+            key=lambda c: (
+                hashlib.md5(f"negs:{pr}:{c}".encode()).hexdigest(),
+                c,
+            ),
+        )
+        want |= {(pr, c, i + 1) for i, c in enumerate(ranked[:5])}
+    assert got == want
+
+
+def test_negative_samples_fallback_when_probe_nearly_saturated(spark):
+    """A probe adjacent to almost every node has fewer than k
+    non-adjacent survivors — it must take the exact fallback branch,
+    not silently return short/no rows from the prefiltered set."""
+    from etl_bigquery_pipeline_spark.operators import graph
+
+    # star: 0 adjacent to 1..18, plus node 19 attached to 1 only
+    rows = [(0, i) for i in range(1, 19)] + [(1, 19)]
+    edges = spark.createDataFrame(rows, "u long, v long")
+    probes = spark.createDataFrame([(0,)], "node long")
+    out = graph.negative_samples(edges, probes, k=5).collect()
+    # node 19 is the only non-adjacent candidate: exactly one row
+    assert [(r.probe, r.negative, r.rnk) for r in out] == [(0, 19, 1)]
+
+
 def test_deterministic_walks_follow_edges(spark):
     from etl_bigquery_pipeline_spark.operators import graph
 
