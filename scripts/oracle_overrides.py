@@ -148,31 +148,63 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 100
     # the full minhash band chain over the planted corpus, through the
     # exact-jaccard scoring of banded candidates (four oracles share it)
     "mh_scored_p": _MH_SCORED,
-    # GRAPH family: the full negative-sampling rank (probes x |V| md5
-    # ranking + true-edge anti-join) — the quadratic candidate scan is
-    # the whole oracle cost (8.4e9 md5s at sf10), paid once here
-    # instead of inside every sweep's budget
+    # GRAPH family: the full negative-sampling rank — the quadratic
+    # candidate scan (8.4e9 md5s at sf10) is the whole oracle cost,
+    # paid once here instead of inside every sweep's budget. The naive
+    # NOT-EXISTS over all candidates also spilled DuckDB temp past the
+    # disk (r10), so this uses the SAME provably-exact hash-prefix
+    # prefilter as the Spark operator (operators/graph.py
+    # negative_samples): fixed-width lowercase-hex md5 means prefix
+    # order dominates full-key order, so every survivor of the 32-bit
+    # threshold ranks before every non-survivor; a probe keeping >= 5
+    # non-adjacent survivors has its global top-5 inside them, and
+    # probes left short re-rank over their full candidate set in the
+    # fallback union. tests/test_oracle_overrides.py proves the whole
+    # chain equals the original unfiltered oracle.
     "negs": """
 WITH __e AS (SELECT u, v FROM read_parquet('{mat}/edges.parquet')),
 __nodes AS (SELECT u AS node FROM __e UNION SELECT v FROM __e),
 probes AS (SELECT node AS probe FROM __nodes WHERE node % 500 = 0),
-cands AS (
-  SELECT p.probe, n.node AS cand
-  FROM probes p CROSS JOIN __nodes n WHERE n.node <> p.probe),
+nn AS (SELECT lower(lpad(to_hex(CAST(least(4294967295,
+              4294967296 * 256 // COUNT(*)) AS UBIGINT)), 8, '0')) AS ts
+       FROM __nodes),
+surv AS (
+  SELECT t.probe, t.cand, t.h FROM (
+    SELECT p.probe, n.node AS cand,
+           md5('negs:' || CAST(p.probe AS VARCHAR) || ':'
+               || CAST(n.node AS VARCHAR)) AS h
+    FROM probes p CROSS JOIN __nodes n WHERE n.node <> p.probe) t, nn
+  WHERE substring(t.h, 1, 8) <= nn.ts),
 non_adj AS (
-  SELECT probe, cand FROM cands c
+  SELECT probe, cand, h FROM surv c
   WHERE NOT EXISTS (SELECT 1 FROM __e
                     WHERE u = least(c.probe, c.cand)
                       AND v = greatest(c.probe, c.cand))),
-r AS (
+enough AS (SELECT probe FROM non_adj GROUP BY probe HAVING COUNT(*) >= 5),
+main AS (
   SELECT probe, cand,
-         CAST(ROW_NUMBER() OVER (
-           PARTITION BY probe
-           ORDER BY md5('negs:' || CAST(probe AS VARCHAR) || ':'
-                        || CAST(cand AS VARCHAR)) ASC, cand ASC)
-         AS BIGINT) AS rnk
-  FROM non_adj)
-SELECT probe, cand, rnk FROM r WHERE rnk <= 5
+         CAST(ROW_NUMBER() OVER (PARTITION BY probe
+              ORDER BY h ASC, cand ASC) AS BIGINT) AS rnk
+  FROM non_adj WHERE probe IN (SELECT probe FROM enough)),
+short AS (SELECT probe FROM probes
+          WHERE probe NOT IN (SELECT probe FROM enough)),
+fb_non_adj AS (
+  SELECT c.probe, c.cand, c.h FROM (
+    SELECT p.probe, n.node AS cand,
+           md5('negs:' || CAST(p.probe AS VARCHAR) || ':'
+               || CAST(n.node AS VARCHAR)) AS h
+    FROM short p CROSS JOIN __nodes n WHERE n.node <> p.probe) c
+  WHERE NOT EXISTS (SELECT 1 FROM __e
+                    WHERE u = least(c.probe, c.cand)
+                      AND v = greatest(c.probe, c.cand))),
+fb AS (
+  SELECT probe, cand,
+         CAST(ROW_NUMBER() OVER (PARTITION BY probe
+              ORDER BY h ASC, cand ASC) AS BIGINT) AS rnk
+  FROM fb_non_adj)
+SELECT probe, cand, rnk FROM main WHERE rnk <= 5
+UNION ALL
+SELECT probe, cand, rnk FROM fb WHERE rnk <= 5
 """,
     # lowercase word-3-gram lists (decontamination's tokenization)
     "g3l": """
@@ -186,6 +218,50 @@ SELECT doc_id,
 FROM t
 """,
 }
+
+
+def _emb_pairs_sql() -> str:
+    """EMBEDDINGS family: the hyperplane-LSH near-dup pair oracle (the
+    within-bucket self-join is ~1.25e9 64-dim cosines at sf10 — the
+    whole oracle cost, paid once, unbudgeted). Per-vector norms
+    precompute like cos64 (the originals recompute both norms per
+    pair); na*nb is the same two doubles multiplied, so the round(,6)
+    cosine is bit-identical. Bucket literals come from the SAME seeded
+    _hyperplanes the engine and the original oracle share."""
+    from etl_bigquery_pipeline_spark.plans.catalog import (
+        _DIM,
+        _lsh_bucket_sql,
+    )
+
+    nrm = (
+        f"sqrt(list_sum([CAST(embedding[i] AS DOUBLE)"
+        f" * CAST(embedding[i] AS DOUBLE)"
+        f" for i in generate_series(1, {_DIM})]))"
+    )
+    dot = (
+        f"list_sum([CAST(l.embedding[i] AS DOUBLE)"
+        f" * CAST(r.embedding[i] AS DOUBLE)"
+        f" for i in generate_series(1, {_DIM})])"
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_concat([CAST(embedding[1] + 0.01 AS FLOAT)], embedding[2:{_DIM}])
+  FROM embeddings WHERE vec_id < 10),
+b AS (SELECT vec_id, embedding, {_lsh_bucket_sql("embedding")} AS bucket,
+             {nrm} AS nrm
+      FROM vecs),
+p AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         round({dot} / (l.nrm * r.nrm), 6) AS cosine_sim
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.99
+"""
+
+
+MATERIALIZATIONS["emb_pairs"] = _emb_pairs_sql()
 
 # ---- member rewrites ----
 
@@ -241,6 +317,9 @@ __nodes AS (SELECT u AS node FROM __e UNION SELECT v FROM __e)
     "graph_negative_samples": (["edges", "negs"], """
 SELECT probe, cand AS negative, rnk
 FROM read_parquet('{mat}/negs.parquet')
+"""),
+    "embedding_near_dup_pairs": (["emb_pairs"], """
+SELECT id_a, id_b, cosine_sim FROM read_parquet('{mat}/emb_pairs.parquet')
 """),
     # EMBEDDINGS ------------------------------------------------------
     "similarity_topk": (["cos64", "rank64"], """
