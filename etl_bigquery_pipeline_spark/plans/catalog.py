@@ -2222,7 +2222,13 @@ def _hist_exact_percentiles(
             hist, [gcol], ["__v"], ["__c"]
         ).withColumnRenamed("cum___c", "__cum")
         totals = hist.groupBy(gcol).agg(F.sum("__c").alias("__n"))
-        hist = hist.join(F.broadcast(totals), gcol)
+        # null-safe: groupBy keeps NULL as its own group, so the totals
+        # join must not drop it (plain `=` would silently lose every
+        # NULL-group row vs percentile()'s semantics)
+        hist = hist.join(
+            F.broadcast(totals.withColumnRenamed(gcol, "__g")),
+            F.col(gcol).eqNullSafe(F.col("__g")),
+        ).drop("__g")
         key = [gcol]
     aggs = []
     for p, nm in zip(ps, names):

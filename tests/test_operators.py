@@ -1015,3 +1015,42 @@ def test_deterministic_walks_follow_edges(spark):
         key=lambda r: r.step,
     )
     assert [r.node for r in rerun] == [r.node for r in out]
+
+
+def test_hist_exact_percentiles_keeps_null_group_and_empty_input(spark):
+    """The histogram-plan percentiles must preserve percentile()'s exact
+    semantics at the edges the r9/r10 reviews flagged: a NULL group is a
+    group (the totals join must be null-safe, not `=`), and an empty
+    input returns an empty grouped result instead of crashing the
+    offset-frame construction."""
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.plans.catalog import (
+        _hist_exact_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 4.0), (None, 10.0), (None, 20.0)],
+        "g string, v double",
+    )
+    got = {
+        r.g: (r.p50, r.p25)
+        for r in _hist_exact_percentiles(
+            df, "g", "v", [0.5, 0.25], ["p50", "p25"]
+        ).collect()
+    }
+    want = {
+        r.g: (r.p50, r.p25)
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.25)").alias("p25"),
+        )
+        .collect()
+    }
+    assert got == want and None in got
+
+    empty = spark.createDataFrame([], "g string, v double")
+    assert _hist_exact_percentiles(
+        empty, "g", "v", [0.5], ["p50"]
+    ).collect() == []
