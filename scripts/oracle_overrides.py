@@ -165,38 +165,39 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 100
 WITH __e AS (SELECT u, v FROM read_parquet('{mat}/edges.parquet')),
 __nodes AS (SELECT u AS node FROM __e UNION SELECT v FROM __e),
 probes AS (SELECT node AS probe FROM __nodes WHERE node % 500 = 0),
-nn AS (SELECT lower(lpad(to_hex(CAST(least(4294967295,
-              4294967296 * 256 // COUNT(*)) AS UBIGINT)), 8, '0')) AS ts
-       FROM __nodes),
 surv AS (
   SELECT t.probe, t.cand, t.h FROM (
     SELECT p.probe, n.node AS cand,
            md5('negs:' || CAST(p.probe AS VARCHAR) || ':'
                || CAST(n.node AS VARCHAR)) AS h
-    FROM probes p CROSS JOIN __nodes n WHERE n.node <> p.probe) t, nn
-  WHERE substring(t.h, 1, 8) <= nn.ts),
+    FROM probes p CROSS JOIN __nodes n WHERE n.node <> p.probe) t
+  WHERE substring(t.h, 1, 8) <=
+        (SELECT lower(lpad(to_hex(CAST(least(4294967295,
+                4294967296 * 256 // COUNT(*)) AS UBIGINT)), 8, '0'))
+         FROM __nodes)),
 non_adj AS (
-  SELECT probe, cand, h FROM surv c
-  WHERE NOT EXISTS (SELECT 1 FROM __e
-                    WHERE u = least(c.probe, c.cand)
-                      AND v = greatest(c.probe, c.cand))),
+  SELECT s.probe, s.cand, s.h FROM surv s
+  LEFT JOIN __e e ON e.u = least(s.probe, s.cand)
+               AND e.v = greatest(s.probe, s.cand)
+  WHERE e.u IS NULL),
 enough AS (SELECT probe FROM non_adj GROUP BY probe HAVING COUNT(*) >= 5),
 main AS (
-  SELECT probe, cand,
-         CAST(ROW_NUMBER() OVER (PARTITION BY probe
-              ORDER BY h ASC, cand ASC) AS BIGINT) AS rnk
-  FROM non_adj WHERE probe IN (SELECT probe FROM enough)),
-short AS (SELECT probe FROM probes
-          WHERE probe NOT IN (SELECT probe FROM enough)),
+  SELECT n.probe, n.cand,
+         CAST(ROW_NUMBER() OVER (PARTITION BY n.probe
+              ORDER BY n.h ASC, n.cand ASC) AS BIGINT) AS rnk
+  FROM non_adj n JOIN enough g ON n.probe = g.probe),
+short AS (
+  SELECT p.probe FROM probes p
+  LEFT JOIN enough g ON p.probe = g.probe WHERE g.probe IS NULL),
 fb_non_adj AS (
   SELECT c.probe, c.cand, c.h FROM (
     SELECT p.probe, n.node AS cand,
            md5('negs:' || CAST(p.probe AS VARCHAR) || ':'
                || CAST(n.node AS VARCHAR)) AS h
     FROM short p CROSS JOIN __nodes n WHERE n.node <> p.probe) c
-  WHERE NOT EXISTS (SELECT 1 FROM __e
-                    WHERE u = least(c.probe, c.cand)
-                      AND v = greatest(c.probe, c.cand))),
+  LEFT JOIN __e e ON e.u = least(c.probe, c.cand)
+               AND e.v = greatest(c.probe, c.cand)
+  WHERE e.u IS NULL),
 fb AS (
   SELECT probe, cand,
          CAST(ROW_NUMBER() OVER (PARTITION BY probe
