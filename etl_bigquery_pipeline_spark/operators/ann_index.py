@@ -155,6 +155,7 @@ def append_to_lsh_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    recovery: bool = False,
 ) -> None:
     """Incremental index maintenance: bucket-code the new batch with the
     PERSISTED hash parameters (a batch can never disagree with the build)
@@ -180,6 +181,23 @@ def append_to_lsh_index(
             "bucket"
         ),
     )
+    if recovery:
+        # crash-window replay (two-marker protocol in streaming sinks):
+        # the crashed attempt may have inserted some/all of this batch —
+        # anti-join its ids away first so the append is idempotent. One
+        # extra index scan, paid on this rare path only; ids are unique
+        # across batches by contract, so id-level dedupe is sufficient.
+        hits = (
+            spark.table(table)
+            .join(
+                F.broadcast(batch.select("neighbor_id")),
+                "neighbor_id",
+                "semi",
+            )
+            .select("neighbor_id")
+            .distinct()
+        )
+        batch = batch.join(F.broadcast(hits), "neighbor_id", "left_anti")
     # insertInto resolves columns by POSITION; select order above matches
     # the build projection exactly. repartition on bucket aligns write
     # tasks with buckets, bounding the small files each append adds

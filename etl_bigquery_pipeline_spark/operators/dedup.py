@@ -1109,13 +1109,19 @@ def append_to_band_index(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    recovery: bool = False,
 ) -> None:
     """Incremental band-index maintenance: signature + band keys for the
     batch computed with the PERSISTED hash parameters (a batch can never
     disagree with the build), inserted into the bucketed layout — the
     same daily-ingest shape as ``ann_index.append_to_lsh_index``. Per-
     batch cost is one pass over the batch; the corpus is never touched.
-    Id uniqueness across batches is the caller's contract."""
+    Id uniqueness across batches is the caller's contract.
+
+    ``recovery=True`` (crash-window replays only, see the streaming
+    sinks' two-marker protocol) anti-joins the batch's ids against the
+    index first, making the append idempotent at the cost of one extra
+    index scan on that rare path."""
     from etl_bigquery_pipeline_spark.operators import ann_index, band_index_core
 
     spark = batch.sparkSession
@@ -1131,7 +1137,10 @@ def append_to_band_index(
     # insertInto resolves by POSITION; this join mirrors the build
     # projection (id, band, band_key, signature) exactly
     band_index_core.append_band_rows(
-        bk.join(sig, meta["id_col"]), table, "band_key"
+        bk.join(sig, meta["id_col"]),
+        table,
+        "band_key",
+        dedupe_on=[meta["id_col"]] if recovery else None,
     )
 
 

@@ -15,6 +15,12 @@ marker exists is skipped whole. The marker write is the same
 local-rename discipline as the parquet sinks (object stores want a
 transactional table format instead — documented trade, not hidden).
 Markers are one empty file per micro-batch: O(batches), never data-sized.
+The crash window BETWEEN the insert and the marker commit is closed by
+the two-marker protocol (r10, ported from image_dedup_stream): a replay
+finding the "inserting" pre-marker without the commit marker re-runs
+the append in recovery mode — anti-join the batch's ids against the
+index first, so the rare replay path is idempotent while the normal
+path stays one-pass.
 """
 
 from __future__ import annotations
@@ -47,15 +53,27 @@ def incremental_ann_sink(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(marker_dir, f"batch_{batch_id}")
+        pre_marker = marker + ".__inserting"
         if os.path.exists(marker):  # replay of an applied batch: skip
+            # sweep a pre-marker leaked by a crash between the commit
+            # rename and the pre-marker removal
+            try:
+                os.remove(pre_marker)
+            except FileNotFoundError:
+                pass
             return
+        recovery = os.path.exists(pre_marker)
+        with open(pre_marker, "w"):
+            pass  # pre-marker: the index append starts now
         append_to_lsh_index(
-            batch_df, table, id_col=id_col, vec_col=vec_col
+            batch_df, table, id_col=id_col, vec_col=vec_col,
+            recovery=recovery,
         )
         staging = marker + ".__tmp"
         with open(staging, "w"):
             pass
         os.rename(staging, marker)  # marker lands only after the insert
+        os.remove(pre_marker)
 
     return (
         vectors.writeStream.foreachBatch(write_batch)

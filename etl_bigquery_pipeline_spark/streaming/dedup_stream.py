@@ -16,7 +16,14 @@ overwrite (idempotent under replay); the band-index INSERT is not
 naturally idempotent, so an applied-batch marker commits AFTER the
 insert and a replayed batch whose marker exists is skipped whole — the
 same discipline (and the same documented local-rename trade) as
-`streaming/ann_stream.py`.
+`streaming/ann_stream.py`. The crash window BETWEEN the insert and the
+marker commit is closed by the image stream's two-marker protocol
+(r10, ported from streaming/image_dedup_stream): a replay that finds
+the "inserting" pre-marker without the commit marker re-runs the
+append in recovery mode (anti-join against the index — idempotent) AND
+excludes the batch's own ids from the probe matches, because the
+crashed attempt's insert makes every previously-novel doc self-collide
+(est_jaccard 1.0) and would otherwise corrupt the routed outputs.
 
 Within-batch NEAR-dups (beyond exact) are not collapsed here — both
 copies probe the corpus independently and, if novel, both enter the
@@ -56,8 +63,16 @@ def incremental_dedup_sink(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(marker_dir, f"batch_{batch_id}")
+        pre_marker = marker + ".__inserting"
         if os.path.exists(marker):  # replay of an applied batch: skip
+            # sweep a pre-marker leaked by a crash between the commit
+            # rename and the pre-marker removal (r9 ADVICE)
+            try:
+                os.remove(pre_marker)
+            except FileNotFoundError:
+                pass
             return
+        recovery = os.path.exists(pre_marker)
         spark = batch_df.sparkSession
         # persist the deduped batch and the match verdicts: the two
         # writes below would otherwise each recompute the whole batch
@@ -68,6 +83,21 @@ def incremental_dedup_sink(
         cands = dedup.near_dup_candidates_from_index(
             spark, batch, index_table, id_col=id_col, text_col=text_col
         )
+        if recovery:
+            # the crashed attempt already appended this batch's novel
+            # band rows: a recovery probe collides every previously-
+            # novel doc with ITSELF (est_jaccard 1.0), which would
+            # route it to dup_dir as a bogus (id, id, 1.0) pair while
+            # out_dir loses its rows. Ids are globally unique, so any
+            # corpus_id in the batch id set can only be the crashed
+            # attempt's own insert — exclude them to reproduce the
+            # crashed attempt's routing. (The image stream's r9-ADVICE
+            # fix, ported.)
+            cands = cands.join(
+                batch.select(F.col(id_col).alias("corpus_id")),
+                "corpus_id",
+                "left_anti",
+            )
         dups = cands.filter(F.col("est_jaccard") >= threshold)
         # one id can collide with many corpus docs: keep the strongest
         # match as evidence, route the doc once
@@ -94,16 +124,20 @@ def incremental_dedup_sink(
             batch.unpersist()
             best.unpersist()
         # novel docs become part of the corpus for every later batch
+        with open(pre_marker, "w"):
+            pass  # pre-marker: the index append starts now
         dedup.append_to_band_index(
             spark.read.parquet(os.path.join(out_dir, f"batch_id={batch_id}")),
             index_table,
             id_col=id_col,
             text_col=text_col,
+            recovery=recovery,
         )
         staging = marker + ".__tmp"
         with open(staging, "w"):
             pass
         os.rename(staging, marker)  # marker lands only after the insert
+        os.remove(pre_marker)
 
     return (
         docs.writeStream.foreachBatch(write_batch)

@@ -1140,3 +1140,144 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(
     assert (1, 2) in got            # matched pair
     assert (3, None) in got         # unmatched signup emitted null-padded
     assert (1, None) not in got     # matched signup has no null row
+
+
+def test_dedup_stream_crash_window_recovery_preserves_routing(
+    spark, tmp_path
+):
+    """r10: the two-marker protocol ported from the image stream — a
+    crash AFTER the band-index insert but BEFORE the commit marker must
+    (a) not duplicate index rows on replay and (b) not corrupt the
+    routed outputs: the recovery probe sees the crashed attempt's own
+    inserts, so without the batch-id exclusion every previously-novel
+    doc self-collides (est_jaccard 1.0) into dup_dir while out_dir
+    loses its rows."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.operators import dedup
+    from etl_bigquery_pipeline_spark.sources.readers import read_table
+    from etl_bigquery_pipeline_spark.streaming import dedup_stream
+
+    base = (
+        read_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 100)
+    )
+    dedup.build_band_index(base, "dd_cw_idx")
+    batch = base.filter(F.col("doc_id") < 1).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz tail")).alias("text"),
+    ).unionAll(
+        spark.createDataFrame(
+            [(2001, "zork blap qwiggle fen marzipan uvula crox dapple")],
+            "doc_id long, text string",
+        )
+    )
+    src = str(tmp_path / "src")
+    batch.coalesce(1).write.mode("append").parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    dup = str(tmp_path / "dup")
+
+    def run():
+        q = dedup_stream.incremental_dedup_sink(
+            spark.readStream.schema("doc_id long, text string").parquet(src),
+            "dd_cw_idx", ckpt, out, dup,
+        )
+        q.awaitTermination()
+        q.stop()
+        for _ in range(100):  # registration cleanup is async
+            if not spark.streams.active:
+                break
+            time.sleep(0.1)
+
+    def routed():
+        dups = {
+            (r.doc_id, r.corpus_id)
+            for r in spark.read.parquet(dup).collect()
+        }
+        novel = {r.doc_id for r in spark.read.parquet(out).collect()}
+        return dups, novel
+
+    run()
+    n_idx = spark.table("dd_cw_idx").count()
+    dups1, novel1 = routed()
+    assert 1000 in {d for d, _ in dups1} and novel1 == {2001}
+
+    # forge the crash window: commit markers gone, pre-markers planted
+    marker_dir = os.path.join(ckpt, "__applied_batches")
+    for m in [x for x in os.listdir(marker_dir) if not x.endswith("__inserting")]:
+        os.remove(os.path.join(marker_dir, m))
+        with open(os.path.join(marker_dir, m + ".__inserting"), "w"):
+            pass
+    commits = os.path.join(ckpt, "commits")
+    for f in os.listdir(commits):  # listdir includes the .crc sidecars
+        os.remove(os.path.join(commits, f))
+    run()
+    assert spark.table("dd_cw_idx").count() == n_idx, "replay duplicated rows"
+    dups2, novel2 = routed()
+    assert dups2 == dups1, "recovery replay corrupted dup routing"
+    assert novel2 == novel1, "recovery replay lost novel rows"
+
+    spark.sql("DROP TABLE IF EXISTS dd_cw_idx")
+    spark.sql("DROP TABLE IF EXISTS dd_cw_idx__meta")
+
+
+def test_ann_stream_crash_window_replay_no_duplicate_rows(spark, tmp_path):
+    """r10: ann_stream's two-marker protocol — a crash between the
+    bucketed insert and the commit marker must not duplicate index rows
+    when the batch replays in recovery mode."""
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.operators import ann_index
+    from etl_bigquery_pipeline_spark.sources.readers import read_table
+    from etl_bigquery_pipeline_spark.streaming import ann_stream
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    feed = emb.filter(F.col("vec_id") % 4 == 0)
+    ann_index.build_lsh_index(base, "ann_cw_t", dim=64, bits=4, seed=42)
+    src = str(tmp_path / "vsrc")
+    feed.coalesce(1).write.mode("overwrite").parquet(src)
+    ckpt = str(tmp_path / "vckpt")
+
+    def run():
+        q = ann_stream.incremental_ann_sink(
+            spark.readStream.schema(feed.schema).parquet(src),
+            "ann_cw_t", ckpt,
+        )
+        q.awaitTermination()
+        q.stop()
+        for _ in range(100):  # registration cleanup is async
+            if not spark.streams.active:
+                break
+            time.sleep(0.1)
+
+    run()
+    n = spark.table("ann_cw_t").count()
+    assert n == emb.count()
+    marker_dir = os.path.join(ckpt, "__applied_batches")
+    for m in [x for x in os.listdir(marker_dir) if not x.endswith("__inserting")]:
+        os.remove(os.path.join(marker_dir, m))
+        with open(os.path.join(marker_dir, m + ".__inserting"), "w"):
+            pass
+    commits = os.path.join(ckpt, "commits")
+    for f in os.listdir(commits):  # listdir includes the .crc sidecars
+        os.remove(os.path.join(commits, f))
+    run()
+    assert spark.table("ann_cw_t").count() == n, "replay duplicated rows"
+    # no leaked pre-markers after the committed replay path
+    leftovers = [
+        x for x in os.listdir(marker_dir) if x.endswith("__inserting")
+    ]
+    assert leftovers == []
+
+    spark.sql("DROP TABLE IF EXISTS ann_cw_t")
+    spark.sql("DROP TABLE IF EXISTS ann_cw_t__meta")
