@@ -13422,47 +13422,42 @@ def ann_mrr_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-discounted by approximate position) — the metrics that say
     whether a cheaper ranking is good enough to SHOW, where recall
     gates only say whether it is good enough to PREFILTER. Both exact
-    and 16-dim-prefix rankings come from the same broadcast-probe scan
-    shape; everything after is joins over (query, neighbor, rank)
-    triples."""
+    and 16-dim-prefix rankings come from `similarity.cosine_topk`
+    (per-vector norms precomputed, narrow inputs widened — the first
+    cut hand-rolled the pair scoring and recomputed both norms per
+    pair over a 13-split scan, a 720s straggler at sf10); everything
+    after is joins over (query, neighbor, rank) triples.
+
+    Only the TOP-10 of each ranking matters: a pair outside the exact
+    top-10 contributes grade 0 to NDCG and can never satisfy the
+    MRR ex_rank=1 test, so the join is ap-top10 LEFT ex-top10 with the
+    NULL ex_rank falling into the same 0 branches the full-rank join
+    produced — identical aggregates, two orders of magnitude fewer
+    rows ranked past the scoring scan."""
     from etl_bigquery_pipeline_spark.operators import similarity
-    from etl_bigquery_pipeline_spark.functions.vectors import dot, norm
 
     emb = _t(spark, sf_dir, "embeddings").transform(scoped_cache)
     probes = _ann_panel(emb, 50)
 
-    def ranking(vec_slice_dims):
-        if vec_slice_dims is None:
-            qv, cv = F.col("__qv"), F.col("__cv")
-        else:
-            qv = F.slice(F.col("__qv"), 1, vec_slice_dims)
-            cv = F.slice(F.col("__cv"), 1, vec_slice_dims)
-        q = probes.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").cast("array<double>").alias("__qv"),
-        )
-        c = emb.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").cast("array<double>").alias("__cv"),
-        )
-        sim = F.round(
-            F.try_divide(dot(qv, cv), norm(qv) * norm(cv)), 6
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            sim.desc(), F.col("neighbor_id").asc()
-        )
-        return (
-            c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-            .select(
-                "query_id", "neighbor_id", F.row_number().over(w).alias("rk")
-            )
+    def _sliced(df):
+        return df.select(
+            "vec_id",
+            F.slice(F.col("embedding").cast("array<double>"), 1, 16).alias(
+                "embedding"
+            ),
         )
 
-    ex = ranking(None).withColumnRenamed("rk", "ex_rank")
-    ap = ranking(16).withColumnRenamed("rk", "ap_rank").filter(
-        F.col("ap_rank") <= 10
+    ex = similarity.cosine_topk(
+        emb, probes, k=10, id_col="vec_id", vec_col="embedding",
+        query_id_col="query_id",
+    ).select("query_id", "neighbor_id", F.col("rank").alias("ex_rank"))
+    ap = similarity.cosine_topk(
+        _sliced(emb), _sliced(probes), k=10, id_col="vec_id",
+        vec_col="embedding", query_id_col="query_id",
+    ).select("query_id", "neighbor_id", F.col("rank").alias("ap_rank"))
+    j = ap.join(ex, ["query_id", "neighbor_id"], "left").transform(
+        scoped_cache
     )
-    j = ap.join(ex, ["query_id", "neighbor_id"]).transform(scoped_cache)
     mrr = j.groupBy("query_id").agg(
         F.coalesce(
             F.max(F.when(F.col("ex_rank") == 1, 1.0 / F.col("ap_rank"))),
