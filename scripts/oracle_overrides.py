@@ -382,19 +382,45 @@ r2 AS (
   FROM cand)
 SELECT query_id, neighbor_id, sim, rnk FROM r2 WHERE rnk <= 5
 """),
-    "hard_negative_mining": (["cos64"], """
-WITH s AS (
-  SELECT t.query_id, t.neighbor_id, t.sim64 AS sim
-  FROM read_parquet('{mat}/cos64.parquet') t
+    # top-3 different-label neighbors per probe. The first rewrite
+    # windowed the label-filtered %100 slice of the full cos64 panel
+    # (~205M rows at sf10) and DuckDB's sort spilled past the disk
+    # (r10 sweep). rank64's rnk64 IS the (sim DESC, neighbor ASC)
+    # order, so the top-3 among different-label rows lie inside the
+    # global top-1000 whenever >= 3 different-label rows do — the cnt
+    # gate proves it per query, and short queries (never seen: labels
+    # are balanced few-class) re-rank over their full neighbor list.
+    "hard_negative_mining": (["cos64", "rank64"], """
+WITH base AS (
+  SELECT t.query_id, t.neighbor_id, t.sim64 AS sim, t.rnk64
+  FROM read_parquet('{mat}/rank64.parquet') t
   JOIN embeddings q ON q.vec_id = t.query_id
   JOIN embeddings c ON c.vec_id = t.neighbor_id
-  WHERE t.query_id % 100 = 0 AND q.label <> c.label),
-r AS (
-  SELECT query_id, neighbor_id, sim,
-         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
-  FROM s)
-SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 3
+  WHERE t.query_id % 100 = 0 AND t.rnk64 <= 1000 AND q.label <> c.label),
+cnt AS (SELECT query_id FROM base GROUP BY query_id HAVING COUNT(*) >= 3),
+main AS (
+  SELECT b.query_id, b.neighbor_id, b.sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY b.query_id
+              ORDER BY b.rnk64 ASC) AS BIGINT) AS rnk
+  FROM base b JOIN cnt g ON b.query_id = g.query_id),
+probes AS (
+  SELECT vec_id AS query_id FROM embeddings
+  WHERE vec_id % 100 = 0 AND vec_id < 102400),
+shortq AS (
+  SELECT p.query_id FROM probes p
+  LEFT JOIN cnt g ON p.query_id = g.query_id WHERE g.query_id IS NULL),
+fb AS (
+  SELECT t.query_id, t.neighbor_id, t.sim64 AS sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY t.query_id
+              ORDER BY t.rnk64 ASC) AS BIGINT) AS rnk
+  FROM read_parquet('{mat}/rank64.parquet') t
+  JOIN shortq s ON s.query_id = t.query_id
+  JOIN embeddings q ON q.vec_id = t.query_id
+  JOIN embeddings c ON c.vec_id = t.neighbor_id
+  WHERE q.label <> c.label)
+SELECT query_id, neighbor_id, sim, rnk FROM main WHERE rnk <= 3
+UNION ALL
+SELECT query_id, neighbor_id, sim, rnk FROM fb WHERE rnk <= 3
 """),
     "semantic_decontamination": (["cos64"], """
 WITH sims AS (
