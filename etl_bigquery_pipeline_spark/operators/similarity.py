@@ -194,17 +194,34 @@ def embedding_near_dup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join: pairs in the
-    same hyperplane bucket with cosine >= threshold (id_a < id_b)."""
+    same hyperplane bucket with cosine >= threshold (id_a < id_b).
+
+    The join key alone is the 2^bits-value bucket code — a
+    low-cardinality shuffle key, so at most 2^bits tasks would own ALL
+    the within-bucket pair work (the r10 sf10 sweep measured the
+    16-bucket default as a one-straggler 720s timeout at 200k vectors:
+    ~1.25e9 pair dot products through <=16 cores). The self-join is
+    therefore salted: the right side takes a slice = id % S, the left
+    side replicates across all S slices (an exploded literal array —
+    S copies of the smaller projected frame, not of the corpus scan),
+    and the join key becomes (bucket, slice) — 2^bits * S tasks, same
+    pair set, order-independent results."""
     # Widen before the bucket-code projection (see lsh_cosine_topk); when
     # the widen does repartition, the identical exchange under both
     # self-join sides is computed once (ReusedExchange).
+    slices = 16
     b = widen_if_narrow(df, id_col).select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
         norm(vec_col).alias("__norm"),
         hyperplane_bucket(vec_col, dim=dim, bits=bits, seed=seed).alias("__bucket"),
     )
-    l, r = b.alias("l"), b.alias("r")
+    l = b.withColumn(
+        "__slice", F.explode(F.array(*[F.lit(i) for i in range(slices)]))
+    ).alias("l")
+    r = b.withColumn(
+        "__slice", F.pmod(F.col(id_col), F.lit(slices)).cast("int")
+    ).alias("r")
     sim = F.round(
         F.try_divide(
             dot(F.col("l.__v"), F.col("r.__v")),
@@ -216,6 +233,7 @@ def embedding_near_dup_pairs(
         l.join(
             r,
             (F.col("l.__bucket") == F.col("r.__bucket"))
+            & (F.col("l.__slice") == F.col("r.__slice"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(
