@@ -322,6 +322,10 @@ def ivf_cosine_topk(
     index meta table). Expected recall beats random-hyperplane LSH at
     equal candidate budget because cells follow the data distribution.
     """
+    # widen before the cell-assignment/scoring projections: a narrow
+    # (or single-row-group) scan would otherwise run the whole per-pair
+    # compute in one task (see widen_if_narrow's sf10 caveat)
+    corpus = widen_if_narrow(corpus, id_col)
     centroids = train_centroids(
         corpus,
         vec_col=vec_col,

@@ -13436,7 +13436,14 @@ def ann_mrr_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows ranked past the scoring scan."""
     from etl_bigquery_pipeline_spark.operators import similarity
 
-    emb = _t(spark, sf_dir, "embeddings").transform(scoped_cache)
+    # widen BEFORE caching: the sf10 embeddings file is a single row
+    # group, so a cache built straight off the scan materializes 13
+    # planned partitions with ONE holding every row — and cosine_topk's
+    # internal widen passes cached frames through, serializing the
+    # whole pair compute into one task (the r10 sweep's 720s straggler)
+    emb = widen_if_narrow(
+        _t(spark, sf_dir, "embeddings"), "vec_id"
+    ).transform(scoped_cache)
     probes = _ann_panel(emb, 50)
 
     def _sliced(df):
