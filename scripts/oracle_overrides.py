@@ -264,6 +264,41 @@ SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.99
 
 MATERIALIZATIONS["emb_pairs"] = _emb_pairs_sql()
 
+# the label-filtered %100 slice of the cos64 panel, inlined VERBATIM at
+# every use site (a multi-referenced CTE would be materialized by
+# DuckDB — 205M rows at sf10 — while textually separate subqueries each
+# stream the parquet scan)
+_HN_S = """(
+  SELECT t.query_id, t.neighbor_id, t.sim64 AS sim,
+         CAST(round(t.sim64 * 1000000) AS BIGINT) * 4398046511104
+           + (4398046511104 - t.neighbor_id) AS k
+  FROM read_parquet('{mat}/cos64.parquet') t
+  JOIN embeddings q ON q.vec_id = t.query_id
+  JOIN embeddings c ON c.vec_id = t.neighbor_id
+  WHERE t.query_id % 100 = 0 AND q.label <> c.label)"""
+
+_HARD_NEG_3PASS = f"""
+WITH k1 AS (
+  SELECT query_id, MAX(k) AS k FROM {_HN_S} s GROUP BY query_id),
+k2 AS (
+  SELECT s.query_id, MAX(s.k) AS k
+  FROM {_HN_S} s JOIN k1 ON s.query_id = k1.query_id AND s.k < k1.k
+  GROUP BY s.query_id),
+k3 AS (
+  SELECT s.query_id, MAX(s.k) AS k
+  FROM {_HN_S} s JOIN k2 ON s.query_id = k2.query_id AND s.k < k2.k
+  GROUP BY s.query_id)
+SELECT s.query_id, s.neighbor_id, s.sim,
+       CAST(CASE WHEN s.k = k1.k THEN 1
+                 WHEN s.k = k2.k THEN 2
+                 ELSE 3 END AS BIGINT) AS rnk
+FROM {_HN_S} s
+JOIN k1 ON s.query_id = k1.query_id
+LEFT JOIN k2 ON s.query_id = k2.query_id
+LEFT JOIN k3 ON s.query_id = k3.query_id
+WHERE s.k >= coalesce(k3.k, k2.k, k1.k)
+"""
+
 # ---- member rewrites ----
 
 OVERRIDE_SQL: dict[str, tuple[list[str], str]] = {
@@ -384,44 +419,17 @@ SELECT query_id, neighbor_id, sim, rnk FROM r2 WHERE rnk <= 5
 """),
     # top-3 different-label neighbors per probe. The first rewrite
     # windowed the label-filtered %100 slice of the full cos64 panel
-    # (~205M rows at sf10) and DuckDB's sort spilled past the disk
-    # (r10 sweep). rank64's rnk64 IS the (sim DESC, neighbor ASC)
-    # order, so the top-3 among different-label rows lie inside the
-    # global top-1000 whenever >= 3 different-label rows do — the cnt
-    # gate proves it per query, and short queries (never seen: labels
-    # are balanced few-class) re-rank over their full neighbor list.
-    "hard_negative_mining": (["cos64", "rank64"], """
-WITH base AS (
-  SELECT t.query_id, t.neighbor_id, t.sim64 AS sim, t.rnk64
-  FROM read_parquet('{mat}/rank64.parquet') t
-  JOIN embeddings q ON q.vec_id = t.query_id
-  JOIN embeddings c ON c.vec_id = t.neighbor_id
-  WHERE t.query_id % 100 = 0 AND t.rnk64 <= 1000 AND q.label <> c.label),
-cnt AS (SELECT query_id FROM base GROUP BY query_id HAVING COUNT(*) >= 3),
-main AS (
-  SELECT b.query_id, b.neighbor_id, b.sim,
-         CAST(ROW_NUMBER() OVER (PARTITION BY b.query_id
-              ORDER BY b.rnk64 ASC) AS BIGINT) AS rnk
-  FROM base b JOIN cnt g ON b.query_id = g.query_id),
-probes AS (
-  SELECT vec_id AS query_id FROM embeddings
-  WHERE vec_id % 100 = 0 AND vec_id < 102400),
-shortq AS (
-  SELECT p.query_id FROM probes p
-  LEFT JOIN cnt g ON p.query_id = g.query_id WHERE g.query_id IS NULL),
-fb AS (
-  SELECT t.query_id, t.neighbor_id, t.sim64 AS sim,
-         CAST(ROW_NUMBER() OVER (PARTITION BY t.query_id
-              ORDER BY t.rnk64 ASC) AS BIGINT) AS rnk
-  FROM read_parquet('{mat}/rank64.parquet') t
-  JOIN shortq s ON s.query_id = t.query_id
-  JOIN embeddings q ON q.vec_id = t.query_id
-  JOIN embeddings c ON c.vec_id = t.neighbor_id
-  WHERE q.label <> c.label)
-SELECT query_id, neighbor_id, sim, rnk FROM main WHERE rnk <= 3
-UNION ALL
-SELECT query_id, neighbor_id, sim, rnk FROM fb WHERE rnk <= 3
-"""),
+    # (~205M rows at sf10) and DuckDB's window materialization spilled
+    # past the disk; a rank64-prefix cut fails on clustered labels (a
+    # probe's global top-1000 can be all same-label, pushing most
+    # probes into the full-rescan fallback). The exact, spill-free
+    # plan: encode (sim DESC, neighbor ASC) into ONE bigint key
+    # (round(sim*1e6) in the high bits, 2^42 - neighbor below — both
+    # exact integers) and take the per-probe top-3 by THREE max
+    # passes, each a streaming hash aggregate over 512 groups (pass N
+    # excludes keys >= the previous maxes). No sort, no window, no
+    # materialized CTE; 4 streams of the panel scan total.
+    "hard_negative_mining": (["cos64"], _HARD_NEG_3PASS),
     "semantic_decontamination": (["cos64"], """
 WITH sims AS (
   SELECT query_id, neighbor_id, sim64
