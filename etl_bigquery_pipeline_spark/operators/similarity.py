@@ -183,6 +183,20 @@ def lsh_cosine_topk(
     )
 
 
+def near_dup_cbound(threshold: float) -> float:
+    """Conservative per-coordinate prefilter bound for unit vectors.
+
+    cos(u,w) >= t implies ||u-w||^2 = 2(1-cos) <= 2(1-t), hence
+    |u_k - w_k| <= sqrt(2(1-t)) for EVERY normalized coordinate. The
+    output filter keeps pairs by ROUNDED cosine (round(sim, 6) >= t), so
+    a pair with true cosine in [t - 5e-7, t) must also survive the
+    prefilter: slack the bound by the rounding half-width (1e-6 under
+    the sqrt) plus 1e-9 absolute for FP noise on the normalized-
+    coordinate subtraction, making it strictly conservative w.r.t. the
+    rounded-sim filter (r10 ADVICE)."""
+    return float(((2.0 * (1.0 - threshold) + 1.000001e-6) ** 0.5) + 1e-9)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,
@@ -190,65 +204,65 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     dim: int = 64,
-    bits: int = 4,
+    bands: int = 4,
+    band_bits: int = 12,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH self-join: pairs in the
-    same hyperplane bucket with cosine >= threshold (id_a < id_b).
+    """Embedding-cosine near-duplicate pairs via BANDED hyperplane LSH:
+    pairs that collide in at least one of ``bands`` independent
+    ``band_bits``-bit sign-pattern codes and have cosine >= threshold
+    (id_a < id_b).
 
-    The join key alone is the 2^bits-value bucket code — a
-    low-cardinality shuffle key, so at most 2^bits tasks would own ALL
-    the within-bucket pair work (the r10 sf10 sweep measured the
-    16-bucket default as a one-straggler 720s timeout at 200k vectors:
-    ~1.25e9 pair dot products through <=16 cores). The self-join is
-    therefore salted: the right side takes a slice = id % S, the left
-    side replicates across all S slices (an exploded literal array —
-    S copies of the smaller projected frame, not of the corpus scan),
-    and the join key becomes (bucket, slice) — 2^bits * S tasks, same
-    pair set, order-independent results."""
-    # Widen before the bucket-code projection (see lsh_cosine_topk); when
-    # the widen does repartition, the identical exchange under both
-    # self-join sides is computed once (ReusedExchange).
-    slices = 16
-    # exact coordinate prefilter: for unit vectors, cos(u,w) >= t implies
-    # ||u-w||^2 = 2(1-cos) <= 2(1-t), hence |u_k - w_k| <= sqrt(2(1-t))
-    # for EVERY coordinate — a cheap scalar bound in the join condition
-    # that rejects most within-bucket pairs before the 64-dim dot
-    # product runs (at threshold 0.99 the bound is ~0.1414; the r10
-    # sf10 sweep measured the unfiltered ~1.25e9 dots as a 720s
-    # timeout). Two coordinates compound the rejection; a kept pair
-    # still pays the full exact dot, so the output is unchanged.
-    cbound = float((2.0 * (1.0 - threshold)) ** 0.5)
-    b = widen_if_narrow(df, id_col).select(
+    Why banded (r10 verdict): a single coarse code (the old 4-bit /
+    16-bucket variant) bounds candidate reduction to 2^bits x, so
+    within-bucket pair volume grows quadratically with the corpus — the
+    r10 sf10 sweep measured it as a 720s timeout (~1.25e9 pair dots).
+    B independent fine codes cut per-band candidates to ~N^2/2^band_bits
+    while the union of band collisions keeps recall UP (a 0.99-cosine
+    pair agrees per bit w.p. ~0.955: one 4-bit code finds it w.p. 0.83;
+    4 x 12-bit bands w.p. 0.97) — the same pigeonhole-band structure
+    ``near_dup_images`` uses for dHash (multimodal/binary_ops.py).
+
+    Plan shape: explode each row to (id, band, code) — B small rows, the
+    64-float vector is NOT carried — self-join on (band, code) (a
+    high-cardinality key: bands * 2^band_bits values, no salting
+    needed), distinct the candidate pairs, then join the (id, vec, norm)
+    projection back on each side for the exact-dot verify. An exact
+    per-coordinate prefilter inside the band join rejects most
+    candidates before they reach the verify joins."""
+    cbound = near_dup_cbound(threshold)
+    wide = widen_if_narrow(df, id_col)
+    nrm = norm(vec_col)
+    codes = wide.select(
         F.col(id_col),
-        F.col(vec_col).alias("__v"),
-        norm(vec_col).alias("__norm"),
-        F.try_divide(
-            F.element_at(vec_col, 1).cast("double"), norm(vec_col)
-        ).alias("__nv1"),
-        F.try_divide(
-            F.element_at(vec_col, 2).cast("double"), norm(vec_col)
-        ).alias("__nv2"),
-        hyperplane_bucket(vec_col, dim=dim, bits=bits, seed=seed).alias("__bucket"),
+        F.try_divide(F.element_at(vec_col, 1).cast("double"), nrm).alias("__nv1"),
+        F.try_divide(F.element_at(vec_col, 2).cast("double"), nrm).alias("__nv2"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        hyperplane_bucket(
+                            vec_col, dim=dim, bits=band_bits, seed=seed + i
+                        ).alias("code"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__bc"),
+    ).select(
+        id_col,
+        "__nv1",
+        "__nv2",
+        F.col("__bc.band").alias("__band"),
+        F.col("__bc.code").alias("__code"),
     )
-    l = b.withColumn(
-        "__slice", F.explode(F.array(*[F.lit(i) for i in range(slices)]))
-    ).alias("l")
-    r = b.withColumn(
-        "__slice", F.pmod(F.col(id_col), F.lit(slices)).cast("int")
-    ).alias("r")
-    sim = F.round(
-        F.try_divide(
-            dot(F.col("l.__v"), F.col("r.__v")),
-            F.col("l.__norm") * F.col("r.__norm"),
-        ),
-        6,
-    ).alias("cosine_sim")
-    return (
-        l.join(
-            r,
-            (F.col("l.__bucket") == F.col("r.__bucket"))
-            & (F.col("l.__slice") == F.col("r.__slice"))
+    cand = (
+        codes.alias("l")
+        .join(
+            codes.alias("r"),
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__code") == F.col("r.__code"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
             & (F.abs(F.col("l.__nv1") - F.col("r.__nv1")) <= F.lit(cbound))
             & (F.abs(F.col("l.__nv2") - F.col("r.__nv2")) <= F.lit(cbound)),
@@ -256,8 +270,21 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            sim,
         )
+        .distinct()
+    )
+    v = wide.select(F.col(id_col), F.col(vec_col).alias("__v"), nrm.alias("__norm"))
+    sim = F.round(
+        F.try_divide(
+            dot(F.col("va.__v"), F.col("vb.__v")),
+            F.col("va.__norm") * F.col("vb.__norm"),
+        ),
+        6,
+    ).alias("cosine_sim")
+    return (
+        cand.join(v.alias("va"), F.col("id_a") == F.col(f"va.{id_col}"))
+        .join(v.alias("vb"), F.col("id_b") == F.col(f"vb.{id_col}"))
+        .select("id_a", "id_b", sim)
         .filter(F.col("cosine_sim") >= threshold)
     )
 

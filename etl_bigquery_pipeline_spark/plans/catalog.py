@@ -791,42 +791,91 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- embedding near-dup via hyperplane LSH (planted dups) ----
 
 
-def _lsh_bucket_sql(vec: str) -> str:
+def _lsh_bucket_sql(vec: str, *, bits: int = 4, seed: int = 42) -> str:
     from etl_bigquery_pipeline_spark.operators.similarity import _hyperplanes
 
-    planes = _hyperplanes(_DIM, bits=4, seed=42)
-    bits = []
+    planes = _hyperplanes(_DIM, bits=bits, seed=seed)
+    out = []
     for plane in planes:
         arr = "[" + ", ".join(f"{x!r}" for x in plane) + "]"
         dot = (
             f"list_sum([CAST({vec}[i] AS DOUBLE) * ({arr})[i] "
             f"for i in generate_series(1, {_DIM})])"
         )
-        bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
-    return " || ".join(bits)
+        out.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(out)
 
 
-_EMB_NEAR_DUP_ORACLE = f"""
+# Banded hyperplane LSH parameters shared by the Spark query, the sf0.01
+# oracle below, and the sf10 materialized-panel override
+# (scripts/oracle_overrides.py) — keep all three in lockstep.
+_EMB_ND_BANDS = 4
+_EMB_ND_BAND_BITS = 12
+_EMB_ND_THRESHOLD = 0.99
+
+
+def _emb_near_dup_oracle_sql() -> str:
+    """Banded near-dup oracle: per-band equi-joins UNION'd (dedup), then
+    one exact rounded cosine per candidate. The per-coordinate prefilter
+    uses the slacked conservative bound (similarity.near_dup_cbound), so
+    it cannot drop a pair the rounded-cosine filter would keep — it only
+    thins the candidate set DuckDB has to score."""
+    from etl_bigquery_pipeline_spark.operators.similarity import near_dup_cbound
+
+    cb = near_dup_cbound(_EMB_ND_THRESHOLD)
+    band_cols = ",\n        ".join(
+        f"{_lsh_bucket_sql('embedding', bits=_EMB_ND_BAND_BITS, seed=42 + i)} AS b{i}"
+        for i in range(_EMB_ND_BANDS)
+    )
+    nrm = (
+        f"sqrt(list_sum([CAST(embedding[i] AS DOUBLE)"
+        f" * CAST(embedding[i] AS DOUBLE)"
+        f" for i in generate_series(1, {_DIM})]))"
+    )
+    arms = "\n  UNION\n".join(
+        f"""  SELECT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM b l JOIN b r ON l.b{i} = r.b{i} AND l.vec_id < r.vec_id
+    AND abs(l.nv1 - r.nv1) <= {cb!r} AND abs(l.nv2 - r.nv2) <= {cb!r}"""
+        for i in range(_EMB_ND_BANDS)
+    )
+    return f"""
 WITH vecs AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + 1000000,
          list_concat([CAST(embedding[1] + 0.01 AS FLOAT)], embedding[2:{_DIM}])
   FROM embeddings WHERE vec_id < 10),
-b AS (SELECT vec_id, embedding, {_lsh_bucket_sql("embedding")} AS bucket FROM vecs)
-SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-       {_cosine_sql("l.embedding", "r.embedding")} AS cosine_sim
-FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-WHERE {_cosine_sql("l.embedding", "r.embedding")} >= 0.99
+b AS (SELECT vec_id, embedding,
+        {band_cols},
+        {nrm} AS nrm,
+        CAST(embedding[1] AS DOUBLE) / nrm AS nv1,
+        CAST(embedding[2] AS DOUBLE) / nrm AS nv2
+      FROM vecs),
+cand AS (
+{arms}),
+p AS (
+  SELECT c.id_a, c.id_b,
+         round(list_sum([CAST(va.embedding[i] AS DOUBLE)
+                         * CAST(vb.embedding[i] AS DOUBLE)
+                         for i in generate_series(1, {_DIM})])
+               / (va.nrm * vb.nrm), 6) AS cosine_sim
+  FROM cand c
+  JOIN b va ON va.vec_id = c.id_a
+  JOIN b vb ON vb.vec_id = c.id_b)
+SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= {_EMB_ND_THRESHOLD}
 """
+
+
+_EMB_NEAR_DUP_ORACLE = _emb_near_dup_oracle_sql()
 
 
 @query("embedding_near_dup_pairs", _EMB_NEAR_DUP_ORACLE)
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup via random-hyperplane LSH self-join, over
-    the corpus plus 10 planted near-identical vectors (first component
-    +0.01). Seeded hyperplanes are shipped to the oracle as literals, so
-    bucketing matches bit-for-bit."""
+    """Embedding-cosine near-dup via BANDED random-hyperplane LSH self-join
+    (4 independent 12-bit codes, union of band collisions, exact-dot
+    verify), over the corpus plus 10 planted near-identical vectors
+    (first component +0.01). Seeded hyperplanes are shipped to the
+    oracle as literals, so banding matches bit-for-bit."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     mutated = emb.filter(F.col("vec_id") < 10).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
@@ -838,7 +887,8 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.unionAll(mutated)
     return similarity.embedding_near_dup_pairs(
         corpus, id_col="vec_id", vec_col="embedding",
-        threshold=0.99, dim=_DIM, bits=4, seed=42,
+        threshold=_EMB_ND_THRESHOLD, dim=_DIM,
+        bands=_EMB_ND_BANDS, band_bits=_EMB_ND_BAND_BITS, seed=42,
     )
 
 
@@ -6406,16 +6456,31 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The estimator gate's doc panel is FIXED-SIZE, not corpus-proportional
+# (the _ANN_PANEL_MAX_ID argument, restated for documents): the gate's
+# cost is the blocked exact-Jaccard pair build plus two corpus-size
+# signature joins, all linear in the panel — a proportional panel made it
+# the r10 sf10 sweep's one heavyweight-by-construction timeout. Estimator
+# MAE is no more statistically useful on 50M sampled pairs than on 5M.
+# The cap binds only above ~sf1 (doc_id < 51200 covers every document at
+# driver and bench scales, documents Nd = 5k x sf), so gate inputs are
+# bit-identical where the driver compares.
+_MH_EST_GATE_MAX_ID = 51200
+
+
 @query("minhash_estimate_error_gate", "SELECT true AS est_ok")
 def minhash_estimate_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-quality gate for the MinHash estimator itself: over the
-    blocked exact-Jaccard pair set, the signature lane-agreement estimate
-    (matching lanes / num_hashes, 32 hashes) must track exact Jaccard
-    within 0.2 mean absolute error. Complements the LSH recall gates —
-    those bound *candidate recall*, this bounds the *estimator* the
-    incremental probes return. Oracle is the constant-true contract; the
-    measured error feeds the boolean."""
-    d = _t(spark, sf_dir, "documents")
+    blocked exact-Jaccard pair set of a fixed-size doc panel (doc_id <
+    51200 — every doc at driver/bench scales, a 51.2k sample above), the
+    signature lane-agreement estimate (matching lanes / num_hashes, 32
+    hashes) must track exact Jaccard within 0.2 mean absolute error.
+    Complements the LSH recall gates — those bound *candidate recall*,
+    this bounds the *estimator* the incremental probes return. Oracle is
+    the constant-true contract; the measured error feeds the boolean."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _MH_EST_GATE_MAX_ID
+    )
     pairs = dedup.ngram_jaccard_pairs(
         d, "doc_id", "text", shingle_n=3, threshold=0.2
     ).select("id_a", "id_b", "jaccard_sim")

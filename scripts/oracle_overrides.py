@@ -222,60 +222,108 @@ FROM t
 
 
 def _emb_pairs_sql() -> str:
-    """EMBEDDINGS family: the hyperplane-LSH near-dup pair oracle (the
-    within-bucket self-join is ~1.25e9 64-dim cosines at sf10 — the
-    whole oracle cost, paid once, unbudgeted). Per-vector norms
-    precompute like cos64 (the originals recompute both norms per
-    pair); na*nb is the same two doubles multiplied, so the round(,6)
-    cosine is bit-identical. Bucket literals come from the SAME seeded
-    _hyperplanes the engine and the original oracle share."""
+    """EMBEDDINGS family: the BANDED hyperplane-LSH near-dup pair oracle.
+    Identical structure to the catalog's sf0.01 oracle (4 x 12-bit band
+    codes, per-band equi-joins UNION'd, slacked-conservative coordinate
+    prefilter in each arm, one exact precomputed-norm cosine per
+    deduped candidate) — the banding is exactly what makes this oracle
+    feasible at sf10: per-band candidates ~N^2/2^12 instead of the old
+    single-16-bucket ~1.25e9-cosine self-join."""
     from etl_bigquery_pipeline_spark.plans.catalog import (
-        _DIM,
-        _lsh_bucket_sql,
+        _emb_near_dup_oracle_sql,
     )
 
-    nrm = (
-        f"sqrt(list_sum([CAST(embedding[i] AS DOUBLE)"
-        f" * CAST(embedding[i] AS DOUBLE)"
-        f" for i in generate_series(1, {_DIM})]))"
-    )
-    dot = (
-        f"list_sum([CAST(l.embedding[i] AS DOUBLE)"
-        f" * CAST(r.embedding[i] AS DOUBLE)"
-        f" for i in generate_series(1, {_DIM})])"
-    )
-    return f"""
-WITH vecs AS (
-  SELECT vec_id, embedding FROM embeddings
-  UNION ALL
-  SELECT vec_id + 1000000,
-         list_concat([CAST(embedding[1] + 0.01 AS FLOAT)], embedding[2:{_DIM}])
-  FROM embeddings WHERE vec_id < 10),
-b AS (SELECT vec_id, embedding, {_lsh_bucket_sql("embedding")} AS bucket,
-             {nrm} AS nrm
-      FROM vecs),
-p AS (
-  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-         round({dot} / (l.nrm * r.nrm), 6) AS cosine_sim
-  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
-SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.99
-"""
+    return _emb_near_dup_oracle_sql()
 
 
 MATERIALIZATIONS["emb_pairs"] = _emb_pairs_sql()
+
+
+def _sh_bits_sql(nibbles: int = 15) -> str:
+    """DOCUMENTS family: per-doc SimHash bit-count table. The original
+    oracle replays 4 * nibbles list_filter lambdas over every doc's
+    full md5-prefix token list (60 x tokens bit tests per doc — the r10
+    sf10 residual). This panel pays the token pass ONCE: unnest the
+    md5 prefixes, extract each nibble's hex index in a projection, and
+    take the 60 bit-population sums in a single streaming GROUP BY.
+    The override's majority vote over the counts is then O(docs)."""
+    hexs = "0123456789abcdef"
+    nib_vals = ",\n         ".join(
+        f"strpos('{hexs}', substring(h, {p + 1}, 1)) - 1 AS v{p}"
+        for p in range(nibbles)
+    )
+    sums = ",\n       ".join(
+        f"SUM((v{p} >> {j}) & 1) AS c{p}_{j}"
+        for p in range(nibbles)
+        for j in (3, 2, 1, 0)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+e AS (
+  SELECT doc_id, len(toks) AS nt,
+         unnest([substring(md5(x), 1, {nibbles}) for x in toks]) AS h
+  FROM t),
+n AS (
+  SELECT doc_id, nt,
+         {nib_vals}
+  FROM e)
+SELECT doc_id, any_value(nt) AS nt,
+       {sums}
+FROM n GROUP BY doc_id
+"""
+
+
+MATERIALIZATIONS["sh_bits"] = _sh_bits_sql()
+
+
+def _simhash_override_sql(nibbles: int = 15) -> str:
+    """simhash_fingerprints from the sh_bits panel: one majority vote
+    per bit over the precomputed counts. The LEFT JOIN keeps docs whose
+    token list is empty (they never reach the panel's unnest) with the
+    all-zero fingerprint the original's 2*0 > 0 majority produces."""
+    hexs = "0123456789abcdef"
+    nib_exprs = []
+    for p in range(nibbles):
+        val = " + ".join(
+            f"(CASE WHEN 2 * b.c{p}_{j} > b.nt THEN {1 << j} ELSE 0 END)"
+            for j in (3, 2, 1, 0)
+        )
+        nib_exprs.append(f"substring('{hexs}', ({val}) + 1, 1)")
+    concat = " || ".join(nib_exprs)
+    zeros = "0" * nibbles
+    return f"""
+SELECT d.doc_id,
+       CASE WHEN b.doc_id IS NULL THEN '{zeros}' ELSE {concat} END AS simhash
+FROM documents d
+LEFT JOIN read_parquet('{{mat}}/sh_bits.parquet') b ON b.doc_id = d.doc_id
+"""
 
 # the label-filtered %100 slice of the cos64 panel, inlined VERBATIM at
 # every use site (a multi-referenced CTE would be materialized by
 # DuckDB — 205M rows at sf10 — while textually separate subqueries each
 # stream the parquet scan)
+# The label inequality is wrapped in a CASE the optimizer cannot merge
+# into a join condition: written as q.label <> c.label, DuckDB 1.0 folds
+# it into the q-join, which then plans as a NESTED-LOOP join (164M x
+# 200k rows — the actual r10 sf10 spill-to-disk-exhaustion, visible as
+# NESTED_LOOP_JOIN in EXPLAIN). The CASE keeps both label attaches pure
+# equi hash joins with the inequality as a post-join filter; the extra
+# IS NULL arm reproduces <>'s NULL semantics exactly (NULL label rows
+# are dropped, as a NULL comparison never passes a WHERE).
 _HN_S = """(
   SELECT t.query_id, t.neighbor_id, t.sim64 AS sim,
          CAST(round(t.sim64 * 1000000) AS BIGINT) * 4398046511104
            + (4398046511104 - t.neighbor_id) AS k
   FROM read_parquet('{mat}/cos64.parquet') t
-  JOIN embeddings q ON q.vec_id = t.query_id
-  JOIN embeddings c ON c.vec_id = t.neighbor_id
-  WHERE t.query_id % 100 = 0 AND q.label <> c.label)"""
+  JOIN (SELECT vec_id, label FROM embeddings) q ON q.vec_id = t.query_id
+  JOIN (SELECT vec_id, label FROM embeddings) c ON c.vec_id = t.neighbor_id
+  WHERE t.query_id % 100 = 0
+    AND CASE WHEN q.label = c.label THEN 0
+             WHEN q.label IS NULL OR c.label IS NULL THEN 0
+             ELSE 1 END = 1)"""
 
 _HARD_NEG_3PASS = f"""
 WITH k1 AS (
@@ -302,6 +350,7 @@ WHERE s.k >= coalesce(k3.k, k2.k, k1.k)
 # ---- member rewrites ----
 
 OVERRIDE_SQL: dict[str, tuple[list[str], str]] = {
+    "simhash_fingerprints": (["sh_bits"], _simhash_override_sql()),
     # GRAPH -----------------------------------------------------------
     "copurchase_pagerank_top20": (["edges"], """
 WITH __e AS (SELECT u, v FROM read_parquet('{mat}/edges.parquet')),

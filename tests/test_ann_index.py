@@ -224,3 +224,54 @@ def _ann_ivf_like_meta(spark):
         spark.sql(f"DROP TABLE IF EXISTS {t}__meta")
     spark.sql("DROP TABLE IF EXISTS ann_ivf_like__meta")
     spark.sql("DROP TABLE IF EXISTS ivf_lsh_like__meta")
+
+
+def test_band_index_recovery_completes_partial_band_set(spark, sf_dir):
+    """Crash-recovery append after a PARTIAL insertInto commit must
+    complete the doc's band set, not drop it: the index holds one row
+    per (doc, band) spread across write tasks, so a crash mid
+    job-commit can leave a subset of a doc's band rows committed. An
+    id-level recovery anti-join would skip the doc's remaining bands
+    (silent recall loss); the row-level (id, band) dedupe finishes the
+    set exactly once (r10 ADVICE)."""
+    from etl_bigquery_pipeline_spark.operators import (
+        ann_index,
+        band_index_core,
+        dedup,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dedup.build_band_index(d.filter(F.col("doc_id") < 50), "bi_rec_t")
+    meta = ann_index._read_meta(spark, "bi_rec_t")
+    batch = d.filter(F.col("doc_id") < 2).select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.concat("text", F.lit(" recovery tail")).alias("text"),
+    )
+    # forge the crash: only bands {0, 1} of doc 5000 reached the index
+    sig = dedup.minhash_signatures(
+        batch.filter(F.col("doc_id") == 5000), "doc_id", "text",
+        num_hashes=meta["num_hashes"], shingle_n=meta["shingle_n"],
+    )
+    partial = (
+        dedup.minhash_band_keys(sig, "doc_id", bands=meta["bands"])
+        .filter(F.col("band") < 2)
+        .join(sig, "doc_id")
+    )
+    band_index_core.append_band_rows(partial, "bi_rec_t", "band_key")
+    assert spark.table("bi_rec_t").filter(F.col("doc_id") == 5000).count() == 2
+
+    dedup.append_to_band_index(batch, "bi_rec_t", recovery=True)
+    per_doc = (
+        spark.table("bi_rec_t")
+        .filter(F.col("doc_id").isin(5000, 5001))
+        .groupBy("doc_id", "band")
+        .count()
+        .collect()
+    )
+    # full band sets, no (doc, band) duplicates
+    assert all(r["count"] == 1 for r in per_doc)
+    assert sorted((r.doc_id, r.band) for r in per_doc) == [
+        (i, b) for i in (5000, 5001) for b in range(meta["bands"])
+    ]
+    spark.sql("DROP TABLE IF EXISTS bi_rec_t")
+    spark.sql("DROP TABLE IF EXISTS bi_rec_t__meta")

@@ -49,7 +49,7 @@ def test_lsh_topk_subset_of_exact(spark):
 def test_embedding_near_dup_finds_planted_pair(spark):
     df = _vecs(spark)
     pairs = similarity.embedding_near_dup_pairs(
-        df, id_col="vec_id", threshold=0.99, dim=4, bits=2
+        df, id_col="vec_id", threshold=0.99, dim=4, bands=2, band_bits=2
     ).collect()
     found = {(r.id_a, r.id_b) for r in pairs}
     assert (1, 5) in found

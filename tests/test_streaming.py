@@ -4,6 +4,7 @@ engine must agree with the oracle-checked batch operators."""
 from __future__ import annotations
 
 import datetime as dt
+import time
 
 from etl_bigquery_pipeline_spark.operators import sessionize, windows
 from etl_bigquery_pipeline_spark.streaming import events as stream_events
