@@ -21,6 +21,7 @@ from etl_bigquery_pipeline_spark.plans.catalog_base import (
     query,
     sessionize,
     similarity,
+    widen_if_narrow,
     windows,
 )
 
@@ -179,8 +180,13 @@ SELECT doc_id, {concat} AS simhash FROM h
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document as a 15-nibble hex string; md5 bit-table
     formulation is engine-reproducible (oracle generated from the same
-    loop). JVM higher-order functions only — no shuffle, no UDF."""
-    d = _t(spark, sf_dir, "documents")
+    loop). JVM higher-order functions only — no data-sized shuffle, no
+    UDF. Widened before the projection: the per-doc cost is 60 bit
+    tests x tokens, and the sf10 documents file is a near-single-row-
+    group scan that would serialize that compute into one task (the r11
+    sweep measured the unwidened form as the 720s straggler — the same
+    hazard class as the embeddings panel scans, SCALE.md r10)."""
+    d = widen_if_narrow(_t(spark, sf_dir, "documents"), "doc_id")
     return dedup.with_simhash(d, "text", nibbles=15).select("doc_id", "simhash")
 
 
@@ -260,17 +266,37 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- embedding near-dup via hyperplane LSH (planted dups) ----
 
 
+# DuckDB-side dot products are emitted UNROLLED (64 literal multiply-adds,
+# left-associative — the same sequential double accumulation as list_sum
+# over the comprehension form and as Spark's F.aggregate fold, so values
+# are bit-identical) instead of as list comprehensions: a `[expr for i in
+# generate_series(1, 64)]` inside list_sum costs per-element list_extract
+# bounces that measured ~150x slower at the sf10 panel build (the r11
+# emb_pairs materializer sat 25 minutes in the comprehension form; the
+# unrolled form finishes in seconds).
+
+
+def _unrolled_weight_dot_sql(vec: str, weights: list[float]) -> str:
+    return "(" + " + ".join(
+        f"CAST({vec}[{i + 1}] AS DOUBLE) * ({w!r})"
+        for i, w in enumerate(weights)
+    ) + ")"
+
+
+def _unrolled_pair_dot_sql(a: str, b: str, dim: int) -> str:
+    return "(" + " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    ) + ")"
+
+
 def _lsh_bucket_sql(vec: str, *, bits: int = 4, seed: int = 42) -> str:
     from etl_bigquery_pipeline_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(_DIM, bits=bits, seed=seed)
     out = []
     for plane in planes:
-        arr = "[" + ", ".join(f"{x!r}" for x in plane) + "]"
-        dot = (
-            f"list_sum([CAST({vec}[i] AS DOUBLE) * ({arr})[i] "
-            f"for i in generate_series(1, {_DIM})])"
-        )
+        dot = _unrolled_weight_dot_sql(vec, plane)
         out.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
     return " || ".join(out)
 
@@ -296,17 +322,14 @@ def _emb_near_dup_oracle_sql() -> str:
         f"{_lsh_bucket_sql('embedding', bits=_EMB_ND_BAND_BITS, seed=42 + i)} AS b{i}"
         for i in range(_EMB_ND_BANDS)
     )
-    nrm = (
-        f"sqrt(list_sum([CAST(embedding[i] AS DOUBLE)"
-        f" * CAST(embedding[i] AS DOUBLE)"
-        f" for i in generate_series(1, {_DIM})]))"
-    )
+    nrm = f"sqrt({_unrolled_pair_dot_sql('embedding', 'embedding', _DIM)})"
     arms = "\n  UNION\n".join(
         f"""  SELECT l.vec_id AS id_a, r.vec_id AS id_b
   FROM b l JOIN b r ON l.b{i} = r.b{i} AND l.vec_id < r.vec_id
     AND abs(l.nv1 - r.nv1) <= {cb!r} AND abs(l.nv2 - r.nv2) <= {cb!r}"""
         for i in range(_EMB_ND_BANDS)
     )
+    pair_dot = _unrolled_pair_dot_sql("va.embedding", "vb.embedding", _DIM)
     return f"""
 WITH vecs AS (
   SELECT vec_id, embedding FROM embeddings
@@ -324,10 +347,7 @@ cand AS (
 {arms}),
 p AS (
   SELECT c.id_a, c.id_b,
-         round(list_sum([CAST(va.embedding[i] AS DOUBLE)
-                         * CAST(vb.embedding[i] AS DOUBLE)
-                         for i in generate_series(1, {_DIM})])
-               / (va.nrm * vb.nrm), 6) AS cosine_sim
+         round({pair_dot} / (va.nrm * vb.nrm), 6) AS cosine_sim
   FROM cand c
   JOIN b va ON va.vec_id = c.id_a
   JOIN b vb ON vb.vec_id = c.id_b)

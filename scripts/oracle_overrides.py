@@ -262,10 +262,15 @@ WITH t AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
   FROM documents),
-e AS (
-  SELECT doc_id, len(toks) AS nt,
-         unnest([substring(md5(x), 1, {nibbles}) for x in toks]) AS h
+e0 AS (
+  SELECT doc_id, len(toks) AS nt, unnest(toks) AS tok
   FROM t),
+e AS (
+  -- md5 on the FLAT column (vectorized), never inside a per-list
+  -- comprehension (per-element lambda bounce — the hazard the r11
+  -- emb_pairs build measured as ~150x)
+  SELECT doc_id, nt, substring(md5(tok), 1, {nibbles}) AS h
+  FROM e0),
 n AS (
   SELECT doc_id, nt,
          {nib_vals}
