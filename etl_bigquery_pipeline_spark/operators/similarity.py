@@ -257,10 +257,15 @@ def embedding_near_dup_pairs(
         F.col("__bc.band").alias("__band"),
         F.col("__bc.code").alias("__code"),
     )
+    # Every join side below is CORPUS-PROPORTIONAL (exploded band rows,
+    # candidate pairs, the vector projection), so all three joins are
+    # merge-pinned: planner/AQE size estimates on compressed shuffle
+    # bytes have hash-built corpus-sized sides on the driver before (the
+    # r8 minhash verify-join incident) — never let these broadcast.
     cand = (
-        codes.alias("l")
+        codes.alias("l").hint("merge")
         .join(
-            codes.alias("r"),
+            codes.alias("r").hint("merge"),
             (F.col("l.__band") == F.col("r.__band"))
             & (F.col("l.__code") == F.col("r.__code"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
@@ -282,8 +287,9 @@ def embedding_near_dup_pairs(
         6,
     ).alias("cosine_sim")
     return (
-        cand.join(v.alias("va"), F.col("id_a") == F.col(f"va.{id_col}"))
-        .join(v.alias("vb"), F.col("id_b") == F.col(f"vb.{id_col}"))
+        cand.hint("merge")
+        .join(v.alias("va").hint("merge"), F.col("id_a") == F.col(f"va.{id_col}"))
+        .join(v.alias("vb").hint("merge"), F.col("id_b") == F.col(f"vb.{id_col}"))
         .select("id_a", "id_b", sim)
         .filter(F.col("cosine_sim") >= threshold)
     )

@@ -778,3 +778,28 @@ def test_catalog_corpus_broadcast_lint(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_banded_near_dup_band_join_is_slim_and_merge_pinned(spark, sf_dir):
+    """The banded embedding near-dup's joins must (a) never plan a
+    cartesian/NL join, (b) never broadcast — every side is corpus-
+    proportional (exploded band rows, candidate pairs, the vector
+    projection), so all three joins are merge-pinned (the r8 minhash
+    verify-join incident class) — (c) key the candidate shuffle on the
+    fine (band, code) pair (a regression to the coarse 16-value bucket
+    code would re-serialize sf10 into stragglers), and (d) keep the
+    exploded band rows SLIM: the 64-float vector may reach only the two
+    verify joins, never the x-bands candidate shuffle (carrying it
+    multiplies the banding shuffle volume by B)."""
+    plan = _plan(spark, "embedding_near_dup_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" not in plan, plan
+    band_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "__band" in l
+    ]
+    assert band_exchanges, plan  # the band join shuffles on (band, code)
+    assert all("__code" in l for l in band_exchanges)
+    # slim candidate rows: no vector column rides the band shuffle
+    assert not any("__v#" in l or "embedding#" in l for l in band_exchanges)
