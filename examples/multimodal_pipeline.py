@@ -139,8 +139,8 @@ def run(spark, out_dir: str) -> dict:
         resized.filter(F.col("resized")), dim=8
     ).withColumn("feature", F.col("feature").cast("array<float>"))
     pairs = similarity.embedding_near_dup_pairs(
-        feats, id_col="id", vec_col="feature", dim=8, bits=3, seed=7,
-        threshold=0.98,
+        feats, id_col="id", vec_col="feature", dim=8, bands=2, band_bits=3,
+        seed=7, threshold=0.98,
     )
 
     resized.write.mode("overwrite").parquet(out_dir)
