@@ -324,6 +324,14 @@ BENCH_QUERIES = [
     # catalog queries by construction so it must stay measured)
     "copurchase_triangles_doulion",
     "triangle_sample_error_gate",
+    # round-11 wave 53: corpus diagnostics (each family's new member —
+    # the cluster-size histogram is the heavy one, measured per the
+    # "slowest sibling is benched" rule)
+    "tokenizer_fertility_by_lang",
+    "cross_lingual_exact_dupes",
+    "source_overlap_matrix",
+    "vocab_coverage_curve",
+    "minhash_cluster_size_histogram",
 ]
 
 # Machine-state canary: the 22 queries of the ROUND-1 baseline record,

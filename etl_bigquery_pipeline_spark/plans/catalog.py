@@ -26,6 +26,7 @@ from etl_bigquery_pipeline_spark.plans import catalog_p5_round4 as _m_4
 from etl_bigquery_pipeline_spark.plans import catalog_p6_waves6_16 as _m_5
 from etl_bigquery_pipeline_spark.plans import catalog_p7_waves17_45 as _m_6
 from etl_bigquery_pipeline_spark.plans import catalog_p8_waves46_48 as _m_7
+from etl_bigquery_pipeline_spark.plans import catalog_p9_wave53 as _m_8
 
 _PART_MODULES = (
     _m_base,
@@ -37,6 +38,7 @@ _PART_MODULES = (
     _m_5,
     _m_6,
     _m_7,
+    _m_8,
 )
 
 # re-create the pre-split single-module namespace: later parts win name
