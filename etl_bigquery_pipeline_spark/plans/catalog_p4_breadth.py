@@ -2575,18 +2575,13 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     real baskets after a per-basket item cap), then one grouped count and
     a TakeOrdered. Distinct-projection first so duplicate (order, part)
     lines never inflate support."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
+    from etl_bigquery_pipeline_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        graph.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("pa").alias("part_a"), F.col("pb").alias("part_b")
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
@@ -3039,23 +3034,19 @@ def copurchase_lift_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets is noise). Support counts broadcast back onto the pair
     frame; top-20 via TakeOrdered with deterministic tie-break. The
     floor is also what bounds the pair frame the lift join touches."""
-    li = (
+    from etl_bigquery_pipeline_spark.operators import graph
+
+    li = scoped_cache(
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
     n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     sup = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
-    a, b = li.alias("a"), li.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        graph.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("pa").alias("part_a"), F.col("pb").alias("part_b")
         )
         .agg(F.count(F.lit(1)).alias("ab"))
         .filter(F.col("ab") >= 3)

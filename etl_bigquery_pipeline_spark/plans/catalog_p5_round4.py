@@ -1240,14 +1240,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_bigquery_pipeline_spark.operators import graph
 
     l = _t(spark, sf_dir, "lineitem")
-    pr = scoped_cache(l.select("l_orderkey", "l_partkey").distinct())
-    pairs = pr.alias("a").join(
-        pr.alias("b"),
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-    )
+    pairs = graph.cooccurrence_pairs(l, "l_orderkey", "l_partkey")
     edges = graph.undirected_edges(pairs, "pa", "pb")
     return graph.triangle_count(edges)
 
@@ -1290,14 +1283,7 @@ def copurchase_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_bigquery_pipeline_spark.operators import graph
 
     l = _t(spark, sf_dir, "lineitem")
-    pr_tbl = scoped_cache(l.select("l_orderkey", "l_partkey").distinct())
-    pairs = pr_tbl.alias("a").join(
-        pr_tbl.alias("b"),
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-    )
+    pairs = graph.cooccurrence_pairs(l, "l_orderkey", "l_partkey")
     edges = graph.undirected_edges(pairs, "pa", "pb")
     ranks = graph.pagerank_scaled(edges, iters=3, damping=0.85)
     top = ranks.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(20)
@@ -1339,17 +1325,9 @@ def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_bigquery_pipeline_spark.operators import graph
 
     l = _t(spark, sf_dir, "lineitem")
-    pr_tbl = scoped_cache(l.select("l_orderkey", "l_partkey").distinct())
     strong = (
-        pr_tbl.alias("a")
-        .join(
-            pr_tbl.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        graph.cooccurrence_pairs(l, "l_orderkey", "l_partkey")
+        .groupBy(F.col("pa").alias("u"), F.col("pb").alias("v"))
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("u", "v")

@@ -1112,14 +1112,7 @@ def graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_bigquery_pipeline_spark.operators import graph
 
     l = _t(spark, sf_dir, "lineitem")
-    pr = scoped_cache(l.select("l_orderkey", "l_partkey").distinct())
-    pairs = pr.alias("a").join(
-        pr.alias("b"),
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-    )
+    pairs = graph.cooccurrence_pairs(l, "l_orderkey", "l_partkey")
     edges = scoped_cache(graph.undirected_edges(pairs, "pa", "pb"))
     nodes = (
         edges.select(F.col("u").alias("node"))
@@ -1170,14 +1163,7 @@ def deterministic_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_bigquery_pipeline_spark.operators import graph
 
     l = _t(spark, sf_dir, "lineitem")
-    pr = scoped_cache(l.select("l_orderkey", "l_partkey").distinct())
-    pairs = pr.alias("a").join(
-        pr.alias("b"),
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-    )
+    pairs = graph.cooccurrence_pairs(l, "l_orderkey", "l_partkey")
     edges = scoped_cache(graph.undirected_edges(pairs, "pa", "pb"))
     nodes = (
         edges.select(F.col("u").alias("node"))

@@ -650,17 +650,10 @@ FROM st
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")
-    pr = scoped_cache(l.select("l_orderkey", "l_partkey").distinct())
-    pairs = pr.alias("a").join(
-        pr.alias("b"),
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-    )
     from etl_bigquery_pipeline_spark.operators import graph
 
+    l = _t(spark, sf_dir, "lineitem")
+    pairs = graph.cooccurrence_pairs(l, "l_orderkey", "l_partkey")
     return graph.undirected_edges(pairs, "pa", "pb")
 
 
@@ -705,16 +698,26 @@ def triangle_sample_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     so this is a value-hash parity row, not a constant-true contract."""
     from etl_bigquery_pipeline_spark.operators import graph
 
-    edges = scoped_cache(_copurchase_edges(spark, sf_dir))
-    exact = graph.triangle_count(edges).select(
-        F.col("n_triangles").alias("n_triangles_exact")
+    # one wedge pass for BOTH arms: the DOULION coin rides the oriented
+    # edges as a flag, and the sampled count is a conditional aggregate
+    # of the same closure join (a sampled-subgraph triangle == a full-
+    # graph triangle with all three edges flagged) — previously the
+    # sampled arm re-oriented and re-wedge-joined its own subgraph
+    edges = scoped_cache(
+        _copurchase_edges(spark, sf_dir).withColumn(
+            "__keep", graph.doulion_coin(keep_num=2, keep_den=10)
+        )
     )
-    est = graph.doulion_triangle_estimate(edges, keep_num=2, keep_den=10)
+    counts = graph.triangle_counts_with_flag(edges, "__keep")
+    both = counts.select(
+        F.col("n_triangles").alias("n_triangles_exact"),
+        (F.col("n_triangles_flagged") * F.lit(125.0)).alias("triangles_est"),
+    )
     rel = (
         F.abs(F.col("triangles_est") - F.col("n_triangles_exact"))
         / F.col("n_triangles_exact")
     )
-    return exact.crossJoin(est.select("triangles_est")).select(
+    return both.select(
         "n_triangles_exact",
         "triangles_est",
         # tie-stable rounding: Spark's round() HALF_UPs the shortest

@@ -698,6 +698,31 @@ def test_doulion_sample_and_estimate(spark):
     s2 = {(r.u, r.v) for r in graph.doulion_sample(e).collect()}
     assert s1 == s2
     assert s1 <= {(min(a, b), max(a, b)) for a, b in k6}
+
+
+def test_triangle_counts_with_flag_matches_subgraph_count(spark):
+    """The single-pass flagged count (estimator-gate fast path) must
+    equal the two-pass ground truth: n_triangles_flagged == an
+    independent triangle_count over the flag-induced subgraph, and an
+    all-true flag degenerates to the exact count."""
+    from pyspark.sql import functions as F
+
+    from etl_bigquery_pipeline_spark.operators import graph
+
+    k6 = [(i, j) for i in range(6) for j in range(6) if i < j]
+    e = graph.undirected_edges(
+        spark.createDataFrame(k6, "a long, b long"), "a", "b"
+    )
+    flagged = e.withColumn("keep", graph.doulion_coin(keep_num=5, keep_den=10))
+    one = graph.triangle_counts_with_flag(flagged, "keep").first()
+    two = graph.triangle_count(flagged.filter("keep").select("u", "v")).first()
+    assert (one.n_edges, one.n_triangles) == (15, 20)
+    assert one.n_edges_flagged == two.n_edges
+    assert one.n_triangles_flagged == two.n_triangles
+    allkeep = graph.triangle_counts_with_flag(
+        e.withColumn("keep", F.lit(True)), "keep"
+    ).first()
+    assert allkeep.n_triangles_flagged == allkeep.n_triangles == 20
     # the estimate scales the sampled count by exactly 1/p^3 = 125
     est = graph.doulion_triangle_estimate(e).first()
     assert est.triangles_est == est.n_triangles_sampled * 125.0
