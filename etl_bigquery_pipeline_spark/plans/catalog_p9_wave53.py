@@ -28,6 +28,7 @@ from etl_bigquery_pipeline_spark.plans.catalog_base import (
     Window,
     _t,
     query,
+    widen_if_narrow,
 )
 from etl_bigquery_pipeline_spark.operators import dedup
 from etl_bigquery_pipeline_spark.plans.catalog_p4_breadth import _CLUSTERS_ORACLE
@@ -60,7 +61,10 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic that drives per-language token budgets) and characters per
     BPE token. Narrow projection -> 5-group aggregate: one scan, full
     map-side partial aggregation, shuffle carries 5 rows per task."""
-    d = _t(spark, sf_dir, "documents")
+    # widen before the per-doc regex projections: a single-row-group
+    # documents.parquet at sf10 otherwise serializes the scan+compute
+    # into one task (the r11 simhash straggler class)
+    d = widen_if_narrow(_t(spark, sf_dir, "documents"), "doc_id")
     per = d.select(
         "lang",
         TX.token_count("text").alias("n_tok"),
@@ -111,7 +115,9 @@ def cross_lingual_exact_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     language label. One groupBy on the 32-char content hash (same
     shuffle key as exact dedup); the >1-language filter happens post-
     aggregate, so the shuffle carries one row per distinct content."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d = widen_if_narrow(_t(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "lang", "text"
+    )
     planted = d.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 3000000).alias("doc_id"),
         F.when(F.col("lang") == "en", F.lit("de"))
@@ -176,7 +182,9 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-cardinality fingerprint — then a self-equi-join on fp (dup
     groups are tiny, no skew) reduced to at most |sources|^2/2 rows; the
     20-row per-source totals broadcast onto the pair aggregate."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    d = widen_if_narrow(_t(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "source", "text"
+    )
     planted = d.filter(F.col("doc_id") % 10 == 0).select(
         F.concat(
             F.lit("src"),
@@ -262,7 +270,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global per-language top-K is a subset of the union of the 16
     per-bucket top-Ks — phase 2 re-ranks the <=16*K survivors per
     language. The 5-row per-language totals broadcast back on."""
-    d = _t(spark, sf_dir, "documents")
+    d = widen_if_narrow(_t(spark, sf_dir, "documents"), "doc_id")
     tok = d.select("lang", F.explode(TX.tokens("text")).alias("token"))
     cnt = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
     k_max = 20

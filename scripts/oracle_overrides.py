@@ -148,6 +148,15 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 100
     # the full minhash band chain over the planted corpus, through the
     # exact-jaccard scoring of banded candidates (four oracles share it)
     "mh_scored_p": _MH_SCORED,
+    # the TWO-copy planted variant (wave 53's cluster-size histogram
+    # chains A ~ copy1 ~ copy2): same minhash chain, second mutated
+    # copy per planted doc
+    "mh_scored_p2": _MH_SCORED.replace(
+        "SELECT doc_id + 1000000, text || ' zzz extra' FROM documents WHERE doc_id < 25),",
+        "SELECT doc_id + 1000000, text || ' zzz extra' FROM documents WHERE doc_id < 25\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id + 2000000, text || ' zzz extra qq' FROM documents WHERE doc_id < 25),",
+    ),
     # GRAPH family: the full negative-sampling rank — the quadratic
     # candidate scan (8.4e9 md5s at sf10) is the whole oracle cost,
     # paid once here instead of inside every sweep's budget. The naive
@@ -558,6 +567,24 @@ reach(node, label) AS (
   UNION
   SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
 SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+"""),
+    "minhash_cluster_size_histogram": (["mh_scored_p2"], """
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM read_parquet('{mat}/mh_scored_p2.parquet')
+  WHERE jaccard_sim >= 0.6),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
+SELECT cluster_size, COUNT(*) AS n_clusters FROM (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM (
+    SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node) comp
+  GROUP BY cluster_id) sizes
+GROUP BY cluster_size
 """),
     "leakage_safe_split": (["mh_scored_p"], """
 WITH RECURSIVE docs AS (
