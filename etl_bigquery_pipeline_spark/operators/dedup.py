@@ -816,10 +816,13 @@ def _shingles_and_bands(
     num_hashes: int,
     bands: int,
     shingle_n: int,
-) -> tuple[DataFrame, DataFrame]:
-    """(shingle frame, band-key frame) for one side of a cross-corpus
-    near-dup join — the same shingle -> signature -> band pipeline the
-    self-join operator uses, shared so both sides hash identically."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(shingle frame, signature frame, band-key frame) for one side of a
+    cross-corpus near-dup join — the same shingle -> signature -> band
+    pipeline the self-join operator uses, shared so both sides hash
+    identically. The signature frame is returned so callers that ALSO
+    build/probe a persisted index reuse one hashing pass instead of
+    re-tokenizing per consumer (the r11 band-gate optimization)."""
     sh_df = (
         widen_if_narrow(df, id_col)
         .select(F.col(id_col), tokens(text_col).alias("__toks"))
@@ -831,41 +834,23 @@ def _shingles_and_bands(
     sig = _signatures_from_shingles(sh_df, id_col, "__sh", num_hashes).select(
         id_col, "signature"
     )
-    return sh_df, minhash_band_keys(sig, id_col, bands=bands)
+    return sh_df, sig, minhash_band_keys(sig, id_col, bands=bands)
 
 
-def near_dup_against_corpus(
-    batch: DataFrame,
-    corpus: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def _near_dup_from_bands(
+    sh_b: DataFrame,
+    bk_b: DataFrame,
+    sh_c: DataFrame,
+    bk_c: DataFrame,
     *,
-    num_hashes: int = 16,
-    bands: int = 4,
-    shingle_n: int = 3,
-    threshold: float = 0.7,
-    max_band_bucket: int | None = _DEFAULT_MAX_BAND_BUCKET,
+    id_col: str,
+    threshold: float,
+    max_band_bucket: int | None,
 ) -> DataFrame:
-    """Incremental MinHash-LSH near-dup: batch documents whose LSH band
-    buckets collide with the existing corpus, verified by exact Jaccard.
-
-    Returns (batch_id, corpus_id, jaccard_sim) for every verified pair at
-    >= threshold; anti-join the batch against the distinct batch_ids to
-    keep only novel documents. Candidates come ONLY from band-bucket
-    equality between the two sides (batch x corpus — never corpus x
-    corpus, which the self-join operator already covers), so the corpus
-    side contributes one shuffle of its band keys per refresh and the
-    pair product stays bounded by real collisions. ``max_band_bucket``
-    drops boilerplate buckets on BOTH sides (see _drop_hot_buckets).
-    """
-    sh_b, bk_b = _shingles_and_bands(
-        batch, id_col, text_col,
-        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-    )
-    sh_c, bk_c = _shingles_and_bands(
-        corpus, id_col, text_col,
-        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-    )
+    """Collision join + exact-Jaccard verify over precomputed shingle and
+    band-key frames — the body of ``near_dup_against_corpus`` after its
+    hashing passes, split out so a caller that already holds the frames
+    (e.g. the band-index parity gate) never re-tokenizes either side."""
     if max_band_bucket is not None:
         bk_b = _drop_hot_buckets(bk_b, ["band", "band_key"], max_band_bucket)
         bk_c = _drop_hot_buckets(bk_c, ["band", "band_key"], max_band_bucket)
@@ -895,6 +880,44 @@ def near_dup_against_corpus(
             ),
         )
         .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def near_dup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    max_band_bucket: int | None = _DEFAULT_MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Incremental MinHash-LSH near-dup: batch documents whose LSH band
+    buckets collide with the existing corpus, verified by exact Jaccard.
+
+    Returns (batch_id, corpus_id, jaccard_sim) for every verified pair at
+    >= threshold; anti-join the batch against the distinct batch_ids to
+    keep only novel documents. Candidates come ONLY from band-bucket
+    equality between the two sides (batch x corpus — never corpus x
+    corpus, which the self-join operator already covers), so the corpus
+    side contributes one shuffle of its band keys per refresh and the
+    pair product stays bounded by real collisions. ``max_band_bucket``
+    drops boilerplate buckets on BOTH sides (see _drop_hot_buckets).
+    """
+    sh_b, _sig_b, bk_b = _shingles_and_bands(
+        batch, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    sh_c, _sig_c, bk_c = _shingles_and_bands(
+        corpus, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    return _near_dup_from_bands(
+        sh_b, bk_b, sh_c, bk_c,
+        id_col=id_col, threshold=threshold, max_band_bucket=max_band_bucket,
     )
 
 
@@ -979,9 +1002,17 @@ def build_band_index(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    signatures: DataFrame | None = None,
 ) -> None:
     """Persist the corpus side of incremental near-dup as a bucketed
     table: (id, band, band_key, signature), bucketed by band_key.
+
+    ``signatures``: optional precomputed (id, signature) frame for the
+    SAME corpus and hash parameters (as produced by minhash_signatures /
+    _shingles_and_bands with identical num_hashes/shingle_n) — callers
+    that already hashed the corpus for another consumer pass it so the
+    build never re-tokenizes; parameters recorded in the metadata are
+    still the declared ones, so the caller owns the agreement.
 
     This is the 100 TB refresh path SCALE.md prescribes: the corpus
     shingle/signature pass runs ONCE at build time; every subsequent
@@ -994,8 +1025,12 @@ def build_band_index(
     """
     from etl_bigquery_pipeline_spark.operators import band_index_core
 
-    sig = minhash_signatures(
-        corpus, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(
+            corpus, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+        )
     )
     bk = minhash_band_keys(sig, id_col, bands=bands)
     # bucket-aligned write + meta via the shared band-index skeleton
@@ -1021,11 +1056,17 @@ def near_dup_candidates_from_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_band_bucket: int | None = _DEFAULT_MAX_BAND_BUCKET,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Band-collision candidates of ``batch`` against a persisted band
     index: (batch_id, corpus_id, est_jaccard), where est_jaccard is the
     minhash lane-agreement estimate (matching lanes / num_hashes) —
     computed purely from signatures, no corpus text needed.
+
+    ``signatures``: optional precomputed (id, signature) frame for the
+    batch, hashed with parameters matching the index metadata (the
+    caller's contract to uphold) — skips the batch's tokenize/signature
+    pass when another consumer already ran it.
 
     The batch side's band keys broadcast; the index side is read through
     its bucketed layout, so the only work proportional to the corpus is
@@ -1037,12 +1078,16 @@ def near_dup_candidates_from_index(
     from etl_bigquery_pipeline_spark.operators import ann_index, band_index_core
 
     meta = ann_index._read_meta(spark, table)
-    sig_b = minhash_signatures(
-        batch,
-        id_col,
-        text_col,
-        num_hashes=meta["num_hashes"],
-        shingle_n=meta["shingle_n"],
+    sig_b = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(
+            batch,
+            id_col,
+            text_col,
+            num_hashes=meta["num_hashes"],
+            shingle_n=meta["shingle_n"],
+        )
     )
     bk_b = minhash_band_keys(sig_b, id_col, bands=meta["bands"])
     collisions = band_index_core.probe_collisions(

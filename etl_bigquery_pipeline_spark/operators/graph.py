@@ -101,26 +101,54 @@ def orient_by_degree(
     )
 
 
+def _oriented_adjacency(oriented: DataFrame) -> DataFrame:
+    """(src, nbrs): each vertex's out-neighbor array on the oriented
+    graph. Orientation bounds out-degree at O(sqrt(m)), so the arrays —
+    and hence per-row memory in the intersection joins below — are
+    bounded regardless of hub skew."""
+    return oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
-    """One row (n_edges, n_triangles). Wedge join on the oriented graph
-    (src shared), closed by a second join checking the far edge — each
-    triangle materializes exactly once at its (degree,id)-minimal apex."""
-    # both stages re-consume the (often expensive) edge lineage and the
+    """One row (n_edges, n_triangles) via per-edge neighbor-array
+    intersection on the degree-oriented graph: a triangle (u,v,w) with
+    all edges oriented ascending is counted exactly once at edge (u,v)
+    as w in N+(u) & N+(v).
+
+    This replaces the r5-r10 wedge-join plan (materialize every
+    (dst,dst) wedge pair, close with a join against the edge set): the
+    intersection plan ships the same adjacency bytes but never
+    materializes the O(sum deg^2) wedge ROWS through a shuffle, and the
+    closure join + final count collapse into one native array_intersect
+    per edge. Interleaved A/B at sf0.1 (1.196M edges, 1,884,488
+    triangles — identical counts): 8.2s vs 17.0s and 14.6s vs 25.4s,
+    ~1.7-2x. Out-degrees are O(sqrt(m))-bounded by the orientation, so
+    no array or task is hub-sized at any scale."""
+    # both consumers re-use the (often expensive) edge lineage and the
     # oriented projection: cache them for the duration of the caller's
-    # cache_scope instead of recomputing the edge build three times
+    # cache_scope instead of recomputing the edge build per pass
     edges = scoped_cache(edges)
     oriented = scoped_cache(orient_by_degree(edges))
-    e1 = oriented.alias("e1")
-    e2 = oriented.alias("e2")
-    # unordered far pair, canonicalized to id order so the closure is a
-    # PURE EQUI-JOIN against the canonical (u < v) edge set — an OR over
-    # both orientations would degrade to a nested-loop join
-    wedges = e1.join(
-        e2,
-        (F.col("e1.src") == F.col("e2.src"))
-        & (F.col("e1.dst") < F.col("e2.dst")),
-    ).select(F.col("e1.dst").alias("u"), F.col("e2.dst").alias("v"))
-    n_tri = wedges.join(edges, ["u", "v"]).count()
+    adj = _oriented_adjacency(oriented)
+    au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("__nu"))
+    av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("__nv"))
+    e = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    # adjacency is corpus-proportional on both join sides — same
+    # discipline as the dedup verify joins: pin sort-merge so no
+    # data-dependent side ever becomes a hash-build/broadcast side
+    n_tri = (
+        e.hint("merge")
+        .join(au, "u")
+        .join(av.hint("merge"), "v", "left")
+        .select(
+            F.size(
+                F.array_intersect("__nu", F.coalesce("__nv", F.array()))
+            ).alias("__t")
+        )
+        .agg(F.sum("__t"))
+        .first()[0]
+        or 0
+    )
     n_edges = edges.count()
     spark = edges.sparkSession
     # one row: pin to one partition — a default createDataFrame spreads
@@ -147,27 +175,53 @@ def triangle_counts_with_flag(edges: DataFrame, flag: str) -> DataFrame:
     re-oriented and re-joined its own subgraph)."""
     edges = scoped_cache(edges)
     oriented = scoped_cache(orient_by_degree(edges, carry=(flag,)))
-    e1 = oriented.select("src", "dst", F.col(flag).alias("__f1")).alias("e1")
-    e2 = oriented.select("src", "dst", F.col(flag).alias("__f2")).alias("e2")
-    wedges = e1.join(
-        e2,
-        (F.col("e1.src") == F.col("e2.src"))
-        & (F.col("e1.dst") < F.col("e2.dst")),
-    ).select(
-        F.col("e1.dst").alias("u"),
-        F.col("e2.dst").alias("v"),
-        "__f1",
-        "__f2",
+    # one groupBy yields BOTH adjacency arrays: all out-neighbors and the
+    # flagged-only subset (collect_list skips the nulls the when() leaves
+    # on unflagged rows) — the flag-induced subgraph never needs its own
+    # orientation or pass (same neighbor-array-intersection plan as
+    # triangle_count; see its docstring for the wedge-join A/B)
+    adj = oriented.groupBy("src").agg(
+        F.collect_list("dst").alias("nbrs"),
+        F.collect_list(F.when(F.col(flag), F.col("dst"))).alias("fnbrs"),
     )
-    closed = wedges.join(
-        edges.select("u", "v", F.col(flag).alias("__f3")), ["u", "v"]
+    au = adj.select(
+        F.col("src").alias("u"),
+        F.col("nbrs").alias("__nu"),
+        F.col("fnbrs").alias("__fnu"),
     )
-    tri = closed.agg(
-        F.count(F.lit(1)).alias("n_tri"),
-        F.sum(
-            F.when(F.col("__f1") & F.col("__f2") & F.col("__f3"), 1).otherwise(0)
-        ).alias("n_tri_f"),
-    ).first()
+    av = adj.select(
+        F.col("src").alias("v"),
+        F.col("nbrs").alias("__nv"),
+        F.col("fnbrs").alias("__fnv"),
+    )
+    e = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col(flag).alias("__f")
+    )
+    tri = (
+        e.hint("merge")
+        .join(au, "u")
+        .join(av.hint("merge"), "v", "left")
+        .select(
+            F.size(
+                F.array_intersect("__nu", F.coalesce("__nv", F.array()))
+            ).alias("__t"),
+            F.when(
+                F.col("__f"),
+                F.size(
+                    F.array_intersect(
+                        "__fnu", F.coalesce("__fnv", F.array())
+                    )
+                ),
+            )
+            .otherwise(0)
+            .alias("__tf"),
+        )
+        .agg(
+            F.coalesce(F.sum("__t"), F.lit(0)).alias("n_tri"),
+            F.coalesce(F.sum("__tf"), F.lit(0)).alias("n_tri_f"),
+        )
+        .first()
+    )
     ec = edges.agg(
         F.count(F.lit(1)).alias("n_e"),
         F.sum(F.when(F.col(flag), 1).otherwise(0)).alias("n_e_f"),

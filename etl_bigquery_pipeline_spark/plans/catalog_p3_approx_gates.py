@@ -221,7 +221,19 @@ def lsh_index_probe_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries_df, k=5, id_col="vec_id", vec_col="embedding",
         query_id_col="query_id", dim=_DIM, bits=4, seed=42,
     )
-    diff = got.exceptAll(want).unionAll(want.exceptAll(got))
+    # both sides are key-unique ((query_id, rank) is a dense per-query
+    # ranking), so set equality is ONE full outer join counting
+    # one-sided rows — the two-arm exceptAll shuffled each result four
+    # times (guide §2.4: remove shuffles outright)
+    diff = (
+        got.withColumn("__g", F.lit(1))
+        .join(
+            want.withColumn("__w", F.lit(1)),
+            ["query_id", "neighbor_id", "sim", "rank"],
+            "full_outer",
+        )
+        .filter(F.col("__g").isNull() | F.col("__w").isNull())
+    )
     return diff.agg((F.count(F.lit(1)) == 0).alias("probe_matches"))
 
 

@@ -1700,22 +1700,31 @@ def band_index_probe_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(F.col("doc_id") % 5 == 0).unionAll(planted)
     corpus = d.filter(F.col("doc_id") % 5 != 0)
 
-    dedup.build_band_index(corpus, "band_idx_catalog")
-    probe = dedup.near_dup_candidates_from_index(
-        spark, batch, "band_idx_catalog", max_band_bucket=None
-    )
-    direct = dedup.near_dup_against_corpus(
-        batch, corpus, threshold=0.6, max_band_bucket=None
-    )
-    got = probe.select("batch_id", "corpus_id")
-    # direct candidates: rebuild the collision set without the verify cut
-    sh_b, bk_b = dedup._shingles_and_bands(
+    # ONE tokenize/signature/band pass per side, shared by every consumer
+    # (build, probe, direct verify, and the `want` collision set) — the
+    # r10 shape re-ran the md5 pipeline 3x per side (guide §2.4: remove
+    # redundant passes before tuning anything else). The gate still
+    # compares the PERSISTED path (parquet round-trip, bucket-pruned
+    # scan, broadcast probe) against the in-memory join — sharing the
+    # upstream hashing does not weaken that comparison, both paths ran
+    # the same hashing code before too.
+    sh_b, sig_b, bk_b = dedup._shingles_and_bands(
         batch, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3
     )
-    sh_c, bk_c = dedup._shingles_and_bands(
+    sh_c, sig_c, bk_c = dedup._shingles_and_bands(
         corpus, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3
     )
-    want = (
+    sig_b, bk_b, bk_c = (
+        scoped_cache(sig_b), scoped_cache(bk_b), scoped_cache(bk_c),
+    )
+
+    dedup.build_band_index(corpus, "band_idx_catalog", signatures=sig_c)
+    probe = dedup.near_dup_candidates_from_index(
+        spark, batch, "band_idx_catalog", max_band_bucket=None,
+        signatures=sig_b,
+    )
+    got = scoped_cache(probe.select("batch_id", "corpus_id"))
+    want = scoped_cache(
         bk_b.alias("l")
         .join(
             bk_c.alias("r"),
@@ -1728,9 +1737,44 @@ def band_index_probe_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    cand_diff = got.exceptAll(want).unionAll(want.exceptAll(got))
-    verified_missing = direct.select("batch_id", "corpus_id").exceptAll(got)
-    return cand_diff.agg(
+    # the direct operator's verified pairs are exactly the exact-Jaccard
+    # cut over these same collisions (near_dup_against_corpus's verify
+    # step given cands == want), so verify FROM the cached collision set
+    # instead of re-running the bk_b x bk_c join inside the operator
+    direct = (
+        want.join(
+            sh_b.select(
+                F.col("doc_id").alias("batch_id"), F.col("__sh").alias("__sh_a")
+            ),
+            "batch_id",
+        )
+        .join(
+            sh_c.select(
+                F.col("doc_id").alias("corpus_id"), F.col("__sh").alias("__sh_b")
+            ),
+            "corpus_id",
+        )
+        .filter(
+            F.round(dedup.jaccard(F.col("__sh_a"), F.col("__sh_b")), 6)
+            >= F.lit(0.6)
+        )
+    )
+    # both sides are DISTINCT pair sets, so set equality is one full
+    # outer join counting one-sided rows — the r10 two-arm exceptAll
+    # shuffled each set twice and aggregated twice (guide §2.4)
+    cand_mismatch = (
+        got.withColumn("__g", F.lit(1))
+        .join(
+            want.withColumn("__w", F.lit(1)),
+            ["batch_id", "corpus_id"],
+            "full_outer",
+        )
+        .filter(F.col("__g").isNull() | F.col("__w").isNull())
+    )
+    verified_missing = direct.select("batch_id", "corpus_id").join(
+        got, ["batch_id", "corpus_id"], "left_anti"
+    )
+    return cand_mismatch.agg(
         (F.count(F.lit(1)) == 0).alias("__c")
     ).crossJoin(
         verified_missing.agg((F.count(F.lit(1)) == 0).alias("__v"))

@@ -2174,21 +2174,47 @@ def hll_intersection_estimate_gate(spark: SparkSession, sf_dir: str) -> DataFram
     # histogram-plan median (not percentile()'s per-task value buffer —
     # o_totalprice over a raw fact is the r8 sf10 OOM class)
     med = _hist_exact_percentiles(o, None, "o_totalprice", [0.5], ["m"])
-    j = o.crossJoin(F.broadcast(med))
-    lo = j.filter(F.col("o_totalprice") < F.col("m")).select("o_custkey")
-    hi = j.filter(F.col("o_totalprice") >= F.col("m")).select("o_custkey")
-    sa = lo.agg(F.hll_sketch_agg("o_custkey").alias("sk")).transform(scoped_cache)
-    sb = hi.agg(F.hll_sketch_agg("o_custkey").alias("sk")).transform(scoped_cache)
-    na = sa.select(F.hll_sketch_estimate("sk").alias("e")).first()["e"]
-    nb = sb.select(F.hll_sketch_estimate("sk").alias("e")).first()["e"]
-    nu = (
-        sa.unionAll(sb)
-        .agg(F.hll_union_agg("sk").alias("sk"))
-        .select(F.hll_sketch_estimate("sk").alias("e"))
-        .first()["e"]
+    # one pass builds BOTH sketches (hll_sketch_agg skips the nulls the
+    # when() leaves on the other side's rows — the sketches see exactly
+    # the lo/hi key multisets, so register states and estimates are
+    # identical to the r10 two-scan form) and the binary hll_union
+    # replaces the union_agg pass: 3 driver actions + 3 scans become 1
+    # (guide §1.2/§2.4 — fewer passes before anything else)
+    flags = o.crossJoin(F.broadcast(med)).select(
+        "o_custkey", (F.col("o_totalprice") < F.col("m")).alias("__lo")
     )
+    row = (
+        flags.agg(
+            F.hll_sketch_agg(
+                F.when(F.col("__lo"), F.col("o_custkey"))
+            ).alias("sk_lo"),
+            F.hll_sketch_agg(
+                F.when(~F.col("__lo"), F.col("o_custkey"))
+            ).alias("sk_hi"),
+        )
+        .select(
+            F.hll_sketch_estimate("sk_lo").alias("na"),
+            F.hll_sketch_estimate("sk_hi").alias("nb"),
+            F.hll_sketch_estimate(
+                F.hll_union("sk_lo", "sk_hi")
+            ).alias("nu"),
+        )
+        .first()
+    )
+    na, nb, nu = row["na"], row["nb"], row["nu"]
     est = na + nb - nu
-    exact = lo.intersect(hi).count()
+    # exact |lo n hi| as one grouped aggregate over the same flag frame
+    # (a custkey is in the intersection iff it carries both flag values)
+    # instead of intersect()'s two distincts + join
+    exact = (
+        flags.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("__lo")).alias("__a"),
+            F.max(~F.col("__lo")).alias("__b"),
+        )
+        .filter(F.col("__a") & F.col("__b"))
+        .count()
+    )
     ok = abs(est - exact) <= max(0.15 * max(exact, 1), 50)
     return spark.createDataFrame([(bool(ok),)], "within_tolerance boolean")
 

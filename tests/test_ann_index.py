@@ -155,6 +155,41 @@ def test_band_index_probe_candidates_and_plan(spark, sf_dir):
     spark.sql("DROP TABLE IF EXISTS band_idx_t__meta")
 
 
+def test_band_index_precomputed_signatures_identical(spark, sf_dir):
+    """The r11 shared-hashing fast path: building/probing with a
+    precomputed (id, signature) frame must produce a bit-identical index
+    table and probe output versus letting the functions hash internally
+    (the band-gate catalog query relies on this equivalence)."""
+    from etl_bigquery_pipeline_spark.operators import dedup
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 1)
+    batch = d.filter(F.col("doc_id") % 2 == 0).limit(20)
+
+    dedup.build_band_index(corpus, "band_sig_a")
+    sig_c = dedup.minhash_signatures(corpus, "doc_id", "text",
+                                     num_hashes=16, shingle_n=3)
+    dedup.build_band_index(corpus, "band_sig_b", signatures=sig_c)
+    rows_a = sorted(map(tuple, spark.table("band_sig_a").collect()))
+    rows_b = sorted(map(tuple, spark.table("band_sig_b").collect()))
+    assert rows_a == rows_b
+
+    probe_plain = dedup.near_dup_candidates_from_index(
+        spark, batch, "band_sig_a", max_band_bucket=None
+    )
+    sig_b = dedup.minhash_signatures(batch, "doc_id", "text",
+                                     num_hashes=16, shingle_n=3)
+    probe_pre = dedup.near_dup_candidates_from_index(
+        spark, batch, "band_sig_a", max_band_bucket=None, signatures=sig_b
+    )
+    assert sorted(map(tuple, probe_plain.collect())) == sorted(
+        map(tuple, probe_pre.collect())
+    )
+    for t in ("band_sig_a", "band_sig_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.sql(f"DROP TABLE IF EXISTS {t}__meta")
+
+
 def test_lsh_index_incremental_append(spark, emb, queries):
     """Appending a batch into the persisted index must equal a full
     rebuild over the union: identical probe results, bucket pruning
