@@ -571,7 +571,17 @@ def simhash_hex(text_col: Column | str, *, nibbles: int = 15) -> Column:
 
 
 def simhash_hamming(a: Column, b: Column, *, nibbles: int = 15) -> Column:
-    """Hamming distance between two simhash hex strings (bit-level)."""
+    """Hamming distance between two simhash hex strings (bit-level).
+
+    For nibbles <= 15 the fingerprint fits a signed 64-bit integer, so
+    the distance is one conv per side + xor + native bit_count — the r11
+    replacement for the nibble loop (2 conv + ~5 ops per nibble, ~75
+    expression nodes per pair at the default width; same integer
+    result). Wider fingerprints keep the per-nibble loop."""
+    if nibbles <= 15:
+        va = F.conv(a, 16, 10).cast("bigint")
+        vb = F.conv(b, 16, 10).cast("bigint")
+        return F.bit_count(va.bitwiseXOR(vb)).cast("int")
     dist = F.lit(0)
     for p in range(nibbles):
         va = F.conv(F.substring(a, p + 1, 1), 16, 10).cast("int")

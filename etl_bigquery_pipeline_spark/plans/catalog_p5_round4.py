@@ -416,6 +416,11 @@ def minhash_estimate_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _MH_EST_GATE_MAX_ID
     )
+    # r11 A/B note: semi-joining the signature pass down to pair-member
+    # docs (guide §3.2) measured SLOWER at sf0.1 (8.4s vs 5.8s) — the
+    # pair set must then materialize through a cache before the one
+    # fused action, and the panel is fixed-size (_MH_EST_GATE_MAX_ID)
+    # so the pruning buys nothing at scale either; kept single-action.
     pairs = dedup.ngram_jaccard_pairs(
         d, "doc_id", "text", shingle_n=3, threshold=0.2
     ).select("id_a", "id_b", "jaccard_sim")

@@ -1236,13 +1236,21 @@ def jl_projection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a top-k recall gate would test the DATA, not the projection."""
     from etl_bigquery_pipeline_spark.operators import similarity
 
-    emb = _t(spark, sf_dir, "embeddings").transform(scoped_cache)
     planes = similarity._hyperplanes(_DIM, 32, seed=7)
     scale = 1.0 / (32 ** 0.5)
+    # hoist the float->double array cast into its own projection: the 32
+    # plane products and the carried "orig" column all read the SAME
+    # cast array attribute instead of each re-casting (and re-allocating)
+    # the 64-element array per output dim — 33 casts per row become 1
+    # (guide §1.2 step 2: per-task work; numerically identical, the cast
+    # then the ops are unchanged)
+    cast_emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("orig")
+    )
     proj_cols = [
         F.aggregate(
             F.zip_with(
-                F.col("embedding").cast("array<double>"),
+                F.col("orig"),
                 F.array(*[F.lit(float(x)) for x in plane]),
                 lambda a, b: a * b,
             ),
@@ -1252,11 +1260,11 @@ def jl_projection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         * scale
         for plane in planes
     ]
-    p = emb.select(
+    p = cast_emb.select(
         "vec_id",
         "label",
         F.array(*proj_cols).alias("proj"),
-        F.col("embedding").cast("array<double>").alias("orig"),
+        "orig",
     ).transform(scoped_cache)
     sq = lambda c: F.aggregate(  # noqa: E731
         c, F.lit(0.0), lambda acc, x: acc + x * x
