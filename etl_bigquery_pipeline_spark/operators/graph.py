@@ -49,9 +49,11 @@ def cooccurrence_pairs(
     same 1,196,000-edge output). The expansion lambdas are interpreted
     per element, but k is tiny; for data with unbounded group sizes a
     per-group cap (or the join form) is the scale path."""
+    # collect_set dedups within the group, so no pre-distinct: the item
+    # table shuffles ONCE (the r11 pass removed the redundant distinct's
+    # extra exchange — guide §2.4)
     lists = (
         items.select(group_col, item_col)
-        .distinct()
         .groupBy(group_col)
         .agg(F.sort_array(F.collect_set(item_col)).alias("__is"))
     )

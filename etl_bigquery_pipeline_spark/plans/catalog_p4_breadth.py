@@ -1666,7 +1666,11 @@ def kmeans_inertia_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = _centroids(e)
     inertias = []
     for _ in range(3):
-        assigned = _assign(e, cent)
+        # cached: the inertia aggregate AND the re-center join both
+        # consume the assignment — uncached, the K-dot-products-per-row
+        # assign projection runs twice per Lloyd round (guide §5:
+        # cache when reuse beats recompute; K x |corpus| distances do)
+        assigned = scoped_cache(_assign(e, cent))
         inertias.append(assigned.agg(F.sum("d2")).first()[0])
         cent = _centroids(
             e.join(assigned.select("vec_id", "assigned_label"), "vec_id")

@@ -28,6 +28,7 @@ from etl_bigquery_pipeline_spark.plans.catalog_base import (
     Window,
     _t,
     query,
+    scoped_cache,
     widen_if_narrow,
 )
 from etl_bigquery_pipeline_spark.operators import dedup
@@ -193,9 +194,13 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     )
     corpus = d.select("source", "text").unionAll(planted)
-    sfp = corpus.select(
-        "source", TX.fingerprint("text").alias("fp")
-    ).distinct()
+    # cached: per-source totals and BOTH self-join sides consume this
+    # frame — uncached, the tokenize/sort/md5 fingerprint pass over the
+    # corpus runs three times (measured as 16 document scans in the r11
+    # plan audit)
+    sfp = scoped_cache(
+        corpus.select("source", TX.fingerprint("text").alias("fp")).distinct()
+    )
     per = sfp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
         sfp.alias("a")
