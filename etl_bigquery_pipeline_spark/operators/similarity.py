@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_bigquery_pipeline_spark.functions.vectors import cosine, dot, norm
+from etl_bigquery_pipeline_spark.operators.caching import scoped_cache
 from etl_bigquery_pipeline_spark.operators.partitioning import widen_if_narrow
 
 
@@ -256,7 +257,14 @@ def embedding_near_dup_pairs(
         "__nv2",
         F.col("__bc.band").alias("__band"),
         F.col("__bc.code").alias("__code"),
-    )
+    ).transform(scoped_cache)
+    # cached: the self-join consumes the band codes on BOTH sides and no
+    # ReusedExchange fires across the l/r aliases (the r11 plan audit
+    # counted 16 parquet scans) — uncached, the bands x band_bits
+    # hyperplane dots per row run twice; same for the verify projection
+    # below, consumed by both pair sides (rows are a few dozen bytes —
+    # the same narrow-projection cache trade as the minhash shingle
+    # frame)
     # Every join side below is CORPUS-PROPORTIONAL (exploded band rows,
     # candidate pairs, the vector projection), so all three joins are
     # merge-pinned: planner/AQE size estimates on compressed shuffle
@@ -278,7 +286,11 @@ def embedding_near_dup_pairs(
         )
         .distinct()
     )
-    v = wide.select(F.col(id_col), F.col(vec_col).alias("__v"), nrm.alias("__norm"))
+    v = scoped_cache(
+        wide.select(
+            F.col(id_col), F.col(vec_col).alias("__v"), nrm.alias("__norm")
+        )
+    )
     sim = F.round(
         F.try_divide(
             dot(F.col("va.__v"), F.col("vb.__v")),
