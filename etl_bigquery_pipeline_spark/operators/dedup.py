@@ -706,15 +706,26 @@ def near_dup_clusters(
     count (2e10 nodes x 2e10 max label overflows a long; 38 digits
     cannot).
     """
+    # both directions from ONE pass over pairs (explode of a 2-struct
+    # array) — the union-of-two-selects form consumed the pair build
+    # twice, and `pairs` is typically the full uncached LSH pipeline
+    # (r11: the closure's dominant cost halved for cluster queries)
     edges = (
         pairs.select(
-            F.col(left_col).alias("src"), F.col(right_col).alias("dst")
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(left_col).alias("src"),
+                        F.col(right_col).alias("dst"),
+                    ),
+                    F.struct(
+                        F.col(right_col).alias("src"),
+                        F.col(left_col).alias("dst"),
+                    ),
+                )
+            ).alias("__e")
         )
-        .union(
-            pairs.select(
-                F.col(right_col).alias("src"), F.col(left_col).alias("dst")
-            )
-        )
+        .select(F.col("__e.src").alias("src"), F.col("__e.dst").alias("dst"))
         .distinct()
         .localCheckpoint()
     )
@@ -1312,13 +1323,16 @@ def prefix_filter_jaccard_pairs(
             )
         )
         .select("id_a", "id_b")
+        # cached: the id-set derivation and the verify join both consume
+        # the candidate set — uncached, the prefix self-join + pair
+        # count (the filter's dominant stage) replayed 3x (r11)
+        .transform(scoped_cache)
     )
     # verify only surviving candidates: semi-filter the element arrays to
     # candidate ids first (candidate id set is small — AQE broadcasts the
     # semi join), so corpus element arrays never shuffle wholesale
     cand_ids = (
-        cand.select(F.col("id_a").alias("__id"))
-        .union(cand.select(F.col("id_b").alias("__id")))
+        cand.select(F.explode(F.array("id_a", "id_b")).alias("__id"))
         .distinct()
     )
     slim = base.join(cand_ids, "__id", "left_semi")

@@ -83,9 +83,11 @@ def orient_by_degree(
     direction and out-degrees are O(sqrt(m))-bounded. ``carry`` names
     extra per-edge columns to keep on the oriented row (e.g. a sample
     flag)."""
+    # both endpoints from one pass (explode) — a union of two selects
+    # would consume the edge lineage twice when the caller has not
+    # cached it
     deg = (
-        edges.select(F.col("u").alias("n"))
-        .unionAll(edges.select(F.col("v").alias("n")))
+        edges.select(F.explode(F.array("u", "v")).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -307,10 +309,14 @@ def pagerank_scaled(
     # the adjacency and degree tables are loop-invariant; without a
     # cache every iteration replays the full edge build
     adj = scoped_cache(
-        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionAll(
-            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-        )
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                    F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+                )
+            ).alias("__e")
+        ).select("__e.src", "__e.dst")
     )
     deg = scoped_cache(
         adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -391,9 +397,7 @@ def negative_samples(
     from pyspark.sql import Window as _W
 
     nodes = scoped_cache(  # consumed 3x: count, candidates, fallback
-        edges.select(F.col("u").alias("cand"))
-        .unionAll(edges.select(F.col("v").alias("cand")))
-        .distinct()
+        edges.select(F.explode(F.array("u", "v")).alias("cand")).distinct()
     )
     p = probes.select(F.col(probes.columns[0]).alias("probe"))
     n_nodes = max(nodes.count(), 1)  # bounded scalar: threshold input
@@ -473,8 +477,13 @@ def deterministic_walks(
     adjacency is built once. Dead-end nodes terminate their walk early.
     Returns (walk_id, step, node) with step 0 = the start node."""
     adj = edges.select(
-        F.col("u").alias("src"), F.col("v").alias("nbr")
-    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("nbr")))
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("nbr")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("nbr")),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.nbr")
     adj = scoped_cache(adj)
     frontier = starts.select(
         F.col(starts.columns[0]).alias("walk_id"),

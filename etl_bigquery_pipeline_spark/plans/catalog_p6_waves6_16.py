@@ -1115,9 +1115,7 @@ def graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = graph.cooccurrence_pairs(l, "l_orderkey", "l_partkey")
     edges = scoped_cache(graph.undirected_edges(pairs, "pa", "pb"))
     nodes = (
-        edges.select(F.col("u").alias("node"))
-        .union(edges.select(F.col("v").alias("node")))
-        .distinct()
+        edges.select(F.explode(F.array("u", "v")).alias("node")).distinct()
     )
     probes = nodes.filter(F.col("node") % 500 == 0)
     return graph.negative_samples(edges, probes, k=5, salt="negs")
@@ -1166,9 +1164,7 @@ def deterministic_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = graph.cooccurrence_pairs(l, "l_orderkey", "l_partkey")
     edges = scoped_cache(graph.undirected_edges(pairs, "pa", "pb"))
     nodes = (
-        edges.select(F.col("u").alias("node"))
-        .union(edges.select(F.col("v").alias("node")))
-        .distinct()
+        edges.select(F.explode(F.array("u", "v")).alias("node")).distinct()
     )
     starts = nodes.filter(F.col("node") % 500 == 0)
     return graph.deterministic_walks(edges, starts, steps=3, salt="walk")

@@ -2645,9 +2645,11 @@ def degree_distribution_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     pairs = graph.cooccurrence_pairs(l, "l_orderkey", "l_partkey")
     edges = graph.undirected_edges(pairs, "pa", "pb")
+    # one pass over the (uncached, expensive) edge build: explode both
+    # endpoints instead of a union of two selects, which replayed the
+    # cooccurrence groupBy + distinct per side (r11 plan audit)
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     ).transform(scoped_cache)
