@@ -167,16 +167,18 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 def triangle_counts_with_flag(edges: DataFrame, flag: str) -> DataFrame:
     """One row (n_edges, n_triangles, n_edges_flagged,
     n_triangles_flagged): exact triangle count AND the count of
-    triangles whose three edges all carry ``flag`` — in ONE wedge pass.
+    triangles whose three edges all carry ``flag`` — in ONE pass.
 
     A triangle of the flag-induced subgraph is exactly a full-graph
     triangle with all three edges flagged, so an estimator gate
     (exact vs DOULION-sampled count, e.g.) does not need a second
-    orientation + wedge join over the sampled subgraph: the flags ride
-    the oriented edges through the same m^1.5 plan and the sampled
-    count is a conditional aggregate of the closure join — at sf0.1
-    this halves the gate's join work (the sampled arm previously
-    re-oriented and re-joined its own subgraph)."""
+    orientation + counting pass over the sampled subgraph: the flags
+    ride the oriented edges through the same neighbor-array
+    intersection plan as ``triangle_count`` (see its docstring for the
+    r11 wedge-join A/B), with the flagged-only adjacency arrays
+    collected by the same groupBy — at sf0.1 the one-pass form halved
+    the r10 gate's join work, and the r11 intersection plan cut it
+    again."""
     edges = scoped_cache(edges)
     oriented = scoped_cache(orient_by_degree(edges, carry=(flag,)))
     # one groupBy yields BOTH adjacency arrays: all out-neighbors and the

@@ -698,11 +698,13 @@ def triangle_sample_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     so this is a value-hash parity row, not a constant-true contract."""
     from etl_bigquery_pipeline_spark.operators import graph
 
-    # one wedge pass for BOTH arms: the DOULION coin rides the oriented
-    # edges as a flag, and the sampled count is a conditional aggregate
-    # of the same closure join (a sampled-subgraph triangle == a full-
-    # graph triangle with all three edges flagged) — previously the
-    # sampled arm re-oriented and re-wedge-joined its own subgraph
+    # one counting pass for BOTH arms: the DOULION coin rides the
+    # oriented edges as a flag and the sampled count comes from the
+    # flagged-adjacency intersection in the same pass (a sampled-
+    # subgraph triangle == a full-graph triangle with all three edges
+    # flagged) — previously the sampled arm re-oriented and re-counted
+    # its own subgraph; r11 moved both arms from the wedge join to
+    # neighbor-array intersection (graph.triangle_counts_with_flag)
     edges = scoped_cache(
         _copurchase_edges(spark, sf_dir).withColumn(
             "__keep", graph.doulion_coin(keep_num=2, keep_den=10)
