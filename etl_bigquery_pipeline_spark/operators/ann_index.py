@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_bigquery_pipeline_spark.functions.vectors import dot, norm
+from etl_bigquery_pipeline_spark.operators.localrel import literal_frame
 from etl_bigquery_pipeline_spark.operators.partitioning import (
     widen_if_narrow,
 )
@@ -91,7 +92,7 @@ def _reset_table(spark: SparkSession, table: str) -> None:
 
 def _write_meta(spark: SparkSession, table: str, meta: dict) -> None:
     _reset_table(spark, table + _META_SUFFIX)
-    spark.createDataFrame([(json.dumps(meta),)], "meta string").write.mode(
+    literal_frame(spark, [(json.dumps(meta),)], "meta string").write.mode(
         "overwrite"
     ).saveAsTable(table + _META_SUFFIX)
 

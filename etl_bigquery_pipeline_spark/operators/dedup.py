@@ -579,8 +579,12 @@ def simhash_hamming(a: Column, b: Column, *, nibbles: int = 15) -> Column:
     expression nodes per pair at the default width; same integer
     result). Wider fingerprints keep the per-nibble loop."""
     if nibbles <= 15:
-        va = F.conv(a, 16, 10).cast("bigint")
-        vb = F.conv(b, 16, 10).cast("bigint")
+        # read exactly the declared width (matching the loop branch's
+        # semantics): without the substring, hex wider than 15 nibbles
+        # would overflow the bigint cast (ANSI error) where the loop
+        # compared a 15-nibble prefix (r11 ADVICE #3)
+        va = F.conv(F.substring(a, 1, nibbles), 16, 10).cast("bigint")
+        vb = F.conv(F.substring(b, 1, nibbles), 16, 10).cast("bigint")
         return F.bit_count(va.bitwiseXOR(vb)).cast("int")
     dist = F.lit(0)
     for p in range(nibbles):

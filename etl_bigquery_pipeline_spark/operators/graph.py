@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_bigquery_pipeline_spark.operators.caching import scoped_cache
+from etl_bigquery_pipeline_spark.operators.localrel import literal_frame
 
 
 def undirected_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
@@ -124,44 +125,60 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     intersection plan ships the same adjacency bytes but never
     materializes the O(sum deg^2) wedge ROWS through a shuffle, and the
     closure join + final count collapse into one native array_intersect
-    per edge. Interleaved A/B at sf0.1 (1.196M edges, 1,884,488
-    triangles — identical counts): 8.2s vs 17.0s and 14.6s vs 25.4s,
-    ~1.7-2x. Out-degrees are O(sqrt(m))-bounded by the orientation, so
-    no array or task is hub-sized at any scale."""
-    # both consumers re-use the (often expensive) edge lineage and the
-    # oriented projection: cache them for the duration of the caller's
+    per edge (r11 interleaved A/B at sf0.1, identical 1,884,488 counts:
+    ~1.7-2x; re-confirmed r12: intersection 4.0s vs wedge 6.9s).
+    Out-degrees are O(sqrt(m))-bounded by the orientation, so no array
+    or task is hub-sized at any scale.
+
+    r12 shape (guide §2.4/§1.2): the oriented edge list IS the exploded
+    adjacency, so the r11 plan's first join (e ⋈ adjacency-of-u) was a
+    self-join of derivable data — eu now comes from one explode over
+    the adjacency rows, leaving ONE data-proportional join (on v); and
+    n_edges folds into the same aggregate as the triangle sum, so the
+    whole count is ONE driver action instead of two and the oriented
+    projection has a single consumer (its cache dropped). The join is
+    unpinned: AQE's 16 MiB runtime-broadcast cap (session.py) decides
+    broadcast-vs-SMJ from actual sizes — broadcast at bench scale,
+    SMJ at corpus scale (the scale-adaptive posture of guide §2), with
+    the r12 A/B measuring pinned 4.5s vs unpinned 4.0s (full graph) and
+    4.5s vs 3.2s (p=0.2 sample; 32-core micro-task SMJ overhead)."""
+    # orientation consumes the (often expensive) edge lineage twice
+    # (degree build + degree join): cache it for the caller's
     # cache_scope instead of recomputing the edge build per pass
     edges = scoped_cache(edges)
-    oriented = scoped_cache(orient_by_degree(edges))
-    adj = _oriented_adjacency(oriented)
-    au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("__nu"))
+    adj = _oriented_adjacency(orient_by_degree(edges))
+    eu = adj.select(
+        F.col("src").alias("u"),
+        F.col("nbrs").alias("__nu"),
+        F.explode("nbrs").alias("v"),
+    )
     av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("__nv"))
-    e = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    # adjacency is corpus-proportional on both join sides — same
-    # discipline as the dedup verify joins: pin sort-merge so no
-    # data-dependent side ever becomes a hash-build/broadcast side
-    n_tri = (
-        e.hint("merge")
-        .join(au, "u")
-        .join(av.hint("merge"), "v", "left")
+    row = (
+        eu.join(av, "v", "left")
         .select(
             F.size(
                 F.array_intersect("__nu", F.coalesce("__nv", F.array()))
             ).alias("__t")
         )
-        .agg(F.sum("__t"))
-        .first()[0]
-        or 0
+        .agg(
+            F.coalesce(F.sum("__t"), F.lit(0)).alias("n_tri"),
+            # each eu row is exactly one oriented edge (av is unique per
+            # v and the join is left), so this IS the edge count — no
+            # second action over the cached edges
+            F.count(F.lit(1)).alias("n_e"),
+        )
+        .first()
     )
-    n_edges = edges.count()
     spark = edges.sparkSession
-    # one row: pin to one partition — a default createDataFrame spreads
-    # the row over defaultParallelism empty slices, and a downstream
-    # crossJoin of two such frames becomes an n*m-task cartesian stage
-    # (measured as a 1024-task stage in the estimator gate)
-    return spark.createDataFrame(
-        [(n_edges, n_tri)], "n_edges bigint, n_triangles bigint"
-    ).coalesce(1)
+    # one-row JVM literal (single partition, no Python-RDD slices): the
+    # r11 createDataFrame().coalesce(1) form cost ~5s PER ACTION — the
+    # coalesced task walked 32 pickled empty slices sequentially, one
+    # Python-worker round-trip each (see operators/localrel.py)
+    return literal_frame(
+        spark,
+        [(int(row.n_e), int(row.n_tri))],
+        "n_edges bigint, n_triangles bigint",
+    )
 
 
 def triangle_counts_with_flag(edges: DataFrame, flag: str) -> DataFrame:
@@ -180,34 +197,45 @@ def triangle_counts_with_flag(edges: DataFrame, flag: str) -> DataFrame:
     the r10 gate's join work, and the r11 intersection plan cut it
     again."""
     edges = scoped_cache(edges)
-    oriented = scoped_cache(orient_by_degree(edges, carry=(flag,)))
     # one groupBy yields BOTH adjacency arrays: all out-neighbors and the
-    # flagged-only subset (collect_list skips the nulls the when() leaves
-    # on unflagged rows) — the flag-induced subgraph never needs its own
+    # flagged-only subset — the flag-induced subgraph never needs its own
     # orientation or pass (same neighbor-array-intersection plan as
-    # triangle_count; see its docstring for the wedge-join A/B)
-    adj = oriented.groupBy("src").agg(
-        F.collect_list("dst").alias("nbrs"),
-        F.collect_list(F.when(F.col(flag), F.col("dst"))).alias("fnbrs"),
+    # triangle_count; see its docstring for the r11/r12 A/Bs). The
+    # (dst, flag) structs keep the per-edge flag available when the edge
+    # list is re-derived by exploding the adjacency (r12: the explode
+    # replaces the e ⋈ adjacency-of-u join, and all four counts fold
+    # into ONE aggregate/driver action — previously two).
+    adj = (
+        orient_by_degree(edges, carry=(flag,))
+        .groupBy("src")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("dst"), F.col(flag).alias("f"))
+            ).alias("__ps")
+        )
     )
-    au = adj.select(
+    nbrs = F.transform("__ps", lambda p: p.dst)
+    fnbrs = F.transform(
+        F.filter("__ps", lambda p: p.f), lambda p: p.dst
+    )
+    eu = adj.select(
         F.col("src").alias("u"),
-        F.col("nbrs").alias("__nu"),
-        F.col("fnbrs").alias("__fnu"),
+        nbrs.alias("__nu"),
+        fnbrs.alias("__fnu"),
+        F.explode("__ps").alias("__p"),
+    ).select(
+        "u", "__nu", "__fnu",
+        F.col("__p.dst").alias("v"), F.col("__p.f").alias("__f"),
     )
     av = adj.select(
         F.col("src").alias("v"),
-        F.col("nbrs").alias("__nv"),
-        F.col("fnbrs").alias("__fnv"),
+        nbrs.alias("__nv"),
+        fnbrs.alias("__fnv"),
     )
-    e = oriented.select(
-        F.col("src").alias("u"), F.col("dst").alias("v"), F.col(flag).alias("__f")
-    )
-    tri = (
-        e.hint("merge")
-        .join(au, "u")
-        .join(av.hint("merge"), "v", "left")
+    row = (
+        eu.join(av, "v", "left")
         .select(
+            "__f",
             F.size(
                 F.array_intersect("__nu", F.coalesce("__nv", F.array()))
             ).alias("__t"),
@@ -225,19 +253,21 @@ def triangle_counts_with_flag(edges: DataFrame, flag: str) -> DataFrame:
         .agg(
             F.coalesce(F.sum("__t"), F.lit(0)).alias("n_tri"),
             F.coalesce(F.sum("__tf"), F.lit(0)).alias("n_tri_f"),
+            F.count(F.lit(1)).alias("n_e"),
+            F.coalesce(
+                F.sum(F.when(F.col("__f"), 1).otherwise(0)), F.lit(0)
+            ).alias("n_e_f"),
         )
         .first()
     )
-    ec = edges.agg(
-        F.count(F.lit(1)).alias("n_e"),
-        F.sum(F.when(F.col(flag), 1).otherwise(0)).alias("n_e_f"),
-    ).first()
     spark = edges.sparkSession
-    return spark.createDataFrame(
-        [(ec.n_e, tri.n_tri, int(ec.n_e_f or 0), int(tri.n_tri_f or 0))],
+    # one-row JVM literal — see triangle_count for the coalesce(1) cost
+    return literal_frame(
+        spark,
+        [(int(row.n_e), int(row.n_tri), int(row.n_e_f), int(row.n_tri_f))],
         "n_edges bigint, n_triangles bigint,"
         " n_edges_flagged bigint, n_triangles_flagged bigint",
-    ).coalesce(1)
+    )
 
 
 def doulion_coin(*, keep_num: int = 2, keep_den: int = 10):
@@ -271,20 +301,57 @@ def doulion_sample(edges: DataFrame, *, keep_num: int = 2, keep_den: int = 10) -
     return edges.filter(doulion_coin(keep_num=keep_num, keep_den=keep_den))
 
 
+def _wedge_triangle_counts(edges: DataFrame) -> tuple[int, int]:
+    """(n_edges, n_triangles) via the classic oriented wedge join
+    (materialize (dst,dst) wedge pairs sharing a src, close against the
+    edge set) — kept as the DOULION estimator's plan, NOT the exact
+    path's. On a p-sparsified graph the wedge volume shrinks ~p^2 (both
+    wedge edges must survive) while the intersection plan's adjacency
+    shipping only shrinks ~p^1.5, so the two plans cross: the r12 A/B
+    measured, identical counts, wedge 6.9s vs intersection 11.8s on the
+    p=0.2 sample at sf1.0 (and 2.9s vs 3.2s at sf0.1) — but intersection
+    21.3s vs wedge 49.8s on the FULL sf1.0 graph. Joins are unpinned:
+    AQE's 16 MiB runtime cap decides broadcast-vs-SMJ from actual
+    sampled-side sizes (scale-adaptive, guide §2/§3)."""
+    edges = scoped_cache(edges)
+    oriented = scoped_cache(orient_by_degree(edges))
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    # unordered far pair, canonicalized to id order so the closure is a
+    # PURE EQUI-JOIN against the canonical (u < v) edge set
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.dst") < F.col("e2.dst")),
+    ).select(F.col("e1.dst").alias("u"), F.col("e2.dst").alias("v"))
+    n_tri = wedges.join(edges, ["u", "v"]).count()
+    n_edges = edges.count()  # cache hit: the closure count filled it
+    return n_edges, n_tri
+
+
 def doulion_triangle_estimate(
     edges: DataFrame, *, keep_num: int = 2, keep_den: int = 10
 ) -> DataFrame:
     """One row (n_edges_sampled, n_triangles_sampled, triangles_est):
     exact triangle count on the p-sparsified graph, scaled by 1/p^3
-    (each surviving triangle needed all three coins). Wedge work drops
-    to p^1.5 of exact (m' = p*m through the same m^1.5 plan), which is
-    what lets the count finish at scales where the exact join's spill
-    exceeds a single node's disk. With p = 0.2 the scale factor 1/p^3
-    = 125 is an exact small integer, so the estimate is one exact
-    BIGINT*constant multiply — bit-identical across engines."""
+    (each surviving triangle needed all three coins). The sampled count
+    runs the WEDGE plan, not triangle_count's array intersection: wedge
+    work drops ~p^2 under sparsification vs ~p^1.5 for the adjacency
+    arrays, which is what lets the estimate finish at scales where the
+    exact join's spill exceeds a single node's disk (see
+    _wedge_triangle_counts for the r12 two-scale A/B). With p = 0.2 the
+    scale factor 1/p^3 = 125 is an exact small integer, so the estimate
+    is one exact BIGINT*constant multiply — bit-identical across
+    engines."""
     sampled = doulion_sample(edges, keep_num=keep_num, keep_den=keep_den)
-    counts = triangle_count(sampled)
+    n_edges, n_tri = _wedge_triangle_counts(sampled)
     scale = float(keep_den**3) / float(keep_num**3)
+    spark = edges.sparkSession
+    counts = literal_frame(
+        spark,
+        [(int(n_edges), int(n_tri))],
+        "n_edges bigint, n_triangles bigint",
+    )
     return counts.select(
         F.col("n_edges").alias("n_edges_sampled"),
         F.col("n_triangles").alias("n_triangles_sampled"),

@@ -189,8 +189,11 @@ def pq_topk(
             for j in range(m)
         ]
         lut_rows.append((int(r[0]), lut))
+    # single slice (see operators/localrel.py): the LUT is a few dozen
+    # rows; nested-array values stay on createDataFrame's row path
     lut_df = queries.sparkSession.createDataFrame(
-        lut_rows, "__qid bigint, __lut array<array<double>>"
+        queries.sparkSession.sparkContext.parallelize(lut_rows, 1),
+        "__qid bigint, __lut array<array<double>>",
     )
     score = sum(
         F.element_at(

@@ -212,8 +212,13 @@ def with_grouped_running_sums(
     # data raises "can not infer schema" on an EMPTY input frame (no
     # off_rows) or an all-NULL group column (r9 ADVICE) — cases where
     # the serial window plan simply returned an empty/typed result
+    # single slice: off_rows is a handful of per-partition offsets; the
+    # default would pickle it over defaultParallelism slices, each
+    # consumption paying one Python-worker round-trip per slice
+    # (operators/localrel.py). Values may be Decimal, so keep
+    # createDataFrame's row conversion rather than literal_frame.
     off_df = spark.createDataFrame(
-        off_rows,
+        spark.sparkContext.parallelize(off_rows, 1),
         T.StructType(
             [tot_df.schema["__gpid"]]
             + [tot_df.schema[c] for c in gcols]

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_bigquery_pipeline_spark.operators.caching import scoped_cache
+from etl_bigquery_pipeline_spark.operators.localrel import literal_frame
 
 from etl_bigquery_pipeline_spark.functions import text as TX
 from etl_bigquery_pipeline_spark.functions.vectors import norm

@@ -19,6 +19,7 @@ from etl_bigquery_pipeline_spark.plans.catalog_base import (
     dedup,
     dq,
     exact_sum,
+    literal_frame,
     query,
     scoped_cache,
     similarity,
@@ -224,15 +225,33 @@ def lsh_index_probe_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both sides are key-unique ((query_id, rank) is a dense per-query
     # ranking), so set equality is ONE full outer join counting
     # one-sided rows — the two-arm exceptAll shuffled each result four
-    # times (guide §2.4: remove shuffles outright)
+    # times (guide §2.4: remove shuffles outright). Join on the KEY
+    # only and compare neighbor_id/sim null-safely in the filter: sim
+    # is a nullable double (try_divide; NULL for zero-norm vectors), and
+    # a NULL join key never matches, so keying on sim would flag
+    # identical NULL-sim rows as a mismatch where exceptAll (NULL=NULL)
+    # matched them (r11 ADVICE #1).
     diff = (
-        got.withColumn("__g", F.lit(1))
+        got.select(
+            "query_id", "rank",
+            F.col("neighbor_id").alias("__gn"), F.col("sim").alias("__gs"),
+            F.lit(1).alias("__g"),
+        )
         .join(
-            want.withColumn("__w", F.lit(1)),
-            ["query_id", "neighbor_id", "sim", "rank"],
+            want.select(
+                "query_id", "rank",
+                F.col("neighbor_id").alias("__wn"), F.col("sim").alias("__ws"),
+                F.lit(1).alias("__w"),
+            ),
+            ["query_id", "rank"],
             "full_outer",
         )
-        .filter(F.col("__g").isNull() | F.col("__w").isNull())
+        .filter(
+            F.col("__g").isNull()
+            | F.col("__w").isNull()
+            | ~F.col("__gn").eqNullSafe(F.col("__wn"))
+            | ~F.col("__gs").eqNullSafe(F.col("__ws"))
+        )
     )
     return diff.agg((F.count(F.lit(1)) == 0).alias("probe_matches"))
 
@@ -654,7 +673,8 @@ def theta_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary inequality join is nested-loop — which is exactly correct
     when one side is a literal handful of rows broadcast everywhere."""
     o = _t(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
+    bands = literal_frame(
+        spark,
         [("low", 0.0, 100000.0), ("mid", 100000.0, 200000.0), ("high", 200000.0, 1e12)],
         "band string, lo double, hi double",
     )

@@ -19,6 +19,7 @@ from etl_bigquery_pipeline_spark.plans.catalog_base import (
     dedup,
     layout,
     pq,
+    literal_frame,
     query,
     scd,
     scoped_cache,
@@ -449,7 +450,8 @@ def sketch_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("count"), "o_orderpriority")
         .first()[0]
     )
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         [(bool(bloom_ok), bool(top in freq))],
         "bloom_ok boolean, freq_ok boolean",
     )
@@ -1267,7 +1269,7 @@ def cms_heavy_hitter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n <= cms.estimateCount(int(uid)) <= n + bound
         for uid, n in exact.items()
     )
-    return spark.createDataFrame([(bool(ok),)], "cms_ok boolean")
+    return literal_frame(spark, [(bool(ok),)], "cms_ok boolean")
 
 
 _UNIFORM_SAMPLE_ORACLE = """
@@ -1683,7 +1685,7 @@ def kmeans_inertia_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = all(
         b <= a * (1 + 1e-9) for a, b in zip(inertias, inertias[1:])
     )
-    return spark.createDataFrame([(bool(ok),)], "inertia_monotone boolean")
+    return literal_frame(spark, [(bool(ok),)], "inertia_monotone boolean")
 
 
 @query("band_index_probe_matches", "SELECT true AS band_probe_matches")
@@ -2072,7 +2074,7 @@ def approx_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         and all(got[u] == true_counts.get(u) for u in got)
         and strict <= set(got)
     )
-    return spark.createDataFrame([(bool(ok),)], "topk_ok boolean")
+    return literal_frame(spark, [(bool(ok),)], "topk_ok boolean")
 
 
 _CONTAINMENT_ORACLE = """

@@ -19,6 +19,7 @@ from etl_bigquery_pipeline_spark.plans.catalog_base import (
     exact_sum,
     norm,
     quality_model,
+    literal_frame,
     query,
     scoped_cache,
     sessionize,
@@ -827,7 +828,7 @@ def logreg_training_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained = quality_model.train_logreg(feats)
     ls = trained.losses
     ok = all(b < a + 1e-9 for a, b in zip(ls, ls[1:])) and ls[-1] < ls[0]
-    return spark.createDataFrame([(bool(ok),)], "loss_decreasing boolean")
+    return literal_frame(spark, [(bool(ok),)], "loss_decreasing boolean")
 
 
 # ---- bloom-style pre-shuffle join pruning ----
@@ -1099,7 +1100,8 @@ def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     merges = bpe.train_bpe(d, rounds=3)
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         [(m["round"], m["pair"], m["merged"], m["n"]) for m in merges],
         "rnd bigint, pair string, merged string, n bigint",
     )

@@ -19,6 +19,7 @@ from etl_bigquery_pipeline_spark.plans.catalog_base import (
     dq,
     exact_sum,
     quality_model,
+    literal_frame,
     query,
     scoped_cache,
     similarity,
@@ -721,7 +722,13 @@ def mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = sorted(STOPWORDS)
     markers = F.broadcast(
         spark.createDataFrame(
-            [(w, lang) for lang in langs for w in sorted(set(STOPWORDS[lang]))],
+            # single slice: the default spreads a few hundred literal
+            # rows over defaultParallelism pickled Python-RDD slices,
+            # each a Python-worker round-trip per consumption
+            # (operators/localrel.py)
+            spark.sparkContext.parallelize(
+                [(w, lang) for lang in langs for w in sorted(set(STOPWORDS[lang]))], 1
+            ),
             "__w string, __lang string",
         )
     )
@@ -1577,7 +1584,8 @@ def incremental_join_view_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).first()
 
     a, b = summarize(v_incr), summarize(v_full)
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         [(bool(a["n"] == b["n"]), bool(a["s"] == b["s"]))],
         "counts_match boolean, revenue_match boolean",
     )
@@ -1902,8 +1910,9 @@ def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_ns = oc.join(cc, F.col("o.k").eqNullSafe(F.col("c.k"))).count()
     n_no = o.filter(F.col("k").isNull()).count()
     n_nc = c.filter(F.col("k").isNull()).count()
-    return spark.createDataFrame(
-        [(n_eq, n_ns, n_no, n_nc)],
+    return literal_frame(
+        spark,
+        [(int(n_eq), int(n_ns), int(n_no), int(n_nc))],
         "n_equality bigint, n_null_safe bigint, "
         "null_orders bigint, null_customers bigint",
     )

@@ -16,6 +16,7 @@ from etl_bigquery_pipeline_spark.plans.catalog_base import (
     Window,
     _t,
     exact_sum,
+    literal_frame,
     query,
     scoped_cache,
     widen_if_narrow,
@@ -303,7 +304,8 @@ def hll_incremental_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     exact = o.agg(F.countDistinct("o_custkey").alias("n"))
     m, w, n = merged.first()["est"], whole.first()["est"], exact.first()["n"]
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         [(bool(abs(m - w) <= 0.01 * max(w, 1)), bool(abs(m - n) <= 0.05 * n))],
         "merge_matches_whole boolean, estimate_within_5pct boolean",
     )
@@ -1304,7 +1306,8 @@ def jl_projection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist_ok = (
         0.7 <= q["p50"] <= 1.4 and q["p05"] >= 0.3 and q["p95"] <= 2.2
     )
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         [(bool(0.6 <= med <= 1.4), bool(dist_ok))],
         "norms_preserved boolean, distances_preserved boolean",
     )
@@ -1669,8 +1672,8 @@ def inclusion_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         coeff(c, "c_custkey", o, "o_custkey",
               "customer.c_custkey -> orders.o_custkey"),
     ]
-    out = spark.createDataFrame(
-        rows, "fk string, n_child bigint, n_contained bigint"
+    out = literal_frame(
+        spark, rows, "fk string, n_child bigint, n_contained bigint"
     )
     return out.select(
         "fk",
@@ -2224,7 +2227,7 @@ def hll_intersection_estimate_gate(spark: SparkSession, sf_dir: str) -> DataFram
         .count()
     )
     ok = abs(est - exact) <= max(0.15 * max(exact, 1), 50)
-    return spark.createDataFrame([(bool(ok),)], "within_tolerance boolean")
+    return literal_frame(spark, [(bool(ok),)], "within_tolerance boolean")
 
 
 _RESAMPLE_ORACLE = """
@@ -3518,27 +3521,29 @@ def ann_mrr_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sliced(emb), _sliced(probes), k=10, id_col="vec_id",
         vec_col="embedding", query_id_col="query_id",
     ).select("query_id", "neighbor_id", F.col("rank").alias("ap_rank"))
-    j = ap.join(ex, ["query_id", "neighbor_id"], "left").transform(
-        scoped_cache
-    )
-    mrr = j.groupBy("query_id").agg(
+    j = ap.join(ex, ["query_id", "neighbor_id"], "left")
+    # ONE groupBy yields both per-query metrics: the r11 shape computed
+    # rr and dcg as two separate aggregations over a cached j and joined
+    # them back on query_id — a 1:1 self-join of identical key sets
+    # (guide §2.4: two operations keyed the same way share one
+    # exchange). Fusing them also leaves j with a single consumer, so
+    # its cache (a full materialization pass) goes too.
+    per_q = j.groupBy("query_id").agg(
         F.coalesce(
             F.max(F.when(F.col("ex_rank") == 1, 1.0 / F.col("ap_rank"))),
             F.lit(0.0),
-        ).alias("rr")
-    )
-    dcg = j.groupBy("query_id").agg(
+        ).alias("rr"),
         F.sum(
             F.when(
                 F.col("ex_rank") <= 10,
                 (11.0 - F.col("ex_rank"))
                 / (F.log(F.col("ap_rank") + 1) / F.log(F.lit(2.0))),
             ).otherwise(0.0)
-        ).alias("dcg")
+        ).alias("dcg"),
     )
     idcg = sum((11.0 - i) / (__import__("math").log2(i + 1)) for i in range(1, 11))
     return (
-        mrr.join(dcg, "query_id")
+        per_q
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_queries"),
             F.round(F.avg("rr"), 6).alias("mrr"),

@@ -24,6 +24,8 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_bigquery_pipeline_spark.operators.localrel import literal_frame
+
 
 class Severity(str, Enum):
     CRITICAL = "critical"
@@ -282,7 +284,8 @@ class CriticalDQFailure(ValueError):
 def report_df(spark: SparkSession, results: list[CheckResult]) -> DataFrame:
     """The (check, table, status, severity, observed, detail) report as a
     DataFrame (B6) — queryable like any other table."""
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         [r.as_row() for r in results],
         "check string, table string, status string, severity string, observed double, detail string",
     )

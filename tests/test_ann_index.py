@@ -310,3 +310,73 @@ def test_band_index_recovery_completes_partial_band_set(spark, sf_dir):
     ]
     spark.sql("DROP TABLE IF EXISTS bi_rec_t")
     spark.sql("DROP TABLE IF EXISTS bi_rec_t__meta")
+
+
+def test_band_gate_inline_verify_matches_operator(spark, sf_dir):
+    """The band-gate catalog query's inlined 'direct' arm (an exact-
+    Jaccard cut over its own cached collision set) must equal
+    near_dup_against_corpus run end-to-end on the same inputs: r11
+    stopped calling the operator inside the gate, so this test pins the
+    inline rebuild to the operator's own collision-join path (r11
+    VERDICT What's-wrong #2). Same split/plant recipe as the gate."""
+    from etl_bigquery_pipeline_spark.operators import dedup
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(
+        (F.col("doc_id") % 5 == 1) & (F.col("doc_id") < 125)
+    ).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qqq tail")).alias("text"),
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0).unionAll(planted)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+
+    sh_b, _sig_b, bk_b = dedup._shingles_and_bands(
+        batch, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3
+    )
+    sh_c, _sig_c, bk_c = dedup._shingles_and_bands(
+        corpus, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3
+    )
+    want = (
+        bk_b.alias("l")
+        .join(
+            bk_c.alias("r"),
+            (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.band") == F.col("r.band")),
+        )
+        .select(
+            F.col("l.doc_id").alias("batch_id"),
+            F.col("r.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    inline = (
+        want.join(
+            sh_b.select(
+                F.col("doc_id").alias("batch_id"),
+                F.col("__sh").alias("__sh_a"),
+            ),
+            "batch_id",
+        )
+        .join(
+            sh_c.select(
+                F.col("doc_id").alias("corpus_id"),
+                F.col("__sh").alias("__sh_b"),
+            ),
+            "corpus_id",
+        )
+        .select(
+            "batch_id",
+            "corpus_id",
+            F.round(dedup.jaccard(F.col("__sh_a"), F.col("__sh_b")), 6).alias(
+                "jaccard_sim"
+            ),
+        )
+        .filter(F.col("jaccard_sim") >= 0.6)
+    )
+    op = dedup.near_dup_against_corpus(
+        batch, corpus, threshold=0.6, max_band_bucket=None
+    )
+    inline_rows = _rows(inline)
+    assert inline_rows == _rows(op)
+    assert len(inline_rows) > 0  # the planted near-copies must verify

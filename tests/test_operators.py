@@ -167,6 +167,33 @@ def test_simhash_near_dup_hamming(spark):
     assert 0 < near < far
 
 
+def test_simhash_hamming_fast_path_reads_declared_width(spark):
+    """The <=15-nibble bigint fast path must read exactly ``nibbles``
+    hex chars: hex wider than the declared width previously overflowed
+    the ANSI bigint cast where the per-nibble loop compared a prefix
+    (r11 ADVICE #3). Both branches must agree on the declared width."""
+    df = spark.createDataFrame(
+        [("deadbeefcafe0123f", "deadbeefcafe01230")], ["a", "b"]
+    )
+    # 17 hex chars with nibbles=15: prefix (15 chars) is compared, the
+    # differing 16th/17th chars are out of the declared width -> 0
+    fast = df.select(
+        dedup.simhash_hamming(F.col("a"), F.col("b"), nibbles=15).alias("d")
+    ).first()["d"]
+    assert fast == 0
+    # fast path (<=15) equals the per-nibble loop (>15 forced via 16
+    # on 15-padded input is invalid; instead compare both on width 8)
+    w8 = df.select(
+        dedup.simhash_hamming(F.col("a"), F.col("b"), nibbles=8).alias("d")
+    ).first()["d"]
+    assert w8 == 0
+    df2 = spark.createDataFrame([("ff00", "0f01")], ["a", "b"])
+    fast4 = df2.select(
+        dedup.simhash_hamming(F.col("a"), F.col("b"), nibbles=4).alias("d")
+    ).first()["d"]
+    assert fast4 == bin(0xFF00 ^ 0x0F01).count("1")
+
+
 # ----------------------------------------------------------- text fns ----
 
 
