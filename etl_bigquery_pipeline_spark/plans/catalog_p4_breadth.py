@@ -1666,14 +1666,23 @@ def kmeans_inertia_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (small) vector table instead of rescanning parquet 7 times
     e = scoped_cache(_t(spark, sf_dir, "embeddings"))
     cent = _centroids(e)
-    inertias = []
-    for _ in range(3):
+    inertia_frames = []
+    for r in range(3):
         # cached: the inertia aggregate AND the re-center join both
         # consume the assignment — uncached, the K-dot-products-per-row
         # assign projection runs twice per Lloyd round (guide §5:
         # cache when reuse beats recompute; K x |corpus| distances do)
         assigned = scoped_cache(_assign(e, cent))
-        inertias.append(assigned.agg(F.sum("d2")).first()[0])
+        # DEFERRED: the per-round inertia is only compared at the END,
+        # so it is kept as a lazy 1-row frame; the eager localCheckpoint
+        # below fills the assignment cache each round, making the final
+        # union over all three aggregates read warm caches — 3 driver
+        # actions per run become 0 extra (guide §1.2)
+        inertia_frames.append(
+            assigned.agg(F.sum("d2").alias("__v")).select(
+                F.lit(r).alias("__r"), "__v"
+            )
+        )
         cent = _centroids(
             e.join(assigned.select("vec_id", "assigned_label"), "vec_id")
             .select(F.col("assigned_label").alias("label"), "embedding"),
@@ -1682,6 +1691,11 @@ def kmeans_inertia_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # superlinearly with iteration count — the standard iterative-
         # algorithm hygiene (K x dim rows, so the checkpoint is tiny)
         ).localCheckpoint()
+    u = inertia_frames[0]
+    for f in inertia_frames[1:]:
+        u = u.unionAll(f)
+    rows = sorted(u.collect(), key=lambda x: x["__r"])
+    inertias = [x["__v"] for x in rows]
     ok = all(
         b <= a * (1 + 1e-9) for a, b in zip(inertias, inertias[1:])
     )

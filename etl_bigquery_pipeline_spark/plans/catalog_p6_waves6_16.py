@@ -1906,15 +1906,19 @@ def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k")
     ).transform(scoped_cache)
     oc, cc = o.alias("o"), c.alias("c")
-    n_eq = oc.join(cc, F.col("o.k") == F.col("c.k")).count()
-    n_ns = oc.join(cc, F.col("o.k").eqNullSafe(F.col("c.k"))).count()
-    n_no = o.filter(F.col("k").isNull()).count()
-    n_nc = c.filter(F.col("k").isNull()).count()
-    return literal_frame(
-        spark,
-        [(int(n_eq), int(n_ns), int(n_no), int(n_nc))],
-        "n_equality bigint, n_null_safe bigint, "
-        "null_orders bigint, null_customers bigint",
+    # fully lazy: the four counts are 1-row aggregates crossJoined into
+    # ONE plan/driver action — the r11 shape ran four separate count()
+    # jobs over the same cached frames (guide §1.2)
+    cnt = lambda df, nm: df.agg(  # noqa: E731
+        F.count(F.lit(1)).cast("bigint").alias(nm)
+    )
+    return (
+        cnt(oc.join(cc, F.col("o.k") == F.col("c.k")), "n_equality")
+        .crossJoin(
+            cnt(oc.join(cc, F.col("o.k").eqNullSafe(F.col("c.k"))), "n_null_safe")
+        )
+        .crossJoin(cnt(o.filter(F.col("k").isNull()), "null_orders"))
+        .crossJoin(cnt(c.filter(F.col("k").isNull()), "null_customers"))
     )
 
 

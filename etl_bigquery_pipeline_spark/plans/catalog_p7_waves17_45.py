@@ -303,11 +303,23 @@ def hll_incremental_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame
         F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est")
     )
     exact = o.agg(F.countDistinct("o_custkey").alias("n"))
-    m, w, n = merged.first()["est"], whole.first()["est"], exact.first()["n"]
-    return literal_frame(
-        spark,
-        [(bool(abs(m - w) <= 0.01 * max(w, 1)), bool(abs(m - n) <= 0.05 * n))],
-        "merge_matches_whole boolean, estimate_within_5pct boolean",
+    # one driver action instead of three: the three 1-row aggregates
+    # crossJoin into a single lazy plan and the bounds evaluate in-plan
+    # (same arithmetic: abs/mult/greatest over the same doubles)
+    return (
+        merged.withColumnRenamed("est", "__m")
+        .crossJoin(whole.withColumnRenamed("est", "__w"))
+        .crossJoin(exact)
+        .select(
+            (
+                F.abs(F.col("__m") - F.col("__w"))
+                <= F.lit(0.01) * F.greatest(F.col("__w"), F.lit(1))
+            ).alias("merge_matches_whole"),
+            (
+                F.abs(F.col("__m") - F.col("n"))
+                <= F.lit(0.05) * F.col("n")
+            ).alias("estimate_within_5pct"),
+        )
     )
 
 
@@ -1276,9 +1288,7 @@ def jl_projection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per-vector ratios are corpus-proportional: exact medians run on
     # the histogram plan, not percentile()'s per-task value buffer
-    med = _hist_exact_percentiles(ratios, None, "r", [0.5], ["m"]).first()[
-        "m"
-    ]
+    med_f = _hist_exact_percentiles(ratios, None, "r", [0.5], ["m"])
 
     a = p.select(
         F.col("vec_id").alias("ia"),
@@ -1300,16 +1310,20 @@ def jl_projection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             d2(F.col("pa"), F.col("pb")), d2(F.col("oa"), F.col("ob"))
         ).alias("r")
     )
+    # one driver action instead of two: both percentile frames crossJoin
+    # into a single plan and the bounds evaluate in-plan (each helper
+    # still pays its internal running-sum offset collect)
     q = _hist_exact_percentiles(
         dist, None, "r", [0.05, 0.5, 0.95], ["p05", "p50", "p95"]
-    ).first()
-    dist_ok = (
-        0.7 <= q["p50"] <= 1.4 and q["p05"] >= 0.3 and q["p95"] <= 2.2
     )
-    return literal_frame(
-        spark,
-        [(bool(0.6 <= med <= 1.4), bool(dist_ok))],
-        "norms_preserved boolean, distances_preserved boolean",
+    return med_f.crossJoin(q).select(
+        ((F.col("m") >= 0.6) & (F.col("m") <= 1.4)).alias("norms_preserved"),
+        (
+            (F.col("p50") >= 0.7)
+            & (F.col("p50") <= 1.4)
+            & (F.col("p05") >= 0.3)
+            & (F.col("p95") <= 2.2)
+        ).alias("distances_preserved"),
     )
 
 
@@ -1646,23 +1660,30 @@ def inclusion_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate (child, parent) pair, the fraction of distinct child
     values contained in the parent — 1.0 means the FK holds, and the
     deliberately-reversed customer->orders pair shows a real non-FK
-    (customers without orders). Each pair is a distinct projection +
-    broadcast semi-join count."""
+    (customers without orders). Each pair is ONE lazy aggregate over a
+    broadcast left join (count of matches == the semi-join count since
+    both sides are distinct); the four 1-row frames union into a single
+    plan, so the whole profile is one driver action — the r11 shape ran
+    2 count() actions per pair, 8 per query (guide §1.2: fewer passes/
+    actions before per-task tuning)."""
     def coeff(child, ccol, parent, pcol, label):
-        a = child.select(F.col(ccol).alias("k")).distinct().transform(scoped_cache)
-        n_child = a.count()
-        n_cont = a.join(
-            F.broadcast(parent.select(F.col(pcol).alias("k")).distinct()),
-            "k",
-            "left_semi",
-        ).count()
-        return (label, n_child, n_cont)
+        a = child.select(F.col(ccol).alias("k")).distinct()
+        pmark = (
+            parent.select(F.col(pcol).alias("k"))
+            .distinct()
+            .withColumn("__m", F.lit(1))
+        )
+        return a.join(F.broadcast(pmark), "k", "left").agg(
+            F.lit(label).alias("fk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+            F.count("__m").cast("bigint").alias("n_contained"),
+        )
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     p = _t(spark, sf_dir, "part")
     c = _t(spark, sf_dir, "customer")
-    rows = [
+    frames = [
         coeff(li, "l_orderkey", o, "o_orderkey",
               "lineitem.l_orderkey -> orders.o_orderkey"),
         coeff(li, "l_partkey", p, "p_partkey",
@@ -1672,9 +1693,9 @@ def inclusion_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         coeff(c, "c_custkey", o, "o_custkey",
               "customer.c_custkey -> orders.o_custkey"),
     ]
-    out = literal_frame(
-        spark, rows, "fk string, n_child bigint, n_contained bigint"
-    )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
     return out.select(
         "fk",
         "n_child",
@@ -2210,10 +2231,7 @@ def hll_intersection_estimate_gate(spark: SparkSession, sf_dir: str) -> DataFram
                 F.hll_union("sk_lo", "sk_hi")
             ).alias("nu"),
         )
-        .first()
     )
-    na, nb, nu = row["na"], row["nb"], row["nu"]
-    est = na + nb - nu
     # exact |lo n hi| as one grouped aggregate over the same flag frame
     # (a custkey is in the intersection iff it carries both flag values)
     # instead of intersect()'s two distincts + join
@@ -2224,10 +2242,22 @@ def hll_intersection_estimate_gate(spark: SparkSession, sf_dir: str) -> DataFram
             F.max(~F.col("__lo")).alias("__b"),
         )
         .filter(F.col("__a") & F.col("__b"))
-        .count()
+        .agg(F.count(F.lit(1)).alias("__exact"))
     )
-    ok = abs(est - exact) <= max(0.15 * max(exact, 1), 50)
-    return literal_frame(spark, [(bool(ok),)], "within_tolerance boolean")
+    # one driver action instead of two: exact overlap as a 1-row frame
+    # crossJoined with the sketch row, bound evaluated in-plan (same
+    # abs/mult/greatest arithmetic over the same doubles)
+    return row.crossJoin(exact).select(
+        (
+            F.abs(
+                F.col("na") + F.col("nb") - F.col("nu") - F.col("__exact")
+            )
+            <= F.greatest(
+                F.lit(0.15) * F.greatest(F.col("__exact"), F.lit(1)),
+                F.lit(50),
+            )
+        ).alias("within_tolerance")
+    )
 
 
 _RESAMPLE_ORACLE = """
