@@ -1581,13 +1581,15 @@ def incremental_join_view_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s"),
-        ).first()
+        )
 
-    a, b = summarize(v_incr), summarize(v_full)
-    return literal_frame(
-        spark,
-        [(bool(a["n"] == b["n"]), bool(a["s"] == b["s"]))],
-        "counts_match boolean, revenue_match boolean",
+    # one driver action instead of two: both summaries crossJoin into a
+    # single lazy plan; count and exact-decimal equality evaluate in-plan
+    a = summarize(v_incr)
+    b = summarize(v_full).withColumnsRenamed({"n": "__n2", "s": "__s2"})
+    return a.crossJoin(b).select(
+        (F.col("n") == F.col("__n2")).alias("counts_match"),
+        (F.col("s") == F.col("__s2")).alias("revenue_match"),
     )
 
 

@@ -44,15 +44,30 @@ def test_all_queries_have_oracle_or_reason():
     assert missing == ROWS_ONLY, f"undocumented oracle-less queries: {missing - ROWS_ONLY}"
 
 
-def test_oracled_schemas_are_atomic(spark):
+@pytest.fixture(scope="module")
+def constructed_oracled(constructed_queries):
+    """The oracled slice of the session-wide construction pass
+    (tests/conftest.py constructed_queries) — one construction of the
+    catalog serves the schema sweep, the drift sweep, and the plan
+    lints."""
+    return {
+        name: df
+        for name, df in constructed_queries.items()
+        if name in catalog.ORACLE
+    }
+
+
+def test_oracled_schemas_are_atomic(constructed_oracled):
     """The driver's canonicalizer (pandas sort_values -> factorize) cannot
     hash array/map/struct cells; every oracled query must emit only atomic
     leaf types (serialize lists with array_join, structs with named cols)."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     offenders = []
-    for name in sorted(catalog.ORACLE):
-        df = catalog.QUERIES[name](spark, SF)
+    for name, df in constructed_oracled.items():
+        if isinstance(df, Exception):
+            offenders.append(f"{name}: construction failed: {df!r:.200}")
+            continue
         for f in df.schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
@@ -73,7 +88,7 @@ def test_type_category_drift_is_caught(spark, con):
     assert ok, msg
 
 
-def test_no_type_category_drift_catalogwide(spark, con):
+def test_no_type_category_drift_catalogwide(con, constructed_oracled):
     """Sweep of every oracled query: Spark dtype category must match
     DuckDB's bound result type category per column — exactly the class
     the driver's type-sensitive hash punishes. Mostly schema-only, but
@@ -84,9 +99,10 @@ def test_no_type_category_drift_catalogwide(spark, con):
     from tests.oracle_harness import type_mismatches
 
     offenders = []
-    for name in sorted(catalog.ORACLE):
+    for name, df in constructed_oracled.items():
         try:
-            df = catalog.QUERIES[name](spark, SF)
+            if isinstance(df, Exception):
+                raise df
             rel = con.sql(catalog.ORACLE[name])
             for m in type_mismatches(df, rel):
                 offenders.append(f"{name}: {m}")

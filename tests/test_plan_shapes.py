@@ -608,12 +608,16 @@ def ordered_global_windows(plan: str) -> list[str]:
     return hits
 
 
-def test_catalog_global_window_lint(spark, sf_dir):
-    from etl_bigquery_pipeline_spark.plans import catalog as cat
-
+def test_catalog_global_window_lint(spark, constructed_queries):
+    # default-conf sweep: shares the session-wide construction pass
+    # (tests/conftest.py constructed_queries) with the oracle-parity
+    # schema sweeps — construction runs the gates' eager jobs and is
+    # the dominant cost of every catalog-wide lint
     offenders, still_global = {}, set()
-    for name in sorted(cat.QUERIES):
-        df = cat.QUERIES[name](spark, sf_dir)
+    for name, df in constructed_queries.items():
+        if isinstance(df, Exception):
+            offenders[name] = f"construction failed: {df!r:.200}"
+            continue
         hits = ordered_global_windows(
             df._jdf.queryExecution().executedPlan().toString()
         )
